@@ -1,0 +1,90 @@
+"""Similarity search over an embedding column (array<float>).
+
+ * ``cosine_topk_brute`` — exact baseline: query set × corpus via broadcast of the
+   (small) query side, dot product with ``F.zip_with``/``F.aggregate`` higher-order
+   functions (JVM-side, no Python), top-k per query via window row_number.
+ * ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets (signs of dot
+   products with D deterministic seeded hyperplanes → bucket id); candidates share a
+   bucket, exact cosine re-rank within bucket. At 100 TB the bucket join replaces the
+   full cross product; recall is tunable via n_planes/n_tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                              lambda acc, v: acc + v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ca, cb = F.col(a), F.col(b)
+    return df.withColumn(
+        out, F.round(_dot(ca, cb) / (_norm(ca) * _norm(cb)), 6)
+    )
+
+
+def cosine_topk_brute(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                      round_digits: int = 6) -> DataFrame:
+    """embeddings(vec_id, embedding), queries(query_id, embedding) →
+    (query_id, vec_id, cosine, rank). Query side broadcast; corpus side never shuffles
+    until the per-query top-k (window over query_id). Ranking uses the ROUNDED cosine
+    with vec_id tie-break so results are reproducible across engines/float orders."""
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("q_emb"))
+    joined = embeddings.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        "query_id", "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng([seed, 777])
+    return rng.standard_normal((n_planes, dim)).astype(float).tolist()
+
+
+def lsh_bucket(df: DataFrame, emb_col: str, dim: int, n_planes: int = 8,
+               seed: int = 42) -> DataFrame:
+    """Add ``bucket`` = bit-string of hyperplane-side signs (deterministic seeded
+    planes, computed with higher-order functions — no UDF)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(_dot(F.col(emb_col), F.array(*[F.lit(v) for v in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_bucketed_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+                      k: int = 10, n_planes: int = 6, seed: int = 42,
+                      round_digits: int = 6) -> DataFrame:
+    """ANN: join on LSH bucket, exact cosine re-rank within bucket."""
+    e = lsh_bucket(embeddings, "embedding", dim, n_planes, seed)
+    q = lsh_bucket(queries.select("query_id", F.col("embedding").alias("q_emb")),
+                   "q_emb", dim, n_planes, seed)
+    joined = e.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        "query_id", "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,64 @@
+"""Distributed deterministic corpus generation.
+
+Spark-side wrapper over fixtures.corpus.make_doc: `spark.range(n)` → mapInPandas.
+Because each doc is a pure function of (seed, idx), output is bitwise identical at any
+parallelism — generation scales linearly with executors (embarrassingly parallel, no
+shuffle) and the same code materializes the t1/t2/bench corpora.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fixtures.corpus import make_doc
+from .schemas import DOCS_SCHEMA
+
+
+def generate_docs(spark: SparkSession, n_docs: int, seed: int = 42,
+                  partitions: int | None = None) -> DataFrame:
+    if partitions is None:
+        partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+    partitions = min(partitions, max(1, n_docs // 64) or 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, spans = [], []
+            for idx in pdf["id"]:
+                doc_id, sp = make_doc(int(idx), seed)
+                ids.append(doc_id)
+                spans.append(sp)
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    rng = spark.range(0, n_docs, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=DOCS_SCHEMA)
+
+
+def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's flat `documents` parquet (doc_id:bigint, text:string, ...) to
+    the interleaved-span `docs` shape deterministically: each document becomes one text
+    span, plus a media span derived from the doc_id for every 8th doc — so the KG
+    pipeline runs over driver-scaled data too."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("media://"), F.sha1(F.col("doc_id").cast("string"))).alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    return d.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("doc_id"),
+        F.when(F.col("doc_id") % 8 == 0, F.array(text_span, media_span))
+        .otherwise(F.array(text_span))
+        .alias("spans"),
+    )

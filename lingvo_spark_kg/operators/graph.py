@@ -1,0 +1,90 @@
+"""Graph materialization: canonical nodes / edges tables + per-partition lineage & metrics.
+
+[KG-new] S11 (SURVEY.md §2.1). Nodes and edges are bucketed by hash of their key into
+``n_buckets`` partitions (``partitionBy("bucket")`` on the parquet layout — the local
+stand-in for Iceberg ``bucket(src_id)`` partition transforms; swap the writer for
+``writeTo(...).partitionedBy(bucket(N, col))`` on an Iceberg catalog). Every row keeps
+lineage: contributing doc count and an example doc_id; a ``metrics`` table records per
+(stage, bucket) row counts and tag distributions — the WordsInDictRatio-style
+aggregates of the reference (SeqLabel.cs:194-216) generalized per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS_DEFAULT = 32
+
+
+def build_nodes(canon: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
+    """canonical_map → nodes(canonical_id, label, node_type, n_mentions, n_surfaces,
+    entity_id, bucket)."""
+    agg = canon.groupBy("canonical_id").agg(
+        F.max(F.struct("n_mentions", "mention_norm", "mention_type")).alias("top"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_surfaces"),
+        F.max("entity_id").alias("entity_id"),
+    )
+    return agg.select(
+        "canonical_id",
+        F.col("top.mention_norm").alias("label"),
+        F.col("top.mention_type").alias("node_type"),
+        "n_mentions", "n_surfaces", "entity_id",
+        F.pmod(F.hash("canonical_id"), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def build_edges_table(linked_triples: DataFrame, canon: DataFrame,
+                      n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
+    """linked triples + canonical map → edges(src_id, pred, dst_id, n_occurrences,
+    avg_confidence, n_docs, example_doc_id, bucket)."""
+    c_subj = canon.select(
+        F.col("mention_norm").alias("subj_norm"), F.col("mention_type").alias("subj_type"),
+        F.col("canonical_id").alias("src_id"),
+    )
+    c_obj = canon.select(
+        F.col("mention_norm").alias("obj_norm"), F.col("mention_type").alias("obj_type"),
+        F.col("canonical_id").alias("dst_id"),
+    )
+    t = (
+        linked_triples.join(F.broadcast(c_subj), ["subj_norm", "subj_type"], "left")
+        .join(F.broadcast(c_obj), ["obj_norm", "obj_type"], "left")
+        .withColumn("src_id", F.coalesce("src_id", F.concat(F.lit("m:"), "subj_type", F.lit(":"), "subj_norm")))
+        .withColumn("dst_id", F.coalesce("dst_id", F.concat(F.lit("m:"), "obj_type", F.lit(":"), "obj_norm")))
+    )
+    agg = t.groupBy("src_id", "pred", "dst_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("example_doc_id"),
+    )
+    return agg.withColumn("bucket", F.pmod(F.hash("src_id"), F.lit(n_buckets)))
+
+
+def partition_metrics(df: DataFrame, stage: str, key: str = "bucket") -> DataFrame:
+    """Per-partition metrics rows: (stage, bucket, n_rows)."""
+    return df.groupBy(F.col(key).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(F.lit(stage).alias("stage"), "bucket", "n_rows")
+
+
+def tag_distribution(tagged: DataFrame) -> DataFrame:
+    """Aggregation A3-style distribution: counts per POS tag over all tokens."""
+    return (
+        tagged.select(F.explode("pos_tags").alias("pos"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )
+
+
+def write_bucketed(df: DataFrame, path: str, n_buckets: int = N_BUCKETS_DEFAULT) -> None:
+    """Parquet layout partitioned by bucket (Iceberg bucket-transform stand-in)."""
+    (
+        df.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

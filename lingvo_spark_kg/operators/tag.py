@@ -1,0 +1,108 @@
+"""Tag operator: sentences → sentences + (pos_tags, ner_tags).
+
+Spark shape: one ``mapInPandas`` pass; the model rides to executors as a broadcast
+(gazetteer dict for the lexicon regimen; NumPy weight archive for the BiLSTM) and is
+rehydrated once per executor process via a module-level cache — the analog of the
+reference's WeakReference model cache (WebService/Infrastructure/ConcurrentFactory.cs:90-108)
+and multi-device weight sync (MultiProcessorNetworkWrapper.cs:58-79). Tagging is
+shuffle-free: partition parallelism replaces the reference's Parallel.For predict
+(BaseSeq2SeqFramework.cs:630-703).
+
+Long sentences follow the reference chunking semantics (>220 tokens → chunked /
+≤10%-overflow truncated, SeqLabel.cs:259-311) inside BiLSTMTaggerModel.predict_tags;
+the lexicon regimen is per-token and needs no chunking. Output-type correction
+(Num→Numeral, Url/Email→Other, punctuation-flag→Punctuation —
+PosTaggerExtensions.cs:16-59) is applied in both regimens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (re-exported for callers)
+
+from ..model.bilstm import BiLSTMTaggerModel
+from ..model.lexicon import LexiconNer, pos_tag_word
+from ..tokenizer import EWT_PUNCTUATION, IT_EMAIL, IT_NUM, IT_URL, Word
+from .schemas import TAGGED_SCHEMA
+
+_MODEL_CACHE: dict[int, object] = {}
+
+
+def _words_from_tokens(tokens: list[dict]) -> list[Word]:
+    return [
+        Word(t["start"], t["length"], t["value"], t["value"], t["input_type"], t["extra"])
+        for t in tokens
+    ]
+
+
+def _correct_output_types(tokens: list[dict], tags: list[str]) -> list[str]:
+    """SetPosTaggerOutputType correction table (PosTaggerExtensions.cs:16-59)."""
+    out = list(tags)
+    for i, t in enumerate(tokens):
+        it = t["input_type"]
+        if it == IT_NUM:
+            out[i] = "Numeral"
+        elif it in (IT_URL, IT_EMAIL):
+            out[i] = "Other"
+        elif t["extra"] & EWT_PUNCTUATION:
+            out[i] = "Punctuation"
+    return out
+
+
+def tag_sentences_lexicon(sentences: DataFrame, gazetteer_bc) -> DataFrame:
+    """Deterministic lexicon regimen; ``gazetteer_bc`` is a Spark broadcast of
+    {normalized surface → PER|ORG|LOC}."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = id(gazetteer_bc)
+        ner = _MODEL_CACHE.get(key)
+        if ner is None:
+            ner = LexiconNer(gazetteer_bc.value)
+            _MODEL_CACHE[key] = ner
+        for pdf in batches:
+            pos_col, ner_col = [], []
+            for tokens in pdf["tokens"]:
+                words = _words_from_tokens(tokens)
+                pos = [pos_tag_word(w) for w in words]
+                pos_col.append(_correct_output_types(tokens, pos))
+                ner_col.append(ner.tag(words))
+            pdf = pdf.copy()
+            pdf["pos_tags"] = pos_col
+            pdf["ner_tags"] = ner_col
+            yield pdf
+
+    return sentences.mapInPandas(run, schema=TAGGED_SCHEMA)
+
+
+def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc) -> DataFrame:
+    """DNN regimen: two tagging passes in one UDF — POS model over ending_pos features
+    (MaxEndingLength=4) and NER model over ending_ner features (whole word), mirroring
+    the reference's two-model service registry (pos_tagger_ru_settings.json:10-75)."""
+
+    def get_model(bc) -> BiLSTMTaggerModel:
+        key = id(bc)
+        m = _MODEL_CACHE.get(key)
+        if m is None:
+            m = BiLSTMTaggerModel.from_bytes(bc.value)
+            _MODEL_CACHE[key] = m
+        return m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos_model = get_model(pos_model_bc)
+        ner_model = get_model(ner_model_bc)
+        for pdf in batches:
+            pos_feats = [[t["ending_pos"] for t in toks] for toks in pdf["tokens"]]
+            ner_feats = [[t["ending_ner"] for t in toks] for toks in pdf["tokens"]]
+            pos_raw = pos_model.predict_tags(pos_feats)
+            ner_raw = ner_model.predict_tags(ner_feats)
+            pdf = pdf.copy()
+            pdf["pos_tags"] = [
+                _correct_output_types(toks, tags) for toks, tags in zip(pdf["tokens"], pos_raw)
+            ]
+            pdf["ner_tags"] = ner_raw
+            yield pdf
+
+    return sentences.mapInPandas(run, schema=TAGGED_SCHEMA)

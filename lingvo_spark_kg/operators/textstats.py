@@ -1,0 +1,91 @@
+"""Text-analysis operators over a flat document table (doc_id, text, ...).
+
+Training-data-pipeline operators (language-ID, quality scoring, token counting,
+fingerprinting). All four are pure Catalyst column expressions — no Python in the hot
+path, fully pushdown/prune/codegen-friendly — and each has an exact ANSI-SQL oracle
+(see __spark_entry__.oracle_sql) because the expressions are deterministic and
+engine-portable (regexp over explicit classes, md5, arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CYRILLIC_CLASS = "[а-яА-ЯёЁ]"
+LATIN_CLASS = "[a-zA-Z]"
+DIGIT_CLASS = "[0-9]"
+PUNCT_CLASS = r"[.,!?;:()\[\]\"'«»—–-]"
+
+
+def _ratio(cls: str):
+    return F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), f"[^{cls[1:-1]}]", "")) / F.length("text"),
+    ).otherwise(F.lit(0.0))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """n-gram-free heuristic language ID: script-class character ratios."""
+    d = docs.select(
+        "doc_id",
+        F.round(_ratio(CYRILLIC_CLASS), 4).alias("cyr_ratio"),
+        F.round(_ratio(LATIN_CLASS), 4).alias("lat_ratio"),
+    )
+    return d.select(
+        "doc_id", "cyr_ratio", "lat_ratio",
+        F.when(F.col("cyr_ratio") >= 0.3, "ru")
+        .when(F.col("lat_ratio") >= 0.3, "en")
+        .otherwise("other")
+        .alias("lang_pred"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a word-char count (BPE-ish proxy: chars/4 rounded)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.floor(F.length("text") / 4).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punct/digit-ratio quality features + a composite score in [0,1]."""
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.round(_ratio(DIGIT_CLASS), 4).alias("digit_ratio"),
+        F.round(
+            F.when(
+                F.length("text") > 0,
+                F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:()«»—-]", "")) / F.length("text"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("punct_ratio"),
+    )
+    mean_tok = F.when(F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")).otherwise(F.lit(0.0))
+    score = (
+        F.when(F.col("n_chars") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((F.col("digit_ratio") < 0.3), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((F.col("punct_ratio") < 0.2), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return feats.select(
+        "doc_id", "n_chars", "n_tokens", "digit_ratio", "punct_ratio",
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the lowercase trimmed text (exact content hash)
+    plus a 16-bucket locality prefix — the groupBy key for exact dedup and the blocking
+    key for near-dup passes."""
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        h.alias("fp"),
+        F.substring(h, 1, 1).alias("fp_bucket"),
+    )

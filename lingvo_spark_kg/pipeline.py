@@ -1,0 +1,138 @@
+"""End-to-end KG pipeline with per-stage checkpoints and resume.
+
+Stage DAG (each stage writes a parquet table under ``workdir`` — the local stand-in for
+the per-stage Iceberg checkpoint tables of the north-star spec; a completed stage is
+detected by its ``_SUCCESS`` marker and skipped on resume):
+
+    docs → sentences → tagged → triples_raw → links → canonical_map → nodes/edges + metrics
+
+Shuffle budget (SURVEY.md §4.2): docs→triples_raw is entirely narrow (mapInPandas
+chain); the only shuffles are the mention dedup groupBy, the canonicalization
+iterations, and the final bucketed writes. The alias dictionary and link table ride as
+broadcasts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fixtures.corpus import gazetteer_from_aliases, make_aliases
+from .operators import canonicalize, graph, linking
+from .operators.docsgen import generate_docs
+from .operators.schemas import ALIASES_SCHEMA
+from .operators.tag import tag_sentences_lexicon
+from .operators.tokenize import media_spans, tokenize_docs
+from .operators.triples import docs_to_triples_fused, extract_triples_df
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+@dataclass
+class KgPipeline:
+    spark: SparkSession
+    workdir: str
+    n_docs: int = 10_000
+    seed: int = 42
+    n_buckets: int = 32
+    fused: bool = True
+    docs_df: DataFrame | None = None  # override the generated corpus with a real table
+    timings: dict[str, float] = field(default_factory=dict)
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    def _run_stage(self, stage: str, build, resume: bool) -> DataFrame:
+        p = self.path(stage)
+        if resume and _done(p):
+            return self._read(stage)
+        t0 = time.time()
+        df = build()
+        df.write.mode("overwrite").parquet(p)
+        self.timings[stage] = round(time.time() - t0, 3)
+        return self._read(stage)
+
+    # --- broadcast side data ---
+    def aliases_df(self) -> DataFrame:
+        rows = make_aliases(seed=self.seed)
+        return self.spark.createDataFrame(rows, schema=ALIASES_SCHEMA)
+
+    def gazetteer_bc(self):
+        gaz = gazetteer_from_aliases(make_aliases(seed=self.seed))
+        return self.spark.sparkContext.broadcast(gaz)
+
+    # --- stages ---
+    def run(self, resume: bool = True) -> dict[str, int]:
+        spark = self.spark
+        gaz_bc = self.gazetteer_bc()
+
+        docs = self._run_stage(
+            "docs",
+            lambda: self.docs_df if self.docs_df is not None
+            else generate_docs(spark, self.n_docs, self.seed),
+            resume,
+        )
+
+        media = self._run_stage("media_spans", lambda: media_spans(docs), resume)
+
+        if self.fused:
+            triples = self._run_stage(
+                "triples_raw", lambda: docs_to_triples_fused(docs, gaz_bc), resume
+            )
+        else:
+            sentences = self._run_stage("sentences", lambda: tokenize_docs(docs), resume)
+            tagged = self._run_stage(
+                "tagged", lambda: tag_sentences_lexicon(sentences, gaz_bc), resume
+            )
+            triples = self._run_stage("triples_raw", lambda: extract_triples_df(tagged), resume)
+
+        aliases = self.aliases_df()
+        links = self._run_stage(
+            "links",
+            lambda: linking.link_mentions(linking.mentions_from_triples(triples), aliases),
+            resume,
+        )
+        canon = self._run_stage(
+            "canonical_map", lambda: canonicalize.canonical_map(links), resume
+        )
+        linked_triples = self._run_stage(
+            "linked_triples", lambda: linking.link_triples(triples, links), resume
+        )
+        nodes = self._run_stage(
+            "nodes", lambda: graph.build_nodes(canon, self.n_buckets), resume
+        )
+        edges = self._run_stage(
+            "edges", lambda: graph.build_edges_table(linked_triples, canon, self.n_buckets),
+            resume,
+        )
+        metrics = self._run_stage(
+            "metrics",
+            lambda: graph.partition_metrics(nodes, "nodes").unionByName(
+                graph.partition_metrics(edges, "edges")
+            ),
+            resume,
+        )
+
+        counts = {
+            "docs": docs.count(),
+            "media_spans": media.count(),
+            "triples_raw": triples.count(),
+            "links": links.count(),
+            "canonical_map": canon.count(),
+            "nodes": nodes.count(),
+            "edges": edges.count(),
+            "metrics": metrics.count(),
+        }
+        with open(os.path.join(self.workdir, "run_summary.json"), "w") as f:
+            json.dump({"counts": counts, "timings": self.timings}, f, indent=2)
+        return counts
