@@ -1,0 +1,153 @@
+"""Benchmark harness.
+
+Default: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}.
+
+``python bench.py --scaling`` additionally runs the flagship docs→triples job at two
+parallelism levels (local[8] then local[32]) on the SAME input and reports throughputs
+plus scaling efficiency — the sandbox proxy for the N→4N-executor criterion
+(BASELINE.json north_rule; see BASELINE.md "Target protocol").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _n_docs_for(sf: float) -> int:
+    return max(int(sf * 1_000_000), 100)
+
+
+def _get_spark(cpus: int):
+    from lingvo_spark_kg.session import get_spark
+
+    return get_spark(app_name=f"lingvo-kg-bench-{cpus}", cpus=cpus,
+                     shuffle_partitions=max(cpus, 8))
+
+
+def _time(fn) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 3), n
+
+
+def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
+    import __spark_entry__ as e
+    from lingvo_spark_kg.operators import canonicalize, linking
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
+    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
+    from lingvo_spark_kg.fixtures.corpus import make_aliases
+
+    timings: dict[str, float] = {}
+    meta: dict[str, int] = {}
+
+    gaz_bc = e._gaz_bc(spark)
+    docs = generate_docs(spark, n_docs).persist()
+    timings["gen_docs"], meta["n_docs"] = _time(docs.count)
+
+    triples = docs_to_triples_fused(docs, gaz_bc).persist()
+    timings["kg_triples"], meta["n_triples"] = _time(triples.count)
+
+    aliases = spark.createDataFrame(make_aliases(seed=42), schema=ALIASES_SCHEMA)
+    links = linking.link_mentions(linking.mentions_from_triples(triples), aliases).persist()
+    timings["kg_links"], meta["n_links"] = _time(links.count)
+
+    timings["kg_canonical"], meta["n_canon"] = _time(
+        lambda: canonicalize.canonical_map(links).count()
+    )
+
+    # flat-table operators over the driver testdata
+    timings["dedup_minhash"], _ = _time(
+        lambda: e.q_minhash_bands(spark, sf_dir).count()
+    )
+    timings["neardup_pairs"], _ = _time(
+        lambda: e.q_neardup_pairs(spark, sf_dir).count()
+    )
+    timings["simhash"], _ = _time(lambda: e.q_simhash(spark, sf_dir).count())
+    timings["textstats"], _ = _time(
+        lambda: e.q_quality(spark, sf_dir).count() + e.q_lang_id(spark, sf_dir).count()
+    )
+    timings["ann_topk"], _ = _time(lambda: e.q_ann_topk(spark, sf_dir).count())
+
+    docs.unpersist()
+    triples.unpersist()
+    links.unpersist()
+    timings["_meta_n_triples"] = meta["n_triples"]
+    timings["_meta_n_docs"] = meta["n_docs"]
+    return timings
+
+
+def run_scaling(sf_dir: str, n_docs: int, levels=(8, 32)) -> dict:
+    """Same flagship job (docs→triples fused) at two parallelism levels."""
+    out = {}
+    for cpus in levels:
+        spark = _get_spark(cpus)
+        import __spark_entry__ as e
+        from lingvo_spark_kg.operators.docsgen import generate_docs
+        from lingvo_spark_kg.operators.triples import docs_to_triples_fused
+
+        gaz_bc = e._gaz_bc(spark)
+        docs = generate_docs(spark, n_docs, partitions=max(cpus * 2, 16)).persist()
+        docs.count()  # materialize input before timing the job
+        t0 = time.time()
+        n_triples = docs_to_triples_fused(docs, gaz_bc).count()
+        dt = time.time() - t0
+        out[f"local[{cpus}]"] = {
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "triples_per_sec": round(n_triples / dt, 1),
+        }
+        docs.unpersist()
+        spark.stop()
+    lo, hi = levels
+    t_lo = out[f"local[{lo}]"]["sec"]
+    t_hi = out[f"local[{hi}]"]["sec"]
+    out["scaling_efficiency"] = round((t_lo / t_hi) / (hi / lo), 4)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_docs = _n_docs_for(sf)
+
+    if "--scaling" in sys.argv:
+        res = run_scaling(sf_dir, n_docs)
+        print(json.dumps({"metric": "scaling_efficiency_8_to_32",
+                          "value": res["scaling_efficiency"], "unit": "ratio",
+                          "detail": res, "sf": sf}))
+        return
+
+    spark = _get_spark(cpus)
+    timings = run_headline(spark, sf_dir, n_docs)
+    n_triples = timings.pop("_meta_n_triples")
+    n_docs_done = timings.pop("_meta_n_docs")
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline_and_dataops_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs_done,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / timings["kg_triples"], 1),
+        "docs_per_sec": round(n_docs_done / timings["kg_triples"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,11 +35,16 @@ def build_edges(links: DataFrame) -> DataFrame:
         .select(F.col("v").alias("src"),
                 F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"))
     )
-    # similarity block: same type + same last token of the norm; connect to block min
+    # similarity block: same type + crude stem of the last token (Russian case endings
+    # stripped: trailing vowels/й down to ≥4 chars), so "козлов"/"козлова"/"козлову"
+    # share a block; connect each block member to the block min (star shape)
+    last = F.element_at(F.split(F.col("mention_norm"), " "), -1)
+    stem = F.regexp_replace(last, "[аеиоуыэюяй]{1,3}$", "")
+    bkey = F.when(F.length(stem) >= 4, stem).otherwise(last)
     blocked = m.select(
         "v",
         F.col("mention_type").alias("btype"),
-        F.element_at(F.split(F.col("mention_norm"), " "), -1).alias("bkey"),
+        bkey.alias("bkey"),
     )
     block_min = blocked.groupBy("btype", "bkey").agg(F.min("v").alias("hub"),
                                                      F.count(F.lit(1)).alias("bn"))

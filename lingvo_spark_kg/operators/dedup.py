@@ -49,28 +49,60 @@ def shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
     """(doc_id, hash_idx, minhash) — minhash_i = min over shingles of
-    md5(i || ':' || shingle). One explode + one map-side-combinable min-agg."""
+    md5(i || ':' || shingle).
+
+    Computed WIDE: all n_hashes md5s are projected as columns of the one shingle row and
+    min-aggregated per column, then unpivoted. No ×n_hashes row explosion — at 100 TB
+    the explode variant shuffles n_hashes× the shingle volume; this shuffles only the
+    per-doc signature row (and the min-agg partial-combines map-side)."""
     sh = shingle_df(docs, shingle_n)
-    hashed = sh.select(
+    wide = sh.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("hash_idx"),
-        "shingle",
-    ).select(
-        "doc_id", "hash_idx",
-        F.md5(F.concat(F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
     )
-    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+    agg = wide.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("hash_idx"), F.col(f"m{i}").alias("minhash"))
+        for i in range(n_hashes)
+    ])
+    return agg.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.hash_idx").alias("hash_idx"), F.col("p.minhash").alias("minhash")
+    )
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
                   shingle_n: int = 3) -> DataFrame:
-    """(doc_id, band_idx, band_sig): band signature = md5 of the concatenated minhashes
-    in the band (classic banding: same band_sig ⇒ LSH candidate pair)."""
-    sig = minhash_signatures(docs, n_hashes, shingle_n)
-    banded = sig.withColumn("band_idx", (F.col("hash_idx") / rows_per_band).cast("int"))
-    return (
-        banded.groupBy("doc_id", "band_idx")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_sig"))
+    """(doc_id, band_idx, band_sig): band signature = md5 of the sorted concatenated
+    minhashes in the band (classic banding: same band_sig ⇒ LSH candidate pair).
+    Built from the wide signature — per-doc row explodes only into n_bands rows."""
+    sh = shingle_df(docs, shingle_n)
+    wide = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    agg = wide.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+    n_bands = n_hashes // rows_per_band
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", F.sort_array(F.array(*[
+                F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])))).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ])
+    return agg.select("doc_id", F.explode(bands).alias("p")).select(
+        "doc_id", F.col("p.band_idx").alias("band_idx"), F.col("p.band_sig").alias("band_sig")
     )
 
 
@@ -118,42 +150,37 @@ def simhash(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
 
     Returns (doc_id, simhash (as 16-hex string), sim_block (prefix for blocking))."""
     sh = shingle_df(docs, 3)
-    # 64 bits from the first 16 hex chars of md5(shingle)
+    # 64 bits from the first 16 hex chars of md5(shingle); WIDE form — one row per
+    # shingle carrying all 64 ±1 bit contributions as columns, one groupBy(doc_id) with
+    # 64 sums (map-side combined), no ×16 nibble explosion.
     h = sh.select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("hex16"))
-    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("nib_idx")
-    nibbles = h.select("doc_id", "hex16", bit_idx).select(
-        "doc_id", "nib_idx",
-        F.conv(F.substring("hex16", F.col("nib_idx") + 1, 1).cast("string"), 16, 10)
-        .cast("int").alias("nib"),
-    )
-    # per nibble: 4 bits → sum ±1 per bit
-    bits = nibbles.select(
-        "doc_id", "nib_idx",
-        *[
-            (F.when(F.shiftright(F.col("nib"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-            for b in range(4)
-        ],
-    )
-    agg = bits.groupBy("doc_id", "nib_idx").agg(
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(4)]
-    )
-    nib_val = agg.select(
-        "doc_id", "nib_idx",
+    nib_cols = [
+        F.conv(F.substring("hex16", i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
+        for i in range(16)
+    ]
+    nibbles = h.select("doc_id", *nib_cols)
+    sum_exprs = [
+        F.sum(
+            F.when(F.shiftright(F.col(f"n{i}"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}_{b}")
+        for i in range(16)
+        for b in range(4)
+    ]
+    agg = nibbles.groupBy("doc_id").agg(*sum_exprs)
+    nib_out = [
         sum(
-            (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            F.when(F.col(f"s{i}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
             for b in range(4)
-        ).alias("nib_out"),
-    )
-    hexed = nib_val.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("nib_idx", "nib_out"))),
-                lambda s: F.lpad(F.conv(s["nib_out"].cast("string"), 10, 16), 1, "0"),
-            ),
-        ).alias("simhash")
+        ).alias(f"o{i}")
+        for i in range(16)
+    ]
+    hexed = agg.select("doc_id", *nib_out).select(
+        "doc_id",
+        F.lower(
+            F.concat(*[F.conv(F.col(f"o{i}").cast("string"), 10, 16) for i in range(16)])
+        ).alias("simhash"),
     )
     return hexed.select(
-        "doc_id", F.lower(F.col("simhash")).alias("simhash"),
-        F.substring(F.lower(F.col("simhash")), 1, prefix_bits // 4).alias("sim_block"),
+        "doc_id", "simhash",
+        F.substring("simhash", 1, prefix_bits // 4).alias("sim_block"),
     )

@@ -1,0 +1,232 @@
+"""Distributed-pipeline tests: per-row span invariant, single-node vs Spark triple
+parity (the P/R ≥ 0.95 gate from BASELINE.md), checkpoint resume, connected
+components, salted-join equivalence, metric parity vs NumPy."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lingvo_spark_kg.fixtures.corpus import (
+    gazetteer_from_aliases,
+    make_aliases,
+    make_docs,
+)
+from lingvo_spark_kg.model.lexicon import LexiconNer, tag_sentence
+from lingvo_spark_kg.model.triples import extract_triples
+from lingvo_spark_kg.operators import canonicalize, linking
+from lingvo_spark_kg.operators.docsgen import generate_docs
+from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
+from lingvo_spark_kg.operators.tag import tag_sentences_lexicon
+from lingvo_spark_kg.operators.tokenize import media_spans, text_spans, tokenize_docs
+from lingvo_spark_kg.operators.triples import docs_to_triples_fused, extract_triples_df
+from lingvo_spark_kg.tokenizer import run_simple_sents_allocate
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_docs(spark, N_DOCS).cache()
+
+
+def test_docsgen_matches_local_generator(spark, docs):
+    got = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    for doc_id, spans in make_docs(N_DOCS):
+        g = got[doc_id]
+        assert len(g) == len(spans)
+        for a, b in zip(g, spans):
+            assert (a["kind"], a["text"], a["media_ref"], a["offset"]) == (
+                b["kind"], b["text"], b["media_ref"], b["offset"],
+            )
+
+
+def test_per_row_span_invariant(spark, docs):
+    """Per-row invariant (BASELINE.json input_hint): reconstructed span sequence equals
+    the input on (kind, text, media_ref, order)."""
+    tx = text_spans(docs).select(
+        "doc_id", "span_idx", F.lit(None).cast("string").alias("kind_m"),
+        F.col("text"), F.lit(None).cast("string").alias("media_ref"),
+    )
+    md = media_spans(docs).select(
+        "doc_id", "span_idx", F.col("kind").alias("kind_m"),
+        F.lit(None).cast("string").alias("text"), "media_ref",
+    )
+    rebuilt = tx.unionByName(md).groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_idx", "kind_m", "text", "media_ref"))
+        ).alias("spans_rebuilt")
+    )
+    orig = docs.select(
+        "doc_id",
+        F.sort_array(
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["offset"].alias("span_idx"),
+                    F.when(s["kind"] == "text", F.lit(None).cast("string"))
+                    .otherwise(s["kind"]).alias("kind_m"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                ),
+            )
+        ).alias("spans_orig"),
+    )
+    j = rebuilt.join(orig, "doc_id")
+    mismatches = j.where(F.col("spans_rebuilt") != F.col("spans_orig")).count()
+    assert mismatches == 0
+    assert j.count() == N_DOCS
+
+
+def test_triple_parity_spark_vs_single_node(spark, docs, gaz_bc):
+    """The BASELINE.md gate: distributed triples match the single-node golden
+    implementation exactly (P = R = 1.0 ≥ 0.95)."""
+    spark_triples = {
+        (r["doc_id"], r["span_idx"], r["sent_idx"], r["subj"], r["pred"], r["obj"])
+        for r in docs_to_triples_fused(docs, gaz_bc).collect()
+    }
+    ner = LexiconNer(gaz_bc.value)
+    golden = set()
+    for doc_id, spans in make_docs(N_DOCS):
+        for span in spans:
+            if span["kind"] != "text":
+                continue
+            for sent_idx, (sent, words) in enumerate(run_simple_sents_allocate(span["text"])):
+                pos, nert = tag_sentence(words, ner)
+                for tr in extract_triples(words, pos, nert):
+                    golden.add((doc_id, span["offset"], sent_idx, tr.subj, tr.pred, tr.obj))
+    assert golden, "golden set must be non-empty"
+    assert spark_triples == golden
+
+
+def test_staged_equals_fused(spark, docs, gaz_bc):
+    staged = extract_triples_df(tag_sentences_lexicon(tokenize_docs(docs), gaz_bc))
+    fused = docs_to_triples_fused(docs, gaz_bc)
+    a = {tuple(r) for r in staged.collect()}
+    b = {tuple(r) for r in fused.collect()}
+    assert a == b
+
+
+def test_pipeline_resume_identical(spark, tmp_path_factory):
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path_factory.mktemp("kgresume"))
+    p1 = KgPipeline(spark, wd, n_docs=200)
+    c1 = p1.run(resume=False)
+    edges1 = sorted(tuple(r) for r in spark.read.parquet(f"{wd}/edges").collect())
+
+    # simulate a failure after triples: delete downstream stages, resume
+    for stage in ("links", "canonical_map", "linked_triples", "nodes", "edges", "metrics"):
+        shutil.rmtree(os.path.join(wd, stage), ignore_errors=True)
+    p2 = KgPipeline(spark, wd, n_docs=200)
+    c2 = p2.run(resume=True)
+    edges2 = sorted(tuple(r) for r in spark.read.parquet(f"{wd}/edges").collect())
+    assert c1 == c2
+    assert edges1 == edges2
+    # resume must not recompute the fused triples stage
+    assert "triples_raw" not in p2.timings
+
+
+def test_connected_components_known_graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], ["src", "dst"]
+    )
+    comp = {r["v"]: r["component"] for r in canonicalize.connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["f"] == "f"
+
+
+def test_canonicalization_groups_name_variants(spark, docs, gaz_bc):
+    aliases = spark.createDataFrame(make_aliases(seed=42), schema=ALIASES_SCHEMA)
+    triples = docs_to_triples_fused(docs, gaz_bc)
+    links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
+    canon = canonicalize.canonical_map(links).collect()
+    by_norm = {r["mention_norm"]: r["canonical_id"] for r in canon}
+    kozlov_variants = [n for n in by_norm if "козлов" in n]
+    assert len(kozlov_variants) >= 2
+    assert len({by_norm[n] for n in kozlov_variants}) == 1
+
+
+def test_salted_join_equivalence(spark):
+    facts = spark.createDataFrame(
+        [(k,) for k in ["a"] * 50 + ["b"] * 5 + ["c"] * 2], ["k"]
+    )
+    dim = spark.createDataFrame([("a", 1), ("b", 2), ("x", 9)], ["dk", "v"])
+    plain = facts.join(dim, facts.k == dim.dk, "left").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    salted = linking.salted_join(facts, dim, "k", "dk", n_salt=4).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_metrics_parity_vs_numpy(spark):
+    from lingvo_spark_kg.operators.metrics import macro_f1, per_label_prf
+
+    rng = np.random.default_rng(7)
+    labels = np.array(["Noun", "Verb", "Adjective", "O"])
+    n = 500
+    hyp_lab = labels[rng.integers(0, 4, n)]
+    ref_lab = labels[rng.integers(0, 4, n)]
+    rows_h = [("d", 0, i, str(hyp_lab[i])) for i in range(n)]
+    rows_r = [("d", 0, i, str(ref_lab[i])) for i in range(n)]
+    cols = ["doc_id", "sent_key", "tok_idx", "label"]
+    prf = per_label_prf(spark.createDataFrame(rows_h, cols),
+                        spark.createDataFrame(rows_r, cols)).collect()
+    for r in prf:
+        lab = r["label"]
+        n_hyp = int((hyp_lab == lab).sum())
+        n_ref = int((ref_lab == lab).sum())
+        n_both = int(((hyp_lab == lab) & (ref_lab == lab)).sum())
+        assert (r["n_hyp"], r["n_ref"], r["n_both"]) == (n_hyp, n_ref, n_both)
+        p = n_both / n_hyp if n_hyp else 0.0
+        rec = n_both / n_ref if n_ref else 0.0
+        f1 = 2 * p * rec / (p + rec) if (n_hyp and n_ref and n_both) else 0.0
+        assert abs(r["precision"] - round(p, 6)) < 1e-9
+        assert abs(r["f1"] - round(f1, 6)) < 1e-9
+    # macro excludes 'O' (Validator.cs:87-97)
+    prf_df = per_label_prf(spark.createDataFrame(rows_h, cols),
+                           spark.createDataFrame(rows_r, cols))
+    m = macro_f1(prf_df).collect()[0]
+    assert m["n_labels"] == 3
+
+
+def test_multimodal_stub(spark, docs):
+    from lingvo_spark_kg.operators.multimodal import decode_media, media_payloads
+
+    meta = decode_media(media_payloads(media_spans(docs)))
+    rows = meta.collect()
+    assert rows, "corpus should contain media spans"
+    for r in rows[:50]:
+        assert r["n_bytes"] == 64
+        assert len(r["sha1"]) == 40
+        if r["kind"] == "image":
+            assert r["width"] >= 64 and r["height"] >= 64
+    with pytest.raises(NotImplementedError):
+        decode_media(media_payloads(media_spans(docs)), impl="real")
+
+
+def test_bilstm_spark_matches_local(spark, docs):
+    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
+    from lingvo_spark_kg.model.lexicon import POS_TAGS, NER_TAGS
+    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+
+    vocab = Vocab(list("абвгде"))
+    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=8, hidden_dim=8)
+    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=8, hidden_dim=8, seed=43)
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+
+    sentences = tokenize_docs(docs).limit(40).cache()
+    tagged = tag_sentences_bilstm(sentences, pos_bc, ner_bc).collect()
+    from lingvo_spark_kg.operators.tag import _correct_output_types
+
+    for row in tagged:
+        feats = [t["ending_pos"] for t in row["tokens"]]
+        local = pos_m.predict_tags([feats])[0]
+        assert list(row["pos_tags"]) == _correct_output_types(row["tokens"], local)
