@@ -200,15 +200,43 @@ def _build_sentchartype_map(ctm: np.ndarray) -> np.ndarray:
     return m
 
 
-CTM = _build_chartype_map()
-UIM = _build_upper_map()
-LIM = _build_lower_map()
-SCTM = _build_spec_chartype_map(CTM)
-SENT_CTM = _build_sentchartype_map(CTM)
+_CACHE_VERSION = 1
+_CACHE_PATH = __file__.rsplit(".", 1)[0] + "_cache.npz"
 
-# translation dicts for fast str.translate (codepoint -> codepoint), identity entries omitted
-_UPPER_TRANS = {cp: int(UIM[cp]) for cp in range(BMP) if UIM[cp] != cp}
-_LOWER_TRANS = {cp: int(LIM[cp]) for cp in range(BMP) if LIM[cp] != cp}
+
+def _load_or_build() -> tuple[np.ndarray, ...]:
+    """Building the five 65k tables costs ~0.35 s of per-process import time — paid by
+    every Spark Python worker. A generated npz cache (committed with the repo) cuts
+    worker cold-start to ~15 ms, which matters for scaling efficiency at high
+    parallelism (more workers = more cold-starts)."""
+    try:
+        z = np.load(_CACHE_PATH)
+        if int(z["version"][0]) == _CACHE_VERSION:
+            return z["ctm"], z["uim"], z["lim"], z["sctm"], z["sent_ctm"]
+    except (OSError, KeyError):
+        pass
+    ctm = _build_chartype_map()
+    uim = _build_upper_map()
+    lim = _build_lower_map()
+    sctm = _build_spec_chartype_map(ctm)
+    sent_ctm = _build_sentchartype_map(ctm)
+    try:
+        np.savez_compressed(_CACHE_PATH, version=np.array([_CACHE_VERSION]), ctm=ctm,
+                            uim=uim, lim=lim, sctm=sctm, sent_ctm=sent_ctm)
+    except OSError:
+        pass
+    return ctm, uim, lim, sctm, sent_ctm
+
+
+CTM, UIM, LIM, SCTM, SENT_CTM = _load_or_build()
+
+# translation dicts for fast str.translate (codepoint -> codepoint), identity entries
+# omitted; built via numpy nonzero (fast) rather than a 65k python loop
+_idx = np.nonzero(UIM != np.arange(BMP, dtype=np.uint32))[0]
+_UPPER_TRANS = dict(zip(_idx.tolist(), UIM[_idx].tolist()))
+_idx = np.nonzero(LIM != np.arange(BMP, dtype=np.uint32))[0]
+_LOWER_TRANS = dict(zip(_idx.tolist(), LIM[_idx].tolist()))
+del _idx
 
 
 def to_upper_invariant(s: str) -> str:
