@@ -5,9 +5,9 @@ Default: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}.
 
 ``python bench.py --scaling`` additionally runs the flagship docs→triples job at two
-parallelism levels (local[8] then local[32]) on the SAME input and reports throughputs
-plus scaling efficiency — the sandbox proxy for the N→4N-executor criterion
-(BASELINE.json north_rule; see BASELINE.md "Target protocol").
+parallelism levels (local[4] then local[16]; ``--saturated`` uses 8/32) on the SAME
+input and reports throughputs plus scaling efficiency — the sandbox proxy for the
+N→4N-executor criterion (BASELINE.json north_rule; see BASELINE.md "Target protocol").
 """
 
 from __future__ import annotations
@@ -88,7 +88,7 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     return timings
 
 
-def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> dict:
+def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 3) -> dict:
     """Same flagship job (docs→triples fused) at two parallelism levels (N and 4N
     cores — the sandbox proxy for N vs 4N executors).
 
