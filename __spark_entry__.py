@@ -265,6 +265,51 @@ def q_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_len_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog: token-length histogram bucketed by //100 (Corpus.cs:246-268)."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.select((F.floor(F.size(F.split(F.trim(F.col("text")), r"\s+")) / 10))
+                 .cast("long").alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_words_in_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog: WordsInDictRatio per doc against the corpus top-500 vocabulary
+    (SeqLabel.cs:194-216; vocab build R1, CorpusBatch.cs:98-221 freq-desc capped)."""
+    d = _documents(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    vocab = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(500)
+        .select("token", F.lit(1).alias("in_dict"))
+    )
+    j = toks.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum(F.coalesce(F.col("in_dict"), F.lit(0))) / F.count(F.lit(1)), 4)
+        .alias("words_in_dict_ratio"),
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window/sort operator demo over the events stream table: per-user ordered
+    reassembly (the DataFrame form of the reference's ordered merge after parallel
+    work, ConcurrentFactory.cs:190-211) + per-user running aggregates."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -284,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "prf_metrics": q_prf_metrics,
+        "len_distribution": q_len_distribution,
+        "words_in_dict": q_words_in_dict,
+        "event_windows": q_event_windows,
     }
 
 
@@ -432,6 +480,35 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored)
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        """,
+        "len_distribution": r"""
+            SELECT CAST(floor(len(string_split_regex(trim(text), '\s+')) / 10) AS BIGINT)
+                     AS len_bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "words_in_dict": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents),
+            vocab AS (
+              SELECT token, 1 AS in_dict FROM (
+                SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+                ORDER BY cnt DESC, token ASC LIMIT 500))
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   round(sum(coalesce(v.in_dict, 0)) * 1.0 / count(*), 4)
+                     AS words_in_dict_ratio
+            FROM toks t LEFT JOIN vocab v ON t.token = v.token
+            GROUP BY 1
+        """,
+        "event_windows": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS seq,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+                   lag(event_type, 1) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "prf_metrics": rf"""
             WITH toks AS (

@@ -188,6 +188,28 @@ class BiLSTMTaggerModel:
             out[k] = tags
         return out
 
+    def predict_probs(self, sentence: list[str]) -> tuple[list[list[tuple[str, float]]], float]:
+        """Per-class probabilities, batch-1 path (SeqLabel.cs:175-218): per word the
+        sorted [(class, prob)] list; plus WordsInDictRatio = share of tokens found in
+        the source vocab (SeqLabel.cs:194-216)."""
+        if not sentence:
+            return [], 0.0
+        from .vocab import UNK_ID
+
+        w2i = self.src_vocab.word2id
+        ids = np.array([[w2i.get(t, UNK_ID) for t in sentence]], dtype=np.int64)
+        logits = self.logits(ids)[0]
+        m = logits.max(axis=-1, keepdims=True)
+        e = np.exp(logits - m)
+        probs = e / e.sum(axis=-1, keepdims=True)
+        out = []
+        for t in range(len(sentence)):
+            ranked = sorted(zip(self.tgt_tags, probs[t].tolist()),
+                            key=lambda kv: (-kv[1], kv[0]))
+            out.append([(c, round(p, 6)) for c, p in ranked])
+        in_dict = sum(1 for t in sentence if t in w2i)
+        return out, round(in_dict / len(sentence), 6)
+
     def _predict_batch(self, sentences: list[list[str]]) -> list[list[str]]:
         if not sentences:
             return []
