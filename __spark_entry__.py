@@ -91,7 +91,8 @@ def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _synthetic_docs(spark, sf_dir)
     triples = docs_to_triples_fused(docs, _gaz_bc(spark))
-    aliases = spark.createDataFrame(make_aliases(seed=42), schema=ALIASES_SCHEMA)
+    import pandas as _pd
+    aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     return linking.link_mentions(linking.mentions_from_triples(triples), aliases)
 
 
@@ -103,7 +104,8 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _synthetic_docs(spark, sf_dir)
     triples = docs_to_triples_fused(docs, _gaz_bc(spark))
-    aliases = spark.createDataFrame(make_aliases(seed=42), schema=ALIASES_SCHEMA)
+    import pandas as _pd
+    aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
     return canonicalize.canonical_map(links)
 

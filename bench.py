@@ -59,7 +59,8 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     triples = docs_to_triples_fused(docs, gaz_bc).persist()
     timings["kg_triples"], meta["n_triples"] = _time(triples.count)
 
-    aliases = spark.createDataFrame(make_aliases(seed=42), schema=ALIASES_SCHEMA)
+    import pandas as _pd
+    aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     links = linking.link_mentions(linking.mentions_from_triples(triples), aliases).persist()
     timings["kg_links"], meta["n_links"] = _time(links.count)
 

@@ -64,8 +64,11 @@ class KgPipeline:
 
     # --- broadcast side data ---
     def aliases_df(self) -> DataFrame:
+        import pandas as pd
+
+        # pandas → Arrow path is ~5× faster than row-by-row list conversion
         rows = make_aliases(seed=self.seed)
-        return self.spark.createDataFrame(rows, schema=ALIASES_SCHEMA)
+        return self.spark.createDataFrame(pd.DataFrame(rows), schema=ALIASES_SCHEMA)
 
     def gazetteer_bc(self):
         gaz = gazetteer_from_aliases(make_aliases(seed=self.seed))
