@@ -189,11 +189,10 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lingvo_spark_kg.operators.dedup import minhash_candidates, ngram_jaccard_pairs
+    from lingvo_spark_kg.operators.dedup import neardup_pairs
 
     d = _documents(spark, sf_dir)
-    cand = minhash_candidates(d, n_hashes=8, rows_per_band=2)
-    return ngram_jaccard_pairs(d, cand).select(
+    return neardup_pairs(d, n_hashes=8, rows_per_band=2).select(
         "doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard"
     )
 

@@ -34,6 +34,22 @@ def _shingles(col: str, n: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def neardup_pairs(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
+                  shingle_n: int = 3) -> DataFrame:
+    """End-to-end near-dup: MinHash-LSH candidates + exact Jaccard verify, with the
+    shingle frame computed ONCE and persisted across the three consumers (bands,
+    intersection join, size agg) — the explode is the expensive part at scale, so it
+    must not run three times."""
+    sh = shingle_df(docs, shingle_n).persist()
+    try:
+        cand = minhash_candidates(docs, n_hashes, rows_per_band, shingle_n, shingles=sh)
+        out = ngram_jaccard_pairs(docs, cand, shingle_n, shingles=sh)
+        out = out.localCheckpoint()  # materialize before releasing the shingle cache
+    finally:
+        sh.unpersist()
+    return out
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup groups: md5(lower(trim(text))) → (fp, canonical doc_id, n_dups)."""
     return (
@@ -76,11 +92,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
-                  shingle_n: int = 3) -> DataFrame:
+                  shingle_n: int = 3, shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, band_idx, band_sig): band signature = md5 of the sorted concatenated
     minhashes in the band (classic banding: same band_sig ⇒ LSH candidate pair).
-    Built from the wide signature — per-doc row explodes only into n_bands rows."""
-    sh = shingle_df(docs, shingle_n)
+    Built from the wide signature — per-doc row explodes only into n_bands rows.
+    Pass a persisted ``shingles`` frame to share the shingle scan across operators."""
+    sh = shingles if shingles is not None else shingle_df(docs, shingle_n)
     wide = sh.select(
         "doc_id",
         *[
@@ -107,9 +124,9 @@ def minhash_bands(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
 
 
 def minhash_candidates(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3, shingles: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b, n_shared_bands) via self-join on band_sig."""
-    bands = minhash_bands(docs, n_hashes, rows_per_band, shingle_n)
+    bands = minhash_bands(docs, n_hashes, rows_per_band, shingle_n, shingles=shingles)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_sig")
     return (
@@ -120,9 +137,10 @@ def minhash_candidates(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, shingle_n: int = 3) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, shingle_n: int = 3,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for candidate pairs: two hash joins on shingles + one agg."""
-    sh = shingle_df(docs, shingle_n)
+    sh = shingles if shingles is not None else shingle_df(docs, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("shingle_b"))

@@ -19,21 +19,33 @@ from .schemas import DOCS_SCHEMA
 
 def generate_docs(spark: SparkSession, n_docs: int, seed: int = 42,
                   partitions: int | None = None) -> DataFrame:
+    import pyarrow as pa
+
     if partitions is None:
         partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
     partitions = min(partitions, max(1, n_docs // 64) or 1)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    span_type = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ])
+
+    def gen(batches) -> "Iterator[pa.RecordBatch]":
+        # arrow-native construction with an explicit type — skips pandas object-column
+        # inference, ~2× faster for the nested spans column
+        for b in batches:
             ids, spans = [], []
-            for idx in pdf["id"]:
+            for idx in b.column(0).to_pylist():
                 doc_id, sp = make_doc(int(idx), seed)
                 ids.append(doc_id)
                 spans.append(sp)
-            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(spans, pa.list_(span_type))],
+                names=["doc_id", "spans"],
+            )
 
     rng = spark.range(0, n_docs, numPartitions=partitions)
-    return rng.mapInPandas(gen, schema=DOCS_SCHEMA)
+    return rng.mapInArrow(gen, schema=DOCS_SCHEMA)
 
 
 def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,35 +51,65 @@ def _tokenize_text(text: str, replace_nums: bool) -> list[tuple[int, int, int, l
 
 def tokenize_docs(docs: DataFrame, replace_nums: bool = True) -> DataFrame:
     """docs(doc_id, spans) → sentences(doc_id, span_idx, sent_idx, sent_start,
-    sent_len, tokens)."""
+    sent_len, tokens). Arrow-native (mapInArrow) with JVM-side media-span pruning —
+    same hot-path shape as the fused triples operator."""
+    import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    docs = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL),"
+            " s -> struct(s.text AS text, s.offset AS offset))"
+        ).alias("spans"),
+    ).where(F.size("spans") > 0)
+
+    token_type = pa.struct([
+        ("tok_idx", pa.int32()), ("start", pa.int32()), ("length", pa.int32()),
+        ("value", pa.string()), ("input_type", pa.string()), ("extra", pa.int32()),
+        ("ending_pos", pa.string()), ("ending_ner", pa.string()),
+    ])
+
+    def run(batches) -> "Iterator[pa.RecordBatch]":
+        for b in batches:
             memo: dict[str, list] = {}
-            rows: dict[str, list] = {k: [] for k in
+            cols: dict[str, list] = {k: [] for k in
                                      ("doc_id", "span_idx", "sent_idx", "sent_start",
                                       "sent_len", "tokens")}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                if spans is None:
-                    continue
-                for span in spans:
-                    if span["kind"] != "text" or not span["text"]:
-                        continue
-                    text = span["text"]
+            doc_ids = b.column(0).to_pylist()
+            spans_col = b.column(1)
+            if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
+                spans_col = spans_col.combine_chunks()
+            flat = spans_col.flatten()
+            texts = flat.field("text").to_pylist()
+            offs = flat.field("offset").to_pylist()
+            list_offsets = spans_col.offsets.to_pylist()
+            for row, doc_id in enumerate(doc_ids):
+                for j in range(list_offsets[row], list_offsets[row + 1]):
+                    text = texts[j]
                     sents = memo.get(text)
                     if sents is None:
                         sents = _tokenize_text(text, replace_nums)
                         memo[text] = sents
                     for sent_idx, start, length, toks in sents:
-                        rows["doc_id"].append(doc_id)
-                        rows["span_idx"].append(span["offset"])
-                        rows["sent_idx"].append(sent_idx)
-                        rows["sent_start"].append(start)
-                        rows["sent_len"].append(length)
-                        rows["tokens"].append(toks)
-            yield pd.DataFrame(rows)
+                        cols["doc_id"].append(doc_id)
+                        cols["span_idx"].append(offs[j])
+                        cols["sent_idx"].append(sent_idx)
+                        cols["sent_start"].append(start)
+                        cols["sent_len"].append(length)
+                        cols["tokens"].append(toks)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["doc_id"], pa.string()),
+                    pa.array(cols["span_idx"], pa.int32()),
+                    pa.array(cols["sent_idx"], pa.int32()),
+                    pa.array(cols["sent_start"], pa.int32()),
+                    pa.array(cols["sent_len"], pa.int32()),
+                    pa.array(cols["tokens"], pa.list_(token_type)),
+                ],
+                names=["doc_id", "span_idx", "sent_idx", "sent_start", "sent_len", "tokens"],
+            )
 
-    return docs.mapInPandas(run, schema=SENTENCES_SCHEMA)
+    return docs.mapInArrow(run, schema=SENTENCES_SCHEMA)
 
 
 def media_spans(docs: DataFrame) -> DataFrame:
