@@ -58,15 +58,19 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
 
     triples = docs_to_triples_fused(docs, gaz_bc).persist()
     timings["kg_triples"], meta["n_triples"] = _time(triples.count)
+    docs.unpersist()  # eager release: cached frames left around degrade later stages
 
     import pandas as _pd
     aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     links = linking.link_mentions(linking.mentions_from_triples(triples), aliases).persist()
     timings["kg_links"], meta["n_links"] = _time(links.count)
+    triples.unpersist()
 
     timings["kg_canonical"], meta["n_canon"] = _time(
         lambda: canonicalize.canonical_map(links).count()
     )
+    links.unpersist()
+    spark.catalog.clearCache()
 
     # flat-table operators over the driver testdata
     timings["dedup_minhash"], _ = _time(
@@ -81,9 +85,6 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     )
     timings["ann_topk"], _ = _time(lambda: e.q_ann_topk(spark, sf_dir).count())
 
-    docs.unpersist()
-    triples.unpersist()
-    links.unpersist()
     timings["_meta_n_triples"] = meta["n_triples"]
     timings["_meta_n_docs"] = meta["n_docs"]
     return timings
