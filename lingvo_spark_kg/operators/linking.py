@@ -42,14 +42,25 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
     )
 
 
-def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+def link_mentions(mentions: DataFrame, aliases: DataFrame,
+                  strategy: str = "broadcast", n_salt: int = 16) -> DataFrame:
     """→ (mention_norm, mention_type, n_mentions, entity_id, entity_type, link_score);
-    unlinked mentions kept with null entity_id (left join)."""
-    cand = mentions.join(
-        F.broadcast(aliases), mentions.mention_norm == aliases.alias_norm, "left"
-    ).select(
-        "mention_norm", "mention_type", "n_mentions", "entity_id", "entity_type", "prior",
-    )
+    unlinked mentions kept with null entity_id (left join).
+
+    strategy='broadcast' (default — the alias dictionary is a small dim) or 'salted'
+    (J2): when the dictionary exceeds broadcast budget, the shuffle join is salted to
+    spread Zipf-head mention keys over ``n_salt`` reducers."""
+    if strategy == "salted":
+        cand = salted_join(mentions, aliases, "mention_norm", "alias_norm",
+                           n_salt=n_salt, how="left").select(
+            "mention_norm", "mention_type", "n_mentions", "entity_id", "entity_type", "prior",
+        )
+    else:
+        cand = mentions.join(
+            F.broadcast(aliases), mentions.mention_norm == aliases.alias_norm, "left"
+        ).select(
+            "mention_norm", "mention_type", "n_mentions", "entity_id", "entity_type", "prior",
+        )
     scored = cand.withColumn(
         "link_score",
         F.when(F.col("entity_id").isNull(), F.lit(None).cast("double")).otherwise(

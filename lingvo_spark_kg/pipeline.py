@@ -43,6 +43,7 @@ class KgPipeline:
     seed: int = 42
     n_buckets: int = 32
     fused: bool = True
+    link_strategy: str = "broadcast"  # or "salted" when the alias dim exceeds broadcast budget
     docs_df: DataFrame | None = None  # override the generated corpus with a real table
     timings: dict[str, float] = field(default_factory=dict)
 
@@ -102,7 +103,8 @@ class KgPipeline:
         aliases = self.aliases_df()
         links = self._run_stage(
             "links",
-            lambda: linking.link_mentions(linking.mentions_from_triples(triples), aliases),
+            lambda: linking.link_mentions(linking.mentions_from_triples(triples), aliases,
+                                          strategy=self.link_strategy),
             resume,
         )
         canon = self._run_stage(

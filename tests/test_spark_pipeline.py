@@ -230,3 +230,15 @@ def test_bilstm_spark_matches_local(spark, docs):
         feats = [t["ending_pos"] for t in row["tokens"]]
         local = pos_m.predict_tags([feats])[0]
         assert list(row["pos_tags"]) == _correct_output_types(row["tokens"], local)
+
+
+def test_salted_link_strategy_equals_broadcast(spark, docs, gaz_bc):
+    import pandas as pd
+
+    aliases = spark.createDataFrame(pd.DataFrame(make_aliases(seed=42)),
+                                    schema=ALIASES_SCHEMA)
+    mentions = linking.mentions_from_triples(docs_to_triples_fused(docs, gaz_bc))
+    mentions = mentions.localCheckpoint()
+    a = {tuple(r) for r in linking.link_mentions(mentions, aliases).collect()}
+    b = {tuple(r) for r in linking.link_mentions(mentions, aliases, strategy="salted").collect()}
+    assert a == b and a
