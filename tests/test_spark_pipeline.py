@@ -242,3 +242,40 @@ def test_salted_link_strategy_equals_broadcast(spark, docs, gaz_bc):
     a = {tuple(r) for r in linking.link_mentions(mentions, aliases).collect()}
     b = {tuple(r) for r in linking.link_mentions(mentions, aliases, strategy="salted").collect()}
     assert a == b and a
+
+
+def test_ner_mentions_superset_of_triple_mentions(spark, docs, gaz_bc):
+    from lingvo_spark_kg.operators.mentions import ner_mentions
+
+    tagged = tag_sentences_lexicon(tokenize_docs(docs), gaz_bc)
+    all_mentions = {(r["mention_norm"], r["mention_type"])
+                    for r in ner_mentions(tagged).collect()}
+    triple_mentions = {
+        tuple(r) for r in linking.mentions_from_triples(
+            docs_to_triples_fused(docs, gaz_bc)
+        ).select("mention_norm", "mention_type").collect()
+    }
+    assert triple_mentions <= all_mentions
+    assert len(all_mentions) > len(triple_mentions)
+
+
+def test_ann_lsh_results_subset_of_brute(spark):
+    from lingvo_spark_kg.operators.ann import cosine_topk_brute, lsh_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    brute = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in cosine_topk_brute(emb, q, k=100).collect()}
+    lsh = lsh_bucketed_topk(emb, q, dim=dim, k=10).collect()
+    assert lsh, "lsh should return candidates (query matches its own bucket)"
+    for r in lsh:
+        # every LSH hit's cosine must agree with the brute-force scoring
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            assert abs(brute[key] - r["cosine"]) < 1e-6
+        # self-match is always in the query's own bucket at rank 1
+    top1 = {r["query_id"]: r["vec_id"] for r in lsh if r["rank"] == 1}
+    for qid, vid in top1.items():
+        assert qid == vid
