@@ -24,13 +24,24 @@ from pyspark.sql import functions as F
 
 def _shingles(col: str, n: int = 3):
     """Word n-gram shingles of lower(trim(text)) as an array<string> column, built with
-    higher-order functions (no UDF): split → transform(i → words[i..i+n-1] joined)."""
+    higher-order functions (no UDF). Each shingle is assembled from n O(1)
+    ``element_at`` lookups — NOT ``slice`` (slice copies O(n) per index, making the
+    column O(len²) per document, which breaks down on book-length docs at 100 TB)."""
     words = F.split(F.lower(F.trim(F.col(col))), r"\s+")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), k - F.lit(1))
+
+    def shingle_at(i):
+        parts = []
+        for off in range(n):
+            if off:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(words, i + off + 1))
+        return F.concat(*parts)
+
     return F.when(
         F.size(words) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+        F.transform(idx, shingle_at),
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
