@@ -110,6 +110,24 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize.canonical_map(links)
 
 
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full graph materialization: triples → links → canonical map → aggregated,
+    bucketed edges table (S11 + J5)."""
+    import pandas as _pd
+    from lingvo_spark_kg.operators import canonicalize, graph, linking
+    from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
+    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
+    from lingvo_spark_kg.fixtures.corpus import make_aliases
+
+    docs = _synthetic_docs(spark, sf_dir)
+    triples = docs_to_triples_fused(docs, _gaz_bc(spark)).localCheckpoint()
+    aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
+    links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
+    canon = canonicalize.canonical_map(links).localCheckpoint()
+    linked = linking.link_triples(triples, links)
+    return graph.build_edges_table(linked, canon)
+
+
 def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned DNN regimen over the corpus (rows-only check; parity gates in tests/)."""
     from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
@@ -317,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sentences": q_kg_sentences,
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
+        "kg_edges": q_kg_edges,
         "tag_bilstm": q_tag_bilstm,
         "media_meta": q_media_meta,
         "dedup_exact": q_dedup_exact,
