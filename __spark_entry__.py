@@ -32,10 +32,32 @@ def _n_docs_for(sf_dir: str) -> int:
     return max(int(sf * 1_000_000), 100)
 
 
+_DOCS_CACHE: dict = {}
+_TRIPLES_CACHE: dict = {}
+
+
 def _synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.docsgen import generate_docs
 
-    return generate_docs(spark, _n_docs_for(sf_dir), seed=42)
+    key = (id(spark), _n_docs_for(sf_dir))
+    df = _DOCS_CACHE.get(key)
+    if df is None:
+        df = generate_docs(spark, _n_docs_for(sf_dir), seed=42).persist()
+        _DOCS_CACHE[key] = df
+    return df
+
+
+def _synthetic_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared, materialized triples frame: several queries consume the same
+    deterministic corpus; without the cut each would re-run the whole extraction."""
+    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
+
+    key = (id(spark), _n_docs_for(sf_dir))
+    df = _TRIPLES_CACHE.get(key)
+    if df is None:
+        df = docs_to_triples_fused(_synthetic_docs(spark, sf_dir), _gaz_bc(spark)).localCheckpoint()
+        _TRIPLES_CACHE[key] = df
+    return df
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,10 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
-
-    docs = _synthetic_docs(spark, sf_dir)
-    t = docs_to_triples_fused(docs, _gaz_bc(spark))
+    t = _synthetic_triples(spark, sf_dir)
     return t.select("doc_id", "span_idx", "sent_idx", "subj", "pred", "obj",
                     "subj_type", "obj_type", "confidence")
 
@@ -89,8 +108,7 @@ def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused
     from lingvo_spark_kg.fixtures.corpus import make_aliases
 
-    docs = _synthetic_docs(spark, sf_dir)
-    triples = docs_to_triples_fused(docs, _gaz_bc(spark))
+    triples = _synthetic_triples(spark, sf_dir)
     import pandas as _pd
     aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     return linking.link_mentions(linking.mentions_from_triples(triples), aliases)
@@ -102,8 +120,7 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused
     from lingvo_spark_kg.fixtures.corpus import make_aliases
 
-    docs = _synthetic_docs(spark, sf_dir)
-    triples = docs_to_triples_fused(docs, _gaz_bc(spark))
+    triples = _synthetic_triples(spark, sf_dir)
     import pandas as _pd
     aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
@@ -119,8 +136,7 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused
     from lingvo_spark_kg.fixtures.corpus import make_aliases
 
-    docs = _synthetic_docs(spark, sf_dir)
-    triples = docs_to_triples_fused(docs, _gaz_bc(spark)).localCheckpoint()
+    triples = _synthetic_triples(spark, sf_dir)
     aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
     canon = canonicalize.canonical_map(links).localCheckpoint()
