@@ -279,6 +279,16 @@ CASE WHEN token LIKE '%ть' OR token LIKE '%ет' THEN 'Verb'
 """
 
 
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking (dedup family)."""
+    from lingvo_spark_kg.operators.ann import embedding_neardup
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_neardup(emb, dim=64, threshold=0.3)
+
+
 def q_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 metric aggregation parity: per-label token P/R/F1 between two rule taggings
     of the same corpus (both rules SQL-expressible so DuckDB can mirror them)."""
@@ -364,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "emb_neardup": q_emb_neardup,
         "prf_metrics": q_prf_metrics,
         "len_distribution": q_len_distribution,
         "words_in_dict": q_words_in_dict,
@@ -398,6 +409,29 @@ bands AS (
   FROM sig GROUP BY 1, 2
 )
 """
+
+
+
+
+def _emb_neardup_oracle() -> str:
+    from lingvo_spark_kg.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    bit_exprs = []
+    for p in planes:
+        lit = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+        bit_exprs.append(
+            f"(CASE WHEN list_dot_product(emb, {lit}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bit_exprs)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket} AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -546,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        "emb_neardup": _emb_neardup_oracle(),
         "prf_metrics": rf"""
             WITH toks AS (
               SELECT doc_id, 0 AS sent_key,

@@ -70,6 +70,24 @@ def lsh_bucket(df: DataFrame, emb_col: str, dim: int, n_planes: int = 8,
     return df.withColumn("bucket", F.concat(*bits))
 
 
+def embedding_neardup(embeddings: DataFrame, dim: int, threshold: float = 0.95,
+                      n_planes: int = 6, seed: int = 42,
+                      round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH bucket self-join,
+    exact cosine within bucket, keep pairs ≥ threshold. The bucket join bounds the
+    candidate set (never an all-pairs cross join)."""
+    e = lsh_bucket(embeddings, "embedding", dim, n_planes, seed)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a", "vec_b",
+        F.round(_dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), round_digits).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= threshold)
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
                       k: int = 10, n_planes: int = 6, seed: int = 42,
                       round_digits: int = 6) -> DataFrame:

@@ -77,16 +77,24 @@ def tag_sentences_lexicon(sentences: DataFrame, gazetteer_bc) -> DataFrame:
     return sentences.mapInPandas(run, schema=TAGGED_SCHEMA)
 
 
-def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc) -> DataFrame:
+def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
+                         encoder: str = "bilstm") -> DataFrame:
     """DNN regimen: two tagging passes in one UDF — POS model over ending_pos features
     (MaxEndingLength=4) and NER model over ending_ner features (whole word), mirroring
-    the reference's two-model service registry (pos_tagger_ru_settings.json:10-75)."""
+    the reference's two-model service registry (pos_tagger_ru_settings.json:10-75).
+    ``encoder`` selects the architecture the broadcast bytes encode — 'bilstm' or
+    'transformer' (the reference's EncoderType option, Applications/Options.cs)."""
 
-    def get_model(bc) -> BiLSTMTaggerModel:
+    def get_model(bc):
         key = id(bc)
         m = _MODEL_CACHE.get(key)
         if m is None:
-            m = BiLSTMTaggerModel.from_bytes(bc.value)
+            if encoder == "transformer":
+                from ..model.transformer import TransformerTaggerModel
+
+                m = TransformerTaggerModel.from_bytes(bc.value)
+            else:
+                m = BiLSTMTaggerModel.from_bytes(bc.value)
             _MODEL_CACHE[key] = m
         return m
 

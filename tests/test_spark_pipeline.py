@@ -279,3 +279,26 @@ def test_ann_lsh_results_subset_of_brute(spark):
     top1 = {r["query_id"]: r["vec_id"] for r in lsh if r["rank"] == 1}
     for qid, vid in top1.items():
         assert qid == vid
+
+
+def test_transformer_spark_tagging(spark, docs):
+    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
+    from lingvo_spark_kg.model.transformer import TransformerTaggerModel
+    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+
+    vocab = Vocab(list("абвгде"))
+    pos_m = TransformerTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, n_heads=4, depth=1)
+    ner_m = TransformerTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, n_heads=4,
+                                                 depth=1, seed=43)
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    sentences = tokenize_docs(docs).limit(20).cache()
+    rows = tag_sentences_bilstm(sentences, pos_bc, ner_bc, encoder="transformer").collect()
+    assert rows
+    from lingvo_spark_kg.operators.tag import _correct_output_types
+
+    for row in rows[:10]:
+        feats = [t["ending_pos"] for t in row["tokens"]]
+        local = pos_m.predict_tags([feats])[0]
+        assert list(row["pos_tags"]) == _correct_output_types(row["tokens"], local)

@@ -148,3 +148,32 @@ def test_accented_tokens_keep_offsets():
 def test_uppercase_projection():
     ws = run_no_sents_allocate("ёлка")
     assert ws[0].value_upper == "ЕЛКА"  # ё→Е via UPPER_INVARIANT_MAP (xlat.cs:161-187)
+
+
+def test_trailing_single_upper_keeps_dot():
+    # SkipNonLetterAndNonDigitToTheEnd exception (Tokenizer.cs:992-1005): a trailing
+    # single uppercase letter keeps its dot ("Пушкин А." → "А." OneCapitalWithDot)
+    ws = run_no_sents_allocate("Пушкин А.")
+    assert [w.value for w in ws] == ["Пушкин", "А."]
+    assert ws[1].input_type == "OneCapitalWithDot"
+
+
+def test_interprete_as_whitespace_chars():
+    # ¤¦§¶ split like whitespace (Tokenizer.cs:47,165-168)
+    assert toks_full("слово¤слово §другое") == ["слово", "слово", "другое"]
+
+
+def test_between_digit_colon():
+    # ':' glues digits ("8:45" one Num token) but splits letters
+    ws = run_no_sents_allocate("в 8:45 утра")
+    assert [w.value for w in ws] == ["в", "[%NUM%]", "утра"]
+    assert toks_full("ключ:значение") == ["ключ", ":", "значение"]
+
+
+def test_ampersand_between_letters_glues():
+    assert toks_full("AT&T работает") == ["AT&T", "работает"]
+    assert toks_full("x & y") == ["x", "&", "y"]
+
+
+def test_underscore_between_letters_glues():
+    assert toks_full("имя_файла тут") == ["имя_файла", "тут"]
