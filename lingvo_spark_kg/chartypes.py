@@ -230,6 +230,12 @@ def _load_or_build() -> tuple[np.ndarray, ...]:
 
 CTM, UIM, LIM, SCTM, SENT_CTM = _load_or_build()
 
+# plain-list views for the per-char hot loops: Python list indexing returns native
+# ints with no numpy-scalar boxing (~2× faster than ndarray[int] in the state machines)
+CTM_LIST: list[int] = CTM.tolist()
+SCTM_LIST: list[int] = SCTM.tolist()
+SENT_CTM_LIST: list[int] = SENT_CTM.tolist()
+
 # translation dicts for fast str.translate (codepoint -> codepoint), identity entries
 # omitted; built via numpy nonzero (fast) rather than a 65k python loop
 _idx = np.nonzero(UIM != np.arange(BMP, dtype=np.uint32))[0]

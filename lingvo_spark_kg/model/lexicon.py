@@ -16,6 +16,8 @@ Num → Numeral, Url/Email → Other, Punctuation-flagged → Punctuation.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from ..chartypes import to_lower_invariant
 from ..tokenizer import (
     EWT_PUNCTUATION,
@@ -82,16 +84,24 @@ def normalize_surface(value: str) -> str:
     return ending_token(value, 1_000_000)
 
 
+@lru_cache(maxsize=1 << 16)
+def _pos_tag_cached(value: str, input_type: str, extra: int) -> str:
+    return _pos_tag_impl(value, input_type, extra)
+
+
 def pos_tag_word(word: Word) -> str:
+    return _pos_tag_cached(word.value, word.input_type, word.extra)
+
+
+def _pos_tag_impl(value_str: str, it: str, extra: int) -> str:
     """Deterministic POS decision for one token (correction table semantics included)."""
-    it = word.input_type
     if it == IT_NUM:
         return "Numeral"
     if it in (IT_URL, IT_EMAIL):
         return "Other"
-    if word.extra & EWT_PUNCTUATION:
+    if extra & EWT_PUNCTUATION:
         return "Punctuation"
-    v = normalize_surface(word.value)
+    v = normalize_surface(value_str)
     if not v:
         return "Other"
     if v in _PREPOSITIONS:

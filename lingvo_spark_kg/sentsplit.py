@@ -26,6 +26,8 @@ from typing import NamedTuple
 
 from .chartypes import (
     CTM,
+    CTM_LIST,
+    SENT_CTM_LIST,
     BMP,
     IS_BRACKET_LEFT,
     IS_BRACKET_RIGHT,
@@ -56,14 +58,14 @@ class Sentence(NamedTuple):
 def _ct(text: str, i: int) -> int:
     if 0 <= i < len(text):
         cp = ord(text[i])
-        return int(CTM[cp]) if cp < BMP else 0
+        return CTM_LIST[cp] if cp < BMP else 0
     return 0
 
 
 def _sct(text: str, i: int) -> int:
     if 0 <= i < len(text):
         cp = ord(text[i])
-        return int(SENT_CTM[cp]) if cp < BMP else 0
+        return SENT_CTM_LIST[cp] if cp < BMP else 0
     return 0
 
 

@@ -24,10 +24,13 @@ placeholder with length extension (Tokenizer.cs:897-983).
 from __future__ import annotations
 
 import unicodedata
+from functools import lru_cache
 
 from .chartypes import (
     BMP,
     CTM,
+    CTM_LIST,
+    SCTM_LIST,
     IS_DIGIT,
     IS_HYPHEN,
     IS_LETTER,
@@ -100,14 +103,15 @@ class Word:
 
 def _ctm(ch: str) -> int:
     cp = ord(ch)
-    return int(CTM[cp]) if cp < BMP else 0
+    return CTM_LIST[cp] if cp < BMP else 0
 
 
 def _sctm(ch: str) -> int:
     cp = ord(ch)
-    return int(SCTM[cp]) if cp < BMP else 0
+    return SCTM_LIST[cp] if cp < BMP else 0
 
 
+@lru_cache(maxsize=1 << 16)
 def get_input_type(value: str) -> tuple[str, int]:
     """PosTaggerInputTypeProcessor_En.GetPosTaggerInputType
     (PosTaggerInputTypeProcessor.cs:90-312) — rule cascade over per-token char counts."""
@@ -267,6 +271,7 @@ def to_pos_tagger_token(word: Word, max_ending_length: int) -> str:
     return ending_token(word.value, max_ending_length)
 
 
+@lru_cache(maxsize=1 << 16)
 def ending_token(token: str, max_ending_length: int) -> str:
     if token == NUM_PLACEHOLDER:
         return NUM_PLACEHOLDER

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 from .chartypes import (
     CTM,
+    CTM_LIST,
     UIM,
     BMP,
     IS_LETTER,
@@ -49,7 +50,7 @@ def _ct(text: str, i: int) -> int:
     behave like '\\0' (which is flagged IsUrlBreak, nothing else)."""
     if 0 <= i < len(text):
         cp = ord(text[i])
-        return int(CTM[cp]) if cp < BMP else 0
+        return CTM_LIST[cp] if cp < BMP else 0
     return IS_URL_BREAK
 
 
