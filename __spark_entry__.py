@@ -144,6 +144,39 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.build_edges_table(linked, canon)
 
 
+def q_kg_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row invariant gate (BASELINE.json input_hint) as a query: for every doc,
+    the span sequence reconstructed from the pipeline's text/media projections must
+    equal the input on (kind, text, media_ref, order). Returns one summary row —
+    violations MUST be 0."""
+    from lingvo_spark_kg.operators.tokenize import media_spans, text_spans
+
+    docs = _synthetic_docs(spark, sf_dir)
+    tx = text_spans(docs).select(
+        "doc_id", "span_idx", F.lit(None).cast("string").alias("kind_m"),
+        F.col("text"), F.lit(None).cast("string").alias("media_ref"),
+    )
+    md = media_spans(docs).select(
+        "doc_id", "span_idx", F.col("kind").alias("kind_m"),
+        F.lit(None).cast("string").alias("text"), "media_ref",
+    )
+    rebuilt = tx.unionByName(md).groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_idx", "kind_m", "text", "media_ref"))
+                     ).alias("rebuilt"))
+    orig = docs.select(
+        "doc_id",
+        F.sort_array(F.transform("spans", lambda sp: F.struct(
+            sp["offset"].alias("span_idx"),
+            F.when(sp["kind"] == "text", F.lit(None).cast("string")).otherwise(sp["kind"]).alias("kind_m"),
+            sp["text"].alias("text"), sp["media_ref"].alias("media_ref"),
+        ))).alias("orig"))
+    j = rebuilt.join(orig, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rebuilt") != F.col("orig"), 1).otherwise(0)).cast("long").alias("violations"),
+    )
+
+
 def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned DNN regimen over the corpus (rows-only check; parity gates in tests/)."""
     from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
@@ -362,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
+        "kg_invariant": q_kg_invariant,
         "tag_bilstm": q_tag_bilstm,
         "media_meta": q_media_meta,
         "dedup_exact": q_dedup_exact,
