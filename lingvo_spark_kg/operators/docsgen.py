@@ -22,7 +22,10 @@ def generate_docs(spark: SparkSession, n_docs: int, seed: int = 42,
     import pyarrow as pa
 
     if partitions is None:
-        partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+        try:
+            partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+        except (ValueError, TypeError):  # e.g. "auto" under some AQE configs
+            partitions = max(spark.sparkContext.defaultParallelism, 8)
     partitions = min(partitions, max(1, n_docs // 64) or 1)
 
     span_type = pa.struct([
