@@ -52,6 +52,20 @@ def _correct_output_types(tokens: list[dict], tags: list[str]) -> list[str]:
     return out
 
 
+def as_result_vm(tagged: DataFrame, tag_col: str = "pos_tags") -> DataFrame:
+    """The reference web-service result shape as a DataFrame: per sentence, the array
+    of (Word, Label) tuples (ResultVM{Sents[].Tuples[]{Word,Label}} —
+    WebService/Models/VM.cs:22-46); ordering columns replace the service's
+    SortedDictionary reassembly (ConcurrentFactory.cs:190-211)."""
+    return tagged.select(
+        "doc_id", "span_idx", "sent_idx",
+        F.zip_with(
+            F.col("tokens"), F.col(tag_col),
+            lambda t, tag: F.struct(t["value"].alias("Word"), tag.alias("Label")),
+        ).alias("tuples"),
+    ).orderBy("doc_id", "span_idx", "sent_idx")
+
+
 def tag_sentences_lexicon(sentences: DataFrame, gazetteer_bc) -> DataFrame:
     """Deterministic lexicon regimen; ``gazetteer_bc`` is a Spark broadcast of
     {normalized surface → PER|ORG|LOC}."""

@@ -302,3 +302,15 @@ def test_transformer_spark_tagging(spark, docs):
         feats = [t["ending_pos"] for t in row["tokens"]]
         local = pos_m.predict_tags([feats])[0]
         assert list(row["pos_tags"]) == _correct_output_types(row["tokens"], local)
+
+
+def test_result_vm_shape(spark, docs, gaz_bc):
+    from lingvo_spark_kg.operators.tag import as_result_vm
+
+    tagged = tag_sentences_lexicon(tokenize_docs(docs), gaz_bc)
+    vm = as_result_vm(tagged).limit(5).collect()
+    assert vm
+    for r in vm:
+        assert r["tuples"]
+        for t in r["tuples"]:
+            assert t["Word"] and t["Label"]
