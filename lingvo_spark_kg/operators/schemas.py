@@ -25,6 +25,7 @@ TOKEN_STRUCT = T.StructType([
     T.StructField("start", T.IntegerType()),
     T.StructField("length", T.IntegerType()),
     T.StructField("value", T.StringType()),
+    T.StructField("orig", T.StringType()),  # original surface when != value (NUM placeholder, canonicalized punct) — GetOriginalValue analog (Tokenizer.cs:1347-1354)
     T.StructField("input_type", T.StringType()),
     T.StructField("extra", T.IntegerType()),
     T.StructField("ending_pos", T.StringType()),   # ToPosTaggerToken(value, 4)   — POS feature

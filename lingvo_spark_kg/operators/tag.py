@@ -57,13 +57,20 @@ def as_result_vm(tagged: DataFrame, tag_col: str = "pos_tags") -> DataFrame:
     of (Word, Label) tuples (ResultVM{Sents[].Tuples[]{Word,Label}} —
     WebService/Models/VM.cs:22-46); ordering columns replace the service's
     SortedDictionary reassembly (ConcurrentFactory.cs:190-211)."""
-    return tagged.select(
+    out = tagged.select(
         "doc_id", "span_idx", "sent_idx",
         F.zip_with(
             F.col("tokens"), F.col(tag_col),
-            lambda t, tag: F.struct(t["value"].alias("Word"), tag.alias("Label")),
+            # Word = original surface, as the reference rebuilds it via
+            # text.Substring(startIndex, length) (ConcurrentFactory.cs:136,150)
+            lambda t, tag: F.struct(
+                F.coalesce(t["orig"], t["value"]).alias("Word"), tag.alias("Label")
+            ),
         ).alias("tuples"),
-    ).orderBy("doc_id", "span_idx", "sent_idx")
+    )
+    # per-document ordering only (the reference reassembles per request,
+    # ConcurrentFactory.cs:190-211) — no global range-sort shuffle
+    return out.repartition("doc_id").sortWithinPartitions("doc_id", "span_idx", "sent_idx")
 
 
 def tag_sentences_lexicon(sentences: DataFrame, gazetteer_bc) -> DataFrame:

@@ -32,19 +32,23 @@ def _tokenize_text(text: str, replace_nums: bool) -> list[tuple[int, int, int, l
     """→ [(sent_idx, sent_start, sent_len, tokens)] for one span text."""
     out = []
     for sent_idx, (sent, words) in enumerate(run_simple_sents_allocate(text, replace_nums)):
-        toks = [
-            {
+        toks = []
+        for t, w in enumerate(words):
+            surface = text[w.start : w.start + w.length]
+            toks.append({
                 "tok_idx": t,
                 "start": w.start,
                 "length": w.length,
                 "value": w.value,
+                # original surface kept only when the value was rewritten (NUM
+                # placeholder, punct canonicalization) — GetOriginalValue analog
+                # (Tokenizer.cs:1347-1354)
+                "orig": surface if surface != w.value else None,
                 "input_type": w.input_type,
                 "extra": w.extra,
                 "ending_pos": to_pos_tagger_token(w, POS_MAX_ENDING_LENGTH),
                 "ending_ner": to_pos_tagger_token(w, NER_MAX_ENDING_LENGTH),
-            }
-            for t, w in enumerate(words)
-        ]
+            })
         out.append((sent_idx, sent.start, sent.length, toks))
     return out
 
@@ -65,8 +69,8 @@ def tokenize_docs(docs: DataFrame, replace_nums: bool = True) -> DataFrame:
 
     token_type = pa.struct([
         ("tok_idx", pa.int32()), ("start", pa.int32()), ("length", pa.int32()),
-        ("value", pa.string()), ("input_type", pa.string()), ("extra", pa.int32()),
-        ("ending_pos", pa.string()), ("ending_ner", pa.string()),
+        ("value", pa.string()), ("orig", pa.string()), ("input_type", pa.string()),
+        ("extra", pa.int32()), ("ending_pos", pa.string()), ("ending_ner", pa.string()),
     ])
 
     def run(batches) -> "Iterator[pa.RecordBatch]":

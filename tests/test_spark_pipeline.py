@@ -307,10 +307,18 @@ def test_transformer_spark_tagging(spark, docs):
 def test_result_vm_shape(spark, docs, gaz_bc):
     from lingvo_spark_kg.operators.tag import as_result_vm
 
-    tagged = tag_sentences_lexicon(tokenize_docs(docs), gaz_bc)
-    vm = as_result_vm(tagged).limit(5).collect()
-    assert vm
-    for r in vm:
-        assert r["tuples"]
-        for t in r["tuples"]:
-            assert t["Word"] and t["Label"]
+    tagged = tag_sentences_lexicon(tokenize_docs(docs), gaz_bc).cache()
+    vm = {(r["doc_id"], r["span_idx"], r["sent_idx"]): r["tuples"]
+          for r in as_result_vm(tagged).collect()}
+    checked = 0
+    for row in tagged.limit(20).collect():
+        tuples = vm[(row["doc_id"], row["span_idx"], row["sent_idx"])]
+        assert len(tuples) == len(row["tokens"])
+        for t, tok, tag in zip(tuples, row["tokens"], row["pos_tags"]):
+            expected_word = tok["orig"] if tok["orig"] is not None else tok["value"]
+            assert t["Word"] == expected_word
+            assert t["Label"] == tag
+            if tok["value"] == "[%NUM%]":
+                assert t["Word"] != "[%NUM%]"  # original digits, not the placeholder
+                checked += 1
+    assert checked > 0  # corpus contains NUM tokens
