@@ -58,3 +58,37 @@ def test_conll_deterministic_fixture(tmp_path_factory):
     p1 = write_conll_fixture(str(base / "a.conll"), n_sentences=20)
     p2 = write_conll_fixture(str(base / "b.conll"), n_sentences=20)
     assert open(p1).read() == open(p2).read()
+
+
+def test_corpus_ops(spark, gaz_bc):
+    from lingvo_spark_kg.operators.corpus_ops import (
+        filter_too_long,
+        length_histogram,
+        shuffle_corpus,
+        train_valid_split,
+    )
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    docs = generate_docs(spark, 300)
+    sents = tokenize_docs(docs).cache()
+    n_all = sents.count()
+
+    capped = filter_too_long(sents, max_len=220)
+    assert capped.count() < n_all  # the corpus contains >220-token chunking sentences
+    assert capped.where(F.size("tokens") > 220).count() == 0
+
+    hist = length_histogram(sents, bucket_size=100).collect()
+    assert sum(r["n_sentences"] for r in hist) == n_all
+    assert any(r["len_bucket"] >= 2 for r in hist)  # long sentences bucket
+
+    sh1 = [r["doc_id"] for r in shuffle_corpus(docs, seed=7).select("doc_id").collect()]
+    sh2 = [r["doc_id"] for r in shuffle_corpus(docs, seed=7).select("doc_id").collect()]
+    assert sh1 == sh2  # deterministic
+    assert sh1 != sorted(sh1)  # actually shuffled
+
+    train, valid = train_valid_split(docs, 0.2)
+    nt, nv = train.count(), valid.count()
+    assert nt + nv == 300 and 20 <= nv <= 100
+    # stable under recomputation
+    assert valid.count() == nv
