@@ -447,6 +447,34 @@ bands AS (
 
 
 
+def _ann_lsh_oracle() -> str:
+    from lingvo_spark_kg.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    bit_exprs = []
+    for p in planes:
+        lit = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+        bit_exprs.append(
+            f"(CASE WHEN list_dot_product(emb, {lit}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bit_exprs)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(e.emb, q.q_emb), 4) AS cosine
+          FROM e JOIN q ON e.bucket = q.bucket),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
 def _emb_neardup_oracle() -> str:
     from lingvo_spark_kg.operators.ann import _hyperplanes
 
@@ -614,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        "ann_lsh": _ann_lsh_oracle(),
         "emb_neardup": _emb_neardup_oracle(),
         "prf_metrics": rf"""
             WITH toks AS (
