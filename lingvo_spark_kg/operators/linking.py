@@ -79,6 +79,53 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame,
     )
 
 
+def _stem(col):
+    """Crude Russian case-ending stem (shared with canonicalization blocking)."""
+    last = F.element_at(F.split(col, " "), -1)
+    stem = F.regexp_replace(last, "[аеиоуыэюяй]{1,3}$", "")
+    return F.when(F.length(stem) >= 4, stem).otherwise(last)
+
+
+def link_mentions_fuzzy(mentions: DataFrame, aliases: DataFrame,
+                        min_sim: float = 0.72) -> DataFrame:
+    """Two-pass linking: exact broadcast join first, then a stem-block fallback for
+    mentions the exact pass left unlinked — catches case-inflected surfaces
+    ("козлову" → alias "козлов") that exact keys miss. The fallback joins on
+    (entity_type-compatible) stem blocks and scores candidates JVM-side with
+    1 − levenshtein/len (no Python), keeping the best above ``min_sim``."""
+    exact = link_mentions(mentions, aliases)
+    unlinked = exact.where(F.col("entity_id").isNull()).select(
+        "mention_norm", "mention_type", "n_mentions"
+    )
+    linked = exact.where(F.col("entity_id").isNotNull())
+
+    cand = unlinked.withColumn("mstem", _stem(F.col("mention_norm"))).join(
+        F.broadcast(aliases.withColumn("astem", _stem(F.col("alias_norm")))),
+        F.col("mstem") == F.col("astem"),
+        "left",
+    )
+    lev = F.levenshtein(F.col("mention_norm"), F.col("alias_norm"))
+    maxlen = F.greatest(F.length("mention_norm"), F.length("alias_norm"))
+    sim = F.lit(1.0) - lev / maxlen
+    scored = cand.withColumn(
+        "link_score",
+        F.when(F.col("entity_id").isNull() | (sim < min_sim), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(sim * F.col("prior")
+                    * F.when(F.col("mention_type") == F.col("entity_type"), 1.0).otherwise(0.25), 6)
+        ),
+    )
+    pick = F.max(F.struct("link_score", "entity_id", "entity_type")).alias("best")
+    best = scored.groupBy("mention_norm", "mention_type", "n_mentions").agg(pick)
+    fallback = best.select(
+        "mention_norm", "mention_type", "n_mentions",
+        F.when(F.col("best.link_score").isNotNull(), F.col("best.entity_id")).alias("entity_id"),
+        F.when(F.col("best.link_score").isNotNull(), F.col("best.entity_type")).alias("entity_type"),
+        F.col("best.link_score").alias("link_score"),
+    )
+    return linked.unionByName(fallback)
+
+
 def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
                 n_salt: int = 16, how: str = "left") -> DataFrame:
     """Shuffle join with key salting (J2): dim explodes ×n_salt, facts pick a

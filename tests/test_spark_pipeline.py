@@ -322,3 +322,29 @@ def test_result_vm_shape(spark, docs, gaz_bc):
                 assert t["Word"] != "[%NUM%]"  # original digits, not the placeholder
                 checked += 1
     assert checked > 0  # corpus contains NUM tokens
+
+
+def test_fuzzy_linking_links_inflected_mentions(spark, docs, gaz_bc):
+    import pandas as pd
+
+    aliases = spark.createDataFrame(pd.DataFrame(make_aliases(seed=42)),
+                                    schema=ALIASES_SCHEMA)
+    mentions = linking.mentions_from_triples(
+        docs_to_triples_fused(docs, gaz_bc)
+    ).localCheckpoint()
+    exact = {r["mention_norm"]: r["entity_id"]
+             for r in linking.link_mentions(mentions, aliases).collect()}
+    fuzzy = {r["mention_norm"]: r["entity_id"]
+             for r in linking.link_mentions_fuzzy(mentions, aliases).collect()}
+    assert set(fuzzy) == set(exact)  # same mention universe
+    # everything exact-linked stays identically linked
+    for k, v in exact.items():
+        if v is not None:
+            assert fuzzy[k] == v
+    # and the fuzzy pass links strictly more (inflected surfaces)
+    n_exact = sum(1 for v in exact.values() if v is not None)
+    n_fuzzy = sum(1 for v in fuzzy.values() if v is not None)
+    assert n_fuzzy > n_exact
+    # the known dative case
+    if "козлову" in fuzzy:
+        assert fuzzy["козлову"] is not None
