@@ -39,7 +39,7 @@ _TRIPLES_CACHE: dict = {}
 def _synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.docsgen import generate_docs
 
-    key = (id(spark), _n_docs_for(sf_dir))
+    key = (spark.sparkContext.applicationId, _n_docs_for(sf_dir))
     df = _DOCS_CACHE.get(key)
     if df is None:
         df = generate_docs(spark, _n_docs_for(sf_dir), seed=42).persist()
@@ -52,7 +52,7 @@ def _synthetic_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic corpus; without the cut each would re-run the whole extraction."""
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused
 
-    key = (id(spark), _n_docs_for(sf_dir))
+    key = (spark.sparkContext.applicationId, _n_docs_for(sf_dir))
     df = _TRIPLES_CACHE.get(key)
     if df is None:
         df = docs_to_triples_fused(_synthetic_docs(spark, sf_dir), _gaz_bc(spark)).localCheckpoint()

@@ -44,6 +44,7 @@ class KgPipeline:
     n_buckets: int = 32
     fused: bool = True
     link_strategy: str = "broadcast"  # or "salted" when the alias dim exceeds broadcast budget
+    link_fuzzy: bool = False  # second-pass stem-block linking for inflected mentions
     docs_df: DataFrame | None = None  # override the generated corpus with a real table
     timings: dict[str, float] = field(default_factory=dict)
 
@@ -101,12 +102,13 @@ class KgPipeline:
             triples = self._run_stage("triples_raw", lambda: extract_triples_df(tagged), resume)
 
         aliases = self.aliases_df()
-        links = self._run_stage(
-            "links",
-            lambda: linking.link_mentions(linking.mentions_from_triples(triples), aliases,
-                                          strategy=self.link_strategy),
-            resume,
-        )
+        def build_links():
+            mentions = linking.mentions_from_triples(triples)
+            if self.link_fuzzy:
+                return linking.link_mentions_fuzzy(mentions, aliases)
+            return linking.link_mentions(mentions, aliases, strategy=self.link_strategy)
+
+        links = self._run_stage("links", build_links, resume)
         canon = self._run_stage(
             "canonical_map", lambda: canonicalize.canonical_map(links), resume
         )
