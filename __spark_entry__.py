@@ -322,6 +322,23 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(emb, dim=64, threshold=0.3)
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 vocab build: frequency-descending capped token vocabulary with the
+    reference's reserved-id layout (ids from START_MEANING_INDEX=3, Vocab.cs:14-27;
+    build CorpusBatch.cs:98-221; cap Options.cs:72)."""
+    from pyspark.sql import Window
+
+    d = _documents(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 200)
+        .select("token", "cnt", (F.col("rank") + 2).cast("long").alias("vocab_id"))
+    )
+
+
 def q_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 metric aggregation parity: per-label token P/R/F1 between two rule taggings
     of the same corpus (both rules SQL-expressible so DuckDB can mirror them)."""
@@ -410,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "emb_neardup": q_emb_neardup,
         "prf_metrics": q_prf_metrics,
+        "vocab_build": q_vocab_build,
         "len_distribution": q_len_distribution,
         "words_in_dict": q_words_in_dict,
         "event_windows": q_event_windows,
@@ -644,6 +662,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _ann_lsh_oracle(),
         "emb_neardup": _emb_neardup_oracle(),
+        "vocab_build": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents),
+            counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+            ranked AS (
+              SELECT token, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+              FROM counts)
+            SELECT token, cnt, rank + 2 AS vocab_id FROM ranked WHERE rank <= 200
+        """,
         "prf_metrics": rf"""
             WITH toks AS (
               SELECT doc_id, 0 AS sent_key,
