@@ -149,6 +149,31 @@ class BiLSTMTaggerModel:
         """Greedy per-token argmax decode (SeqLabel.cs:171-173)."""
         return np.argmax(self.logits(ids), axis=2)
 
+    # ---- CRF upgrade slot (north-star "BiLSTM-CRF-style decode with Viterbi") ----
+    def with_crf(self, seed: int = 42, bio: bool = False) -> "BiLSTMTaggerModel":
+        """Attach a pinned transition matrix (and BIO structural masks when the tag
+        set is BIO); decode switches to exact Viterbi. The reference itself decodes
+        greedily (no CRF — SeqLabel.cs:171-173), so this is additive: with zero
+        transitions Viterbi ≡ argmax."""
+        from .viterbi import bio_start_mask, bio_transition_mask
+
+        K = len(self.tgt_tags)
+        rng = np.random.default_rng([seed, 99])
+        trans = (rng.uniform(-0.5, 0.5, size=(K, K))).astype(np.float32)
+        if bio:
+            trans = trans + bio_transition_mask(self.tgt_tags)
+            self.weights["crf.start"] = bio_start_mask(self.tgt_tags)
+        self.weights["crf.T"] = trans
+        return self
+
+    def _decode(self, ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        if "crf.T" in self.weights:
+            from .viterbi import viterbi_decode
+
+            return viterbi_decode(self.logits(ids), self.weights["crf.T"], lengths,
+                                  self.weights.get("crf.start"))
+        return self.predict_ids(ids)
+
     def predict_tags(self, sentences: list[list[str]],
                      max_sent_length: int = 220) -> list[list[str]]:
         """Full predict path: encode via vocab, pad to batch max with EOS
@@ -224,6 +249,6 @@ class BiLSTMTaggerModel:
         for r, s in enumerate(sentences):
             for t, tok in enumerate(s):
                 ids[r, t] = w2i.get(tok, UNK_ID)
-        pred = self.predict_ids(ids)
+        pred = self._decode(ids, np.asarray(lens, dtype=np.int64))
         tags = self.tgt_tags
         return [[tags[pred[r, t]] for t in range(lens[r])] for r in range(len(sentences))]

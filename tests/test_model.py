@@ -124,3 +124,69 @@ def test_output_type_correction_semantics():
     assert by_val["[%NUM%]"] == "Numeral"
     assert by_val["www.example.ru"] == "Other"
     assert by_val["!"] == "Punctuation"
+
+
+def test_viterbi_zero_transitions_equals_argmax():
+    import numpy as np
+
+    from lingvo_spark_kg.model.viterbi import viterbi_decode
+
+    rng = np.random.default_rng(3)
+    em = rng.standard_normal((4, 7, 5)).astype(np.float32)
+    lens = np.array([7, 3, 5, 1])
+    out = viterbi_decode(em, np.zeros((5, 5), dtype=np.float32), lens)
+    for b in range(4):
+        for t in range(int(lens[b])):
+            assert out[b, t] == int(np.argmax(em[b, t]))
+
+
+def test_viterbi_transitions_change_path():
+    import numpy as np
+
+    from lingvo_spark_kg.model.viterbi import viterbi_decode
+
+    # emissions slightly prefer tag 1 at t=1, but transition 0->0 is strongly
+    # rewarded and 0->1 forbidden → path stays at 0
+    em = np.zeros((1, 2, 2), dtype=np.float32)
+    em[0, 0, 0] = 5.0
+    em[0, 1, 1] = 0.1
+    trans = np.array([[3.0, -1e9], [0.0, 0.0]], dtype=np.float32)
+    out = viterbi_decode(em, trans)
+    assert out[0].tolist() == [0, 0]
+
+
+def test_bio_mask_forbids_illformed_sequences():
+    import numpy as np
+
+    from lingvo_spark_kg.model.lexicon import NER_TAGS
+    from lingvo_spark_kg.model.viterbi import bio_start_mask, bio_transition_mask, viterbi_decode
+
+    rng = np.random.default_rng(11)
+    em = rng.standard_normal((8, 12, len(NER_TAGS))).astype(np.float32) * 3
+    out = viterbi_decode(em, bio_transition_mask(NER_TAGS),
+                         start_mask=bio_start_mask(NER_TAGS))
+    for b in range(8):
+        prev = "O"
+        for t in range(12):
+            tag = NER_TAGS[out[b, t]]
+            if tag.startswith("I-"):
+                assert prev in (f"B-{tag[2:]}", f"I-{tag[2:]}"), (b, t, prev, tag)
+            prev = tag
+
+
+def test_bilstm_crf_decode_well_formed_and_deterministic():
+    from lingvo_spark_kg.model.lexicon import NER_TAGS
+    from lingvo_spark_kg.model.vocab import Vocab
+
+    v = Vocab(list("абвгде"))
+    m1 = BiLSTMTaggerModel.create_pinned(v, NER_TAGS, emb_dim=8, hidden_dim=8).with_crf(bio=True)
+    m2 = BiLSTMTaggerModel.create_pinned(v, NER_TAGS, emb_dim=8, hidden_dim=8).with_crf(bio=True)
+    sents = [["а", "б", "в", "г"], ["д", "е"], ["а"] * 230]
+    t1, t2 = m1.predict_tags(sents), m2.predict_tags(sents)
+    assert t1 == t2
+    for tags in t1:
+        prev = "O"
+        for tag in tags:
+            if tag.startswith("I-"):
+                assert prev in (f"B-{tag[2:]}", f"I-{tag[2:]}")
+            prev = tag
