@@ -200,6 +200,30 @@ def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("tags.pos_tags").alias("pos_tag"), F.col("tags.ner_tags").alias("ner_tag"))
 
 
+def q_tag_bilstm_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star decode shape: BiLSTM emissions + CRF transitions + Viterbi with BIO
+    structural masks — NER sequences are well-formed by construction (rows-only)."""
+    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
+    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
+    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
+    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
+    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
+                                            seed=43).with_crf(bio=True)
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    docs = docs_from_documents_table(spark, sf_dir)
+    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc)
+    return tagged.select(
+        "doc_id", "span_idx", "sent_idx",
+        F.posexplode("ner_tags").alias("tok_idx", "ner_tag"),
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.multimodal import decode_media, media_payloads
@@ -414,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_invariant": q_kg_invariant,
         "tag_bilstm": q_tag_bilstm,
+        "tag_bilstm_crf": q_tag_bilstm_crf,
         "media_meta": q_media_meta,
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
