@@ -66,9 +66,17 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     timings["kg_links"], meta["n_links"] = _time(links.count)
     triples.unpersist()
 
-    timings["kg_canonical"], meta["n_canon"] = _time(
-        lambda: canonicalize.canonical_map(links).count()
+    canon = canonicalize.canonical_map(links).persist()
+    timings["kg_canonical"], meta["n_canon"] = _time(canon.count)
+
+    # the single corpus-volume shuffle of the pipeline: edge aggregation
+    from lingvo_spark_kg.operators import graph as graph_ops
+
+    linked = linking.link_triples(triples, links)
+    timings["kg_edges_agg"], meta["n_edges"] = _time(
+        lambda: graph_ops.build_edges_table(linked, canon).count()
     )
+    canon.unpersist()
     links.unpersist()
     spark.catalog.clearCache()
 
