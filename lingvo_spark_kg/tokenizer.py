@@ -568,6 +568,21 @@ def run_no_sents_allocate(text: str, replace_nums: bool = True) -> list[Word]:
     return _SentTokenizer(text, "full", replace_nums).run(0, len(text), urls)
 
 
+def run_full_sents_allocate(text: str, replace_nums: bool = True) -> list[tuple[Sentence, list[Word]]]:
+    """Tokenizer.___Run___v0___ analog (Tokenizer.cs:385-411): FULL-mode sentence
+    split (rule-cascade dot disambiguation, sentsplit_full.py) + full-mode
+    tokenization per sentence. Not used by any live reference path; provided for
+    inventory completeness (SURVEY.md §2.2 T2)."""
+    from .sentsplit_full import split_sentences_full
+
+    out = []
+    for sent in split_sentences_full(text):
+        words = tokenize_sent(text, sent, mode="full", replace_nums=replace_nums)
+        if words:
+            out.append((sent, words))
+    return out
+
+
 def run_simple_sents_allocate(text: str, replace_nums: bool = True) -> list[tuple[Sentence, list[Word]]]:
     """Tokenizer.Run_SimpleSentsAllocate (Tokenizer.cs:395-417): simple sentence split,
     then simple-mode tokenization per sentence; empty sentences dropped

@@ -75,3 +75,16 @@ def test_ending_token_bounds(token, mel):
     assert len(out) <= max(len(token), mel + 1)
     if len(out) == mel + 1 and len(token) > mel:
         assert out[0] == "_" or len([c for c in token]) <= mel + 1
+
+
+@given(TEXT)
+@SETTINGS
+def test_full_mode_splitter_valid_spans(text):
+    from lingvo_spark_kg.sentsplit_full import split_sentences_full
+
+    prev_end = 0
+    for s in split_sentences_full(text):
+        assert 0 <= s.start and s.length > 0
+        assert s.start + s.length <= len(text)
+        assert s.start >= prev_end
+        prev_end = s.start + s.length
