@@ -28,10 +28,18 @@ POS_MAX_ENDING_LENGTH = 4        # ConsoleDemo/predict.json:7
 NER_MAX_ENDING_LENGTH = 1_000_000  # predict_ner.json:7 (10000 ≈ whole word)
 
 
-def _tokenize_text(text: str, replace_nums: bool) -> list[tuple[int, int, int, list[dict]]]:
-    """→ [(sent_idx, sent_start, sent_len, tokens)] for one span text."""
+def _tokenize_text(text: str, replace_nums: bool,
+                   sent_mode: str = "simple") -> list[tuple[int, int, int, list[dict]]]:
+    """→ [(sent_idx, sent_start, sent_len, tokens)] for one span text.
+    sent_mode='simple' (the reference's live mode) or 'full' (rule-cascade splitter)."""
+    if sent_mode == "full":
+        from ..tokenizer import run_full_sents_allocate
+
+        split = run_full_sents_allocate(text, replace_nums)
+    else:
+        split = run_simple_sents_allocate(text, replace_nums)
     out = []
-    for sent_idx, (sent, words) in enumerate(run_simple_sents_allocate(text, replace_nums)):
+    for sent_idx, (sent, words) in enumerate(split):
         toks = []
         for t, w in enumerate(words):
             surface = text[w.start : w.start + w.length]
@@ -53,7 +61,8 @@ def _tokenize_text(text: str, replace_nums: bool) -> list[tuple[int, int, int, l
     return out
 
 
-def tokenize_docs(docs: DataFrame, replace_nums: bool = True) -> DataFrame:
+def tokenize_docs(docs: DataFrame, replace_nums: bool = True,
+                  sent_mode: str = "simple") -> DataFrame:
     """docs(doc_id, spans) → sentences(doc_id, span_idx, sent_idx, sent_start,
     sent_len, tokens). Arrow-native (mapInArrow) with JVM-side media-span pruning —
     same hot-path shape as the fused triples operator."""
@@ -92,7 +101,7 @@ def tokenize_docs(docs: DataFrame, replace_nums: bool = True) -> DataFrame:
                     text = texts[j]
                     sents = memo.get(text)
                     if sents is None:
-                        sents = _tokenize_text(text, replace_nums)
+                        sents = _tokenize_text(text, replace_nums, sent_mode)
                         memo[text] = sents
                     for sent_idx, start, length, toks in sents:
                         cols["doc_id"].append(doc_id)
