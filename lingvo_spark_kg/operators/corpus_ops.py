@@ -14,12 +14,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shuffle_corpus(df: DataFrame, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """Deterministic corpus shuffle (ShuffleAll analog): order by seeded rand."""
-    out = df.orderBy(F.rand(seed))
-    if partitions:
-        out = out.repartition(partitions)
-    return out
+def shuffle_corpus(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic corpus shuffle (ShuffleAll analog): one range-sort shuffle by a
+    seeded random key. (No post-shuffle repartition — round-robin repartitioning would
+    discard the seeded order and pay a second shuffle.)"""
+    return df.orderBy(F.rand(seed))
 
 
 def filter_too_long(sentences: DataFrame, max_len: int = 220,
@@ -30,10 +29,11 @@ def filter_too_long(sentences: DataFrame, max_len: int = 220,
 
 def train_valid_split(df: DataFrame, valid_fraction: float = 0.1,
                       seed: int = 42, key: str = "doc_id") -> tuple[DataFrame, DataFrame]:
-    """Deterministic hash split on the key (CorpusCorrector's split analog,
+    """Deterministic hash split on (key, seed) (CorpusCorrector's split analog,
     ModelBuilding/.../CorpusCorrector/Program.cs): stable under reruns/partitioning
-    because it derives from the key, not from row order."""
-    bucket = F.pmod(F.hash(F.col(key)), F.lit(1_000_000)) / 1_000_000.0
+    because it derives from the key, not from row order; different seeds give
+    different folds."""
+    bucket = F.pmod(F.hash(F.col(key), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
     valid = df.where(bucket < valid_fraction)
     train = df.where(bucket >= valid_fraction)
     return train, valid

@@ -34,6 +34,8 @@ from typing import NamedTuple
 from .chartypes import (
     BMP,
     CTM_LIST,
+    SENT_AFTER_BRACKET_ALLOWED_PUNCT_4QMEP,
+    SENT_AFTER_THREE_DOT_ALLOWED_PUNCT,
     IS_BRACKET,
     IS_BRACKET_LEFT,
     IS_BRACKET_RIGHT,
@@ -55,7 +57,9 @@ from .chartypes import (
     UIM,
     to_upper_invariant,
 )
-from .resources import STREETS_ENDS_COMPLEX, STREETS_ENDS_SEPARATE
+from .resources import STREETS_ENDS_COMPLEX
+
+_STREETS_ENDS_COMPLEX_MIN_LEN = min(map(len, STREETS_ENDS_COMPLEX))
 from .sentsplit import Sentence, _is_all_punct_or_ws
 from .urldetect import UrlSpan, allocate_urls
 
@@ -65,9 +69,27 @@ with gzip.open(_TABLES_PATH, "rt", encoding="utf-8") as _f:
 
 FILE_EXTENSIONS = frozenset(_T["file_extensions"])
 FILE_EXTENSIONS_MAX_LENGTH = max(map(len, FILE_EXTENSIONS))
-# ngram entries split on spaces (Extensions.ToBeforeNoProper_ngrams)
-BEFORE_NO_PROPER = [tuple(e.split(" ")) for e in _T["before_no_proper"]]
-BEFORE_PROPER_OR_NUMBER = [tuple(e.split(" ")) for e in _T["before_proper_or_number"]]
+def _ngram_words(entry: str) -> tuple[str, ...]:
+    """GetWordsArray (Infrastructure/Extensions.cs:104-147): split the entry by dots,
+    then each dot-segment by spaces; the last space-word of each segment gets the dot
+    re-appended ("i.e." → ["i.","e."]; "et al." → ["et","al."]; "lb. av." →
+    ["lb.","av."])."""
+    out: list[str] = []
+    for seg in entry.split("."):
+        seg = seg.strip()
+        if not seg:
+            continue
+        parts = seg.split()
+        if len(parts) == 1:
+            out.append(parts[0] + ".")
+        else:
+            out.extend(parts[:-1])
+            out.append(parts[-1] + ".")
+    return tuple(out)
+
+
+BEFORE_NO_PROPER = [_ngram_words(e) for e in _T["before_no_proper"]]
+BEFORE_PROPER_OR_NUMBER = [_ngram_words(e) for e in _T["before_proper_or_number"]]
 NGRAM_MAX = max(len(w) for w in BEFORE_NO_PROPER + BEFORE_PROPER_OR_NUMBER)
 NGRAM_MAX_LENGTH_2_LEFT = 3   # SentSplitter.cs:183
 NGRAM_MAX_LENGTH_2_RIGHT = NGRAM_MAX - 1  # SentSplitter.cs:224
@@ -146,13 +168,13 @@ def tokenize_vicinity_of_dot(text: str, dot: int, left_border: int) -> _Vicinity
                     lp2 += 1
                 length = start - lp2
                 if length > 0:
-                    if c0 & IS_PUNCTUATION and not (c0 & IS_WHITESPACE):
+                    if (c0 & IS_PUNCTUATION) and not (c0 & IS_WHITESPACE):
                         left_words.append(SSWord(lp2 + 1, lp2 + 1 + length))
                         left_words.append(SSWord(lp2, lp2 + 1))
                     else:
-                        left_words.append(SSWord(lp2, lp2 + length + 1)
-                                          if not (c0 & IS_WHITESPACE)
-                                          else SSWord(lp2, lp2 + length))
+                        # includes the dot at `start` (ss_word_t(left_ptr, length+1),
+                        # SentSplitter.cs:1640)
+                        left_words.append(SSWord(lp2, lp2 + length + 1))
                 break
             ch = text[lp]
             c = _ct(text, lp)
@@ -338,19 +360,19 @@ def _ctv(ch: str) -> int:
     return CTM_LIST[cp] if cp < BMP else 0
 
 
-def _is_first_word_in_sent(vic: _Vicinity, text: str, idx: int, sent_start: int) -> bool:
+def _is_first_word_in_sent(vic: _Vicinity, text: str, idx: int, left_border: int) -> bool:
     """IsFirstWordInSent (SentSplitter.cs:2862-2881): no letter/digit between the
-    sentence start and this word."""
+    left border (sentence start or end of the last URL, GetMaxPtr) and this word."""
     if idx >= 1:
         w = vic.words[idx]
-        for p in range(w.start - 1, sent_start - 1, -1):
+        for p in range(w.start - 1, left_border - 1, -1):
             c = _ct(text, p)
             if c & (IS_LETTER | IS_DIGIT):
                 return False
     return True
 
 
-def _try_single_upper_char(vic: _Vicinity, text: str, sent_start: int) -> int | None:
+def _try_single_upper_char(vic: _Vicinity, text: str, left_border: int) -> int | None:
     """TryGetSingleUpperChar (SentSplitter.cs:2093-2212)."""
     left = vic.left()
     if left is None or (left.end - left.start) != 2:
@@ -373,7 +395,7 @@ def _try_single_upper_char(vic: _Vicinity, text: str, sent_start: int) -> int | 
     p_upper = bool(pv) and bool(_ctv(pv[0]) & IS_UPPER)
 
     if (len(pv) > 3 and p_upper and len(rv) >= 3 and r_upper
-            and not _is_first_word_in_sent(vic, text, vic.left_idx - 1, sent_start)):
+            and not _is_first_word_in_sent(vic, text, vic.left_idx - 1, left_border)):
         return 1
     if r_upper and first in "IVX" and len(rv) >= 3:
         return 1
@@ -398,7 +420,7 @@ def _try_streets_ends_complex(vic: _Vicinity, text: str) -> int:
     """TryGetStreetsEndsAsEndComplexWordLength (SentSplitter.cs:2444-2457): left word
     (skipping whitespace-valued) suffix-matches a complex street end; the match must be
     longer than the shortest entry (StreetsEnds.cs HasStreetEnds min-length guard)."""
-    min_len = min(map(len, STREETS_ENDS_COMPLEX))
+    min_len = _STREETS_ENDS_COMPLEX_MIN_LEN
     for k in range(vic.left_idx, -1, -1):
         v = vic.words[k].value(text)
         if not v.strip():
@@ -428,7 +450,15 @@ def _is_letters_ends_with_digit(value: str) -> bool:
 
 
 def _is_upper_after_first(value: str) -> bool:
-    return all((_ctv(ch) & IS_UPPER) for ch in value[1:] if True)
+    """IsUpperCharsAfterFirstChar: punctuation chars are skipped
+    (SentSplitter.cs:2615-2621), so the glued trailing dot does not fail the check."""
+    for ch in value[1:]:
+        c = _ctv(ch)
+        if c & IS_PUNCTUATION:
+            continue
+        if not (c & IS_UPPER):
+            return False
+    return True
 
 
 def _try_other_situation(vic: _Vicinity, text: str) -> int | None:
@@ -522,8 +552,6 @@ class _FullSplitter:
                     if was_punct:
                         return True
                     return self.open_brackets <= 0
-                from .chartypes import SENT_AFTER_THREE_DOT_ALLOWED_PUNCT
-
                 if _sct(text, p) & SENT_AFTER_THREE_DOT_ALLOWED_PUNCT:
                     was_punct = True
                 elif not (c & IS_WHITESPACE):
@@ -542,8 +570,6 @@ class _FullSplitter:
                 while True:
                     if p >= n:
                         return False
-                    from .chartypes import SENT_AFTER_BRACKET_ALLOWED_PUNCT_4QMEP
-
                     if _sct(text, p) & SENT_AFTER_BRACKET_ALLOWED_PUNCT_4QMEP:
                         return False
                     c = _ct(text, p)
@@ -632,7 +658,7 @@ class _FullSplitter:
                         i += off
                         self._emit(i)
                     continue
-                off = _try_single_upper_char(vic, text, self.cur_start)
+                off = _try_single_upper_char(vic, text, left_border)
                 if off is not None:
                     if off < 0:
                         i += -off

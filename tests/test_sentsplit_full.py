@@ -56,7 +56,19 @@ def test_digit_dot_digit_not_end():
 
 
 def test_roman_numeral_before_capital_is_end():
-    assert sents("IX. Глава о войне. X. Глава о мире.")[-1] == " X. Глава о мире."
+    # single-upper-char rule 1/3: Roman/upper letter + dot before a capitalized word
+    # of the other alphabet → sentence end (SentSplitter.cs:2121-2184)
+    assert sents("IX. Глава о войне. X. Глава о мире.") == [
+        "IX.", " Глава о войне.", " X.", " Глава о мире.",
+    ]
+
+
+def test_before_no_proper_with_inner_dots_matches():
+    # "i.e." is stored as ["i.","e."] (GetWordsArray splits on dots,
+    # Extensions.cs:104-147); lowercase continuation → not an end
+    assert sents("Use this tool, i.e. the best one. Next sentence.") == [
+        "Use this tool, i.e. the best one.", " Next sentence.",
+    ]
 
 
 def test_list_item_attaches():
