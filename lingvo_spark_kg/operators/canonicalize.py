@@ -35,12 +35,12 @@ def build_edges(links: DataFrame) -> DataFrame:
         .select(F.col("v").alias("src"),
                 F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"))
     )
-    # similarity block: same type + crude stem of the last token (Russian case endings
-    # stripped: trailing vowels/й down to ≥4 chars), so "козлов"/"козлова"/"козлову"
-    # share a block; connect each block member to the block min (star shape)
-    last = F.element_at(F.split(F.col("mention_norm"), " "), -1)
-    stem = F.regexp_replace(last, "[аеиоуыэюяй]{1,3}$", "")
-    bkey = F.when(F.length(stem) >= 4, stem).otherwise(last)
+    # similarity block: same type + crude stem of the last token — the SAME stem as
+    # fuzzy linking (linking._stem), so fuzzy-linked mentions always co-block here;
+    # connect each block member to the block min (star shape)
+    from .linking import _stem
+
+    bkey = _stem(F.col("mention_norm"))
     blocked = m.select(
         "v",
         F.col("mention_type").alias("btype"),
@@ -71,6 +71,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.v)
@@ -93,6 +94,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels.select("v", "component")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations — "
+            "component labels would be silently wrong; raise max_iter"
+        )
     return labels
 
 

@@ -24,7 +24,7 @@ def build_nodes(canon: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFra
         F.max(F.struct("n_mentions", "mention_norm", "mention_type")).alias("top"),
         F.sum("n_mentions").alias("n_mentions"),
         F.count(F.lit(1)).alias("n_surfaces"),
-        F.max("entity_id").alias("entity_id"),
+        F.min("entity_id").alias("entity_id"),  # min matches the component min-anchor convention
     )
     return agg.select(
         "canonical_id",

@@ -64,21 +64,51 @@ class KgPipeline:
         self.timings[stage] = round(time.time() - t0, 3)
         return self._read(stage)
 
-    # --- broadcast side data ---
+    # --- broadcast side data (alias rows computed once per pipeline object) ---
+    def _alias_rows(self) -> list:
+        rows = getattr(self, "_alias_rows_cache", None)
+        if rows is None:
+            rows = make_aliases(seed=self.seed)
+            self._alias_rows_cache = rows
+        return rows
+
     def aliases_df(self) -> DataFrame:
         import pandas as pd
 
         # pandas → Arrow path is ~5× faster than row-by-row list conversion
-        rows = make_aliases(seed=self.seed)
-        return self.spark.createDataFrame(pd.DataFrame(rows), schema=ALIASES_SCHEMA)
+        return self.spark.createDataFrame(pd.DataFrame(self._alias_rows()),
+                                          schema=ALIASES_SCHEMA)
 
     def gazetteer_bc(self):
-        gaz = gazetteer_from_aliases(make_aliases(seed=self.seed))
+        gaz = gazetteer_from_aliases(self._alias_rows())
         return self.spark.sparkContext.broadcast(gaz)
+
+    def _config_fingerprint(self) -> dict:
+        return {"n_docs": self.n_docs, "seed": self.seed, "n_buckets": self.n_buckets,
+                "fused": self.fused, "link_strategy": self.link_strategy,
+                "link_fuzzy": self.link_fuzzy, "external_docs": self.docs_df is not None}
+
+    def _check_fingerprint(self, resume: bool) -> None:
+        """Resume keys on _SUCCESS markers; guard against silently reusing stages
+        built with a DIFFERENT config over the same workdir."""
+        fp_path = os.path.join(self.workdir, "config.json")
+        fp = self._config_fingerprint()
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                old = json.load(f)
+            if resume and old != fp:
+                raise ValueError(
+                    f"workdir {self.workdir} holds stages built with a different "
+                    f"config ({old} != {fp}); run with resume=False or a fresh workdir"
+                )
+        os.makedirs(self.workdir, exist_ok=True)
+        with open(fp_path, "w") as f:
+            json.dump(fp, f)
 
     # --- stages ---
     def run(self, resume: bool = True) -> dict[str, int]:
         spark = self.spark
+        self._check_fingerprint(resume)
         gaz_bc = self.gazetteer_bc()
 
         docs = self._run_stage(
@@ -101,8 +131,8 @@ class KgPipeline:
             )
             triples = self._run_stage("triples_raw", lambda: extract_triples_df(tagged), resume)
 
-        aliases = self.aliases_df()
         def build_links():
+            aliases = self.aliases_df()
             mentions = linking.mentions_from_triples(triples)
             if self.link_fuzzy:
                 return linking.link_mentions_fuzzy(mentions, aliases)

@@ -25,9 +25,9 @@ def test_streaming_matches_batch(spark, gaz_bc, tmp_path_factory):
     q2.awaitTermination(120)
 
     keys = ["doc_id", "span_idx", "sent_idx", "subj", "pred", "obj"]
-    streamed = {tuple(r) for r in spark.read.parquet(out_dir).select(keys).collect()}
-    batch = {tuple(r) for r in docs_to_triples_fused(docs, gaz_bc).select(keys).collect()}
-    assert streamed == batch
+    streamed = sorted(tuple(r) for r in spark.read.parquet(out_dir).select(keys).collect())
+    batch = sorted(tuple(r) for r in docs_to_triples_fused(docs, gaz_bc).select(keys).collect())
+    assert streamed == batch  # multiplicity-preserving: no drift between the two paths
     assert len(streamed) > 0
 
 
