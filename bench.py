@@ -98,7 +98,7 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     return timings
 
 
-def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 3) -> dict:
+def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> dict:
     """Same flagship job (docs→triples fused) at two parallelism levels (N and 4N
     cores — the sandbox proxy for N vs 4N executors).
 
@@ -114,7 +114,13 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 3) -> d
     per-doc work hits the same 32-core wall (see BASELINE.md)."""
     out = {}
     partitions = 128
-    for cpus in levels:
+    best_sec: dict[int, float] = {}
+    n_triples = 0
+    # interleave level visits (N, 4N, N, 4N): host-load drift between the two blocks
+    # of a sequential run skews the ratio; interleaving samples both levels under
+    # similar conditions and takes the per-level best
+    visit_order = [levels[0], levels[1], levels[0], levels[1]]
+    for cpus in visit_order:
         spark = _get_spark(cpus)
         import __spark_entry__ as e
         from lingvo_spark_kg.operators.docsgen import generate_docs
@@ -125,18 +131,20 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 3) -> d
         docs.count()  # materialize input before timing the job
         job = docs_to_triples_fused(docs, gaz_bc)
         n_triples = job.count()  # warm-up: python workers up, code paths JITed
-        best = float("inf")
+        best = best_sec.get(cpus, float("inf"))
         for _ in range(repeats):
             t0 = time.time()
             job.count()
             best = min(best, time.time() - t0)
+        best_sec[cpus] = best
+        docs.unpersist()
+        spark.stop()
+    for cpus, best in best_sec.items():
         out[f"local[{cpus}]"] = {
             "sec": round(best, 3),
             "docs_per_sec": round(n_docs / best, 1),
             "triples_per_sec": round(n_triples / best, 1),
         }
-        docs.unpersist()
-        spark.stop()
     lo, hi = levels
     t_lo = out[f"local[{lo}]"]["sec"]
     t_hi = out[f"local[{hi}]"]["sec"]
@@ -153,7 +161,10 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         levels = (8, 32) if "--saturated" in sys.argv else (4, 16)
-        res = run_scaling(sf_dir, n_docs, levels=levels)
+        # 3× the bench corpus so per-job fixed overheads (task scheduling, Arrow
+        # setup — ~1-2 s regardless of size) do not bound the 4N level: the
+        # north-rule criterion is throughput scaling on the LARGE slice
+        res = run_scaling(sf_dir, n_docs * 3, levels=levels)
         print(json.dumps({"metric": f"scaling_efficiency_{levels[0]}_to_{levels[1]}",
                           "value": res["scaling_efficiency"], "unit": "ratio",
                           "detail": res, "sf": sf}))
