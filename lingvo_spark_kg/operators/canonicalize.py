@@ -72,7 +72,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.v)
             .groupBy("src")
@@ -90,10 +90,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             )
         )
         new_labels = new_labels.localCheckpoint()
-        changed = new_labels.where(F.col("component") != F.col("old_component")).limit(1).count()
         labels = new_labels.select("v", "component")
-        if changed == 0:
-            break
+        # convergence check every 2nd iteration: each check is a driver round-trip,
+        # and one extra (idempotent) propagation pass is cheaper than a check
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = new_labels.where(F.col("component") != F.col("old_component")).limit(1).count()
+            if changed == 0:
+                break
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} iterations — "
