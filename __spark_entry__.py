@@ -2,11 +2,12 @@
 
 ``entry`` runs the flagship KG extraction (docs → triples) at sf0.001.
 ``queries`` exposes one entry per implemented operator family (SURVEY.md §2 + the
-training-data-pipeline extensions); ``oracle_sql`` gives the DuckDB-equivalent SQL for
-every relationally-expressible query (md5 is the hash primitive everywhere precisely
-because it is engine-portable). Tokenizer/tagger/KG queries are not SQL-expressible
-(per-sentence state machines + iterative CC) → no oracle entry, driver records the
-rows-only check; their correctness gates live in tests/ (golden parity + invariants).
+training-data-pipeline extensions); ``oracle_sql`` gives a DuckDB oracle for EVERY
+query: relationally-expressible ones as equivalent SQL over the shared parquet views
+(md5 is the hash primitive everywhere precisely because it is engine-portable), and
+the tokenizer/tagger/KG queries (per-sentence state machines, NumPy decode, iterative
+CC — not expressible as one SQL statement) as ``read_parquet`` over single-node
+pure-Python golden tables materialized by lingvo_spark_kg/golden.py.
 """
 
 from __future__ import annotations
@@ -141,7 +142,12 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
     canon = canonicalize.canonical_map(links).localCheckpoint()
     linked = linking.link_triples(triples, links)
-    return graph.build_edges_table(linked, canon)
+    # bucket is a storage-layout column (hash-partitioned writer detail), not query
+    # semantics — excluded from the oracle comparison
+    return graph.build_edges_table(linked, canon).select(
+        "src_id", "pred", "dst_id", "n_occurrences", "avg_confidence",
+        "n_docs", "example_doc_id",
+    )
 
 
 def q_kg_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +468,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 
+def _golden_oracles() -> dict[str, str]:
+    """DuckDB oracles for the non-SQL-expressible queries: single-node pure-Python
+    golden results materialized as parquet (lingvo_spark_kg/golden.py), compared via
+    read_parquet — rows/schema/hash become a hard signal for the KG/tagger core.
+    The driver compares at sf0.01; override with SPARK_GRAFT_ORACLE_SF_DIR when
+    checking locally at another scale (tools/check_oracles.py does)."""
+    import os
+
+    from lingvo_spark_kg import golden
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".goldens",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    paths = golden.ensure_goldens(sf_dir, out_dir)
+    return {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
+
+
 _SHINGLE_CTE = r"""
 words AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
@@ -542,6 +567,7 @@ def _emb_neardup_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_golden_oracles(),
         "dedup_exact": """
             SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_doc_id,
                    count(*) AS n_docs

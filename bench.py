@@ -64,18 +64,20 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
     links = linking.link_mentions(linking.mentions_from_triples(triples), aliases).persist()
     timings["kg_links"], meta["n_links"] = _time(links.count)
-    triples.unpersist()
 
     canon = canonicalize.canonical_map(links).persist()
     timings["kg_canonical"], meta["n_canon"] = _time(canon.count)
 
-    # the single corpus-volume shuffle of the pipeline: edge aggregation
+    # the single corpus-volume shuffle of the pipeline: edge aggregation.
+    # `triples` stays persisted through this timing — unpersisting earlier would make
+    # the measurement re-run the whole extraction instead of isolating the shuffle.
     from lingvo_spark_kg.operators import graph as graph_ops
 
     linked = linking.link_triples(triples, links)
     timings["kg_edges_agg"], meta["n_edges"] = _time(
         lambda: graph_ops.build_edges_table(linked, canon).count()
     )
+    triples.unpersist()
     canon.unpersist()
     links.unpersist()
     spark.catalog.clearCache()

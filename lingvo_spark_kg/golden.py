@@ -1,0 +1,407 @@
+"""Single-node golden results for the non-SQL-expressible queries.
+
+The KG/tagger queries (tokenizer state machine, NumPy DNN decode, iterative CC) cannot
+be written as one DuckDB SQL statement, so their driver-side correctness oracle is a
+*materialized golden table*: this module recomputes each query's result with plain
+Python loops over the same deterministic inputs — no Spark, no DataFrames, no
+distribution — and writes it as parquet. ``oracle_sql()`` then points DuckDB at the
+golden file (``SELECT * FROM read_parquet(...)``), which turns the driver's rows/
+schema/hash comparison into a hard check of the distributed plumbing (partitioning,
+Arrow round-trips, join/groupBy semantics, ordering-invariance).
+
+The golden shares the *pure per-sentence functions* with the Spark operators
+(tokenizer, lexicon tagger, triple templates — one definition, as the reference shares
+its Tokenizer between console/webservice hosts, ConsoleDemo/Program.cs:254-256) but
+none of the distributed machinery: iteration here is a flat driver loop, joins are
+dicts, connected components is a BFS, aggregation is a Counter. Everything is a pure
+function of (seed, input parquet), so the files regenerate bit-identically.
+
+Float determinism: the only aggregated float is ``avg_confidence``; the Spark operator
+sums integer micro-units (order-independent) and divides once, and this module mirrors
+those exact IEEE ops — see graph.build_edges_table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+from collections import Counter, defaultdict
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump when any golden's semantics change so stale files regenerate
+GOLDEN_VERSION = 3
+
+GOLDEN_QUERIES = (
+    "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
+    "kg_invariant", "tag_bilstm", "tag_bilstm_crf", "media_meta",
+)
+
+
+def n_docs_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return max(int(sf * 1_000_000), 100)
+
+
+# ------------------------------------------------------------------ corpus stages
+
+def _synthetic_docs(n_docs: int, seed: int = 42):
+    from .fixtures.corpus import make_doc
+
+    for idx in range(n_docs):
+        yield make_doc(idx, seed)
+
+
+def _triples_rows(n_docs: int) -> list[tuple]:
+    """Mirror of docs_to_triples_fused (operators/triples.py) as a driver loop:
+    (doc_id, span_idx, sent_idx, subj, pred, obj, subj_type, obj_type,
+    subj_norm, obj_norm, confidence)."""
+    from .fixtures.corpus import gazetteer_from_aliases, make_aliases
+    from .model.lexicon import LexiconNer, tag_sentence
+    from .model.triples import extract_triples
+    from .tokenizer import run_simple_sents_allocate
+
+    ner = LexiconNer(gazetteer_from_aliases(make_aliases(seed=42)))
+    memo: dict[str, list] = {}
+    rows: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            text = s["text"]
+            per_text = memo.get(text)
+            if per_text is None:
+                per_text = []
+                for sent_idx, (_sent, words) in enumerate(
+                    run_simple_sents_allocate(text, True)
+                ):
+                    pos, nert = tag_sentence(words, ner)
+                    triples = extract_triples(words, pos, nert)
+                    if triples:
+                        per_text.append((sent_idx, triples))
+                memo[text] = per_text
+            for sent_idx, triples in per_text:
+                for tr in triples:
+                    rows.append((doc_id, s["offset"], sent_idx, tr.subj, tr.pred,
+                                 tr.obj, tr.subj_type, tr.obj_type, tr.subj_norm,
+                                 tr.obj_norm, tr.confidence))
+    return rows
+
+
+def _links_rows(triples_rows: list[tuple]) -> list[tuple]:
+    """Mirror of linking.mentions_from_triples + link_mentions:
+    (mention_norm, mention_type, n_mentions, entity_id, entity_type, link_score)."""
+    from .fixtures.corpus import make_aliases
+
+    mentions: Counter = Counter()
+    for r in triples_rows:
+        mentions[(r[8], r[6])] += 1  # (subj_norm, subj_type)
+        mentions[(r[9], r[7])] += 1  # (obj_norm, obj_type)
+
+    by_alias: dict[str, list] = defaultdict(list)
+    for a in make_aliases(seed=42):
+        by_alias[a["alias_norm"]].append((a["entity_id"], a["entity_type"], a["prior"]))
+
+    out: list[tuple] = []
+    for (norm, mtype), n in mentions.items():
+        cands = by_alias.get(norm)
+        if not cands:
+            out.append((norm, mtype, n, None, None, None))
+            continue
+        # same ordering as F.max(struct(link_score, entity_id, entity_type)):
+        # score first, then entity_id / entity_type lexicographically
+        best = max(
+            (prior * (1.0 if mtype == etype else 0.25), eid, etype)
+            for eid, etype, prior in cands
+        )
+        out.append((norm, mtype, n, best[1], best[2], best[0]))
+    return out
+
+
+def _stem_py(norm: str) -> str:
+    """linking._stem in plain Python (same Java-regex semantics: greedy {1,3})."""
+    last = norm.split(" ")[-1]
+    stem = re.sub(r"[аеиоуыэюяй]{1,3}$", "", last)
+    return stem if len(stem) >= 4 else last
+
+
+def _canonical_rows(links_rows: list[tuple]) -> list[tuple]:
+    """Mirror of canonicalize.canonical_map: vertices, link+block edges, connected
+    components by BFS with min-vertex labels:
+    (mention_norm, mention_type, n_mentions, entity_id, canonical_id)."""
+    verts = [(f"m:{mtype}:{norm}", norm, mtype, n, eid)
+             for norm, mtype, n, eid, _et, _s in links_rows]
+
+    adj: dict[str, set] = defaultdict(set)
+
+    def add_edge(a: str, b: str) -> None:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    for v, _norm, _mtype, _n, eid in verts:
+        if eid is not None:
+            add_edge(v, f"e:{eid}")
+    blocks: dict[tuple, list] = defaultdict(list)
+    for v, norm, mtype, _n, _eid in verts:
+        blocks[(mtype, _stem_py(norm))].append(v)
+    for members in blocks.values():
+        if len(members) > 1:
+            hub = min(members)
+            for v in members:
+                if v != hub:
+                    add_edge(v, hub)
+
+    label: dict[str, str] = {}
+    for v0 in sorted(adj):
+        if v0 in label:
+            continue
+        comp, stack = [v0], [v0]
+        seen = {v0}
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    comp.append(w)
+                    stack.append(w)
+        lo = min(comp)
+        for u in comp:
+            label[u] = lo
+
+    return [(norm, mtype, n, eid, label.get(v, v))
+            for v, norm, mtype, n, eid in verts]
+
+
+def _edges_rows(triples_rows: list[tuple], canonical_rows: list[tuple]) -> list[tuple]:
+    """Mirror of graph.build_edges_table (minus the bucket layout column):
+    (src_id, pred, dst_id, n_occurrences, avg_confidence, n_docs, example_doc_id)."""
+    canon = {(norm, mtype): cid for norm, mtype, _n, _eid, cid in canonical_rows}
+    groups: dict[tuple, list] = defaultdict(list)
+    for r in triples_rows:
+        doc_id, _si, _se, _subj, pred, _obj, st, ot, sn, on, conf = r
+        src = canon.get((sn, st)) or f"m:{st}:{sn}"
+        dst = canon.get((on, ot)) or f"m:{ot}:{on}"
+        groups[(src, pred, dst)].append((doc_id, conf))
+    out = []
+    for (src, pred, dst), items in groups.items():
+        micros = sum(int(round(c * 1e6)) for _d, c in items)
+        n = len(items)
+        # same IEEE op order as the Spark expression: (sum_micros / n) / 1e6
+        avg = (float(micros) / n) / 1e6
+        docs = {d for d, _c in items}
+        out.append((src, pred, dst, n, avg, len(docs), min(docs)))
+    return out
+
+
+def _invariant_rows(n_docs: int) -> list[tuple]:
+    """Mirror of q_kg_invariant: reconstruct each doc's span sequence from the text/
+    media projections and compare against the input."""
+    violations = 0
+    n = 0
+    for _doc_id, spans in _synthetic_docs(n_docs):
+        # the two pipeline projections (text_spans / media_spans), re-interleaved —
+        # mirrors the rebuilt side of q_kg_invariant
+        rebuilt = sorted(
+            [(s["offset"], None, s["text"], None)
+             for s in spans if s["kind"] == "text"]
+            + [(s["offset"], s["kind"], None, s["media_ref"])
+               for s in spans if s["kind"] != "text"]
+        )
+        orig = sorted(
+            (s["offset"], None if s["kind"] == "text" else s["kind"],
+             s["text"], s["media_ref"])
+            for s in spans
+        )
+        if spans:
+            n += 1
+            if rebuilt != orig:
+                violations += 1
+    return [(n, violations)]
+
+
+# ------------------------------------------------------------------ documents-table stages
+
+def _documents(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _sentences_rows(sf_dir: str) -> list[tuple]:
+    """Mirror of docs_from_documents_table → tokenize_docs for the sentence query:
+    (doc_id, span_idx, sent_idx, sent_start, sent_len, n_tokens)."""
+    from .operators.tokenize import _tokenize_text
+
+    out = []
+    memo: dict[str, list] = {}
+    for did, text in _documents(sf_dir):
+        if text is None:
+            continue
+        sents = memo.get(text)
+        if sents is None:
+            sents = _tokenize_text(text, True)
+            memo[text] = sents
+        doc_id = f"doc-{did:08d}"
+        for sent_idx, start, length, toks in sents:
+            out.append((doc_id, 0, sent_idx, start, length, len(toks)))
+    return out
+
+
+def _tagged_token_rows(sf_dir: str, crf: bool) -> list[tuple]:
+    """Mirror of q_tag_bilstm / q_tag_bilstm_crf: per-token (doc_id, span_idx,
+    sent_idx, tok_idx, pos_tag, ner_tag) with batch-of-1 predicts (the Spark operator's
+    equal-length bucketing makes its decode batch-invariant — tests/test_model.py)."""
+    from .model.bilstm import BiLSTMTaggerModel
+    from .model.lexicon import NER_TAGS, POS_TAGS
+    from .model.vocab import Vocab
+    from .operators.tag import _correct_output_types
+    from .operators.tokenize import _tokenize_text
+
+    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
+    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
+    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
+                                            seed=43)
+    if crf:
+        ner_m = ner_m.with_crf(bio=True)
+
+    out = []
+    memo: dict[str, list] = {}
+    for did, text in _documents(sf_dir):
+        if text is None:
+            continue
+        tagged = memo.get(text)
+        if tagged is None:
+            tagged = []
+            for sent_idx, _start, _length, toks in _tokenize_text(text, True):
+                pos_raw = pos_m.predict_tags([[t["ending_pos"] for t in toks]])[0]
+                ner_raw = ner_m.predict_tags([[t["ending_ner"] for t in toks]])[0]
+                pos = _correct_output_types(toks, pos_raw)
+                tagged.append((sent_idx, pos, ner_raw))
+            memo[text] = tagged
+        doc_id = f"doc-{did:08d}"
+        for sent_idx, pos, nert in tagged:
+            for tok_idx, (p, nr) in enumerate(zip(pos, nert)):
+                out.append((doc_id, 0, sent_idx, tok_idx, p, nr))
+    return out
+
+
+def _media_meta_rows(sf_dir: str) -> list[tuple]:
+    """Mirror of docs_from_documents_table media spans → media_payloads →
+    decode_media(impl='fake'): (doc_id, span_idx, kind, n_bytes, sha1, width, height,
+    duration_ms)."""
+    out = []
+    for did, _text in _documents(sf_dir):
+        if did % 8 != 0:
+            continue
+        media_ref = "media://" + hashlib.sha1(str(did).encode()).hexdigest()
+        payload = bytes.fromhex(hashlib.sha1(media_ref.encode()).hexdigest()[:32] * 4)
+        out.append((
+            f"doc-{did:08d}", 1, "image", len(payload),
+            hashlib.sha1(payload).hexdigest(),
+            64 + payload[0], 64 + payload[1], 0,
+        ))
+    return out
+
+
+# ------------------------------------------------------------------ materialization
+
+_S, _I32, _I64, _F64 = pa.string(), pa.int32(), pa.int64(), pa.float64()
+
+_SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
+    "kg_triples": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                   ("subj", _S), ("pred", _S), ("obj", _S), ("subj_type", _S),
+                   ("obj_type", _S), ("confidence", _F64)],
+    "kg_sentences": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                     ("sent_start", _I32), ("sent_len", _I32), ("n_tokens", _I64)],
+    "kg_links": [("mention_norm", _S), ("mention_type", _S), ("n_mentions", _I64),
+                 ("entity_id", _S), ("entity_type", _S), ("link_score", _F64)],
+    "kg_canonical": [("mention_norm", _S), ("mention_type", _S), ("n_mentions", _I64),
+                     ("entity_id", _S), ("canonical_id", _S)],
+    "kg_edges": [("src_id", _S), ("pred", _S), ("dst_id", _S), ("n_occurrences", _I64),
+                 ("avg_confidence", _F64), ("n_docs", _I64), ("example_doc_id", _S)],
+    "kg_invariant": [("n_docs", _I64), ("violations", _I64)],
+    "tag_bilstm": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                   ("tok_idx", _I32), ("pos_tag", _S), ("ner_tag", _S)],
+    "tag_bilstm_crf": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                       ("tok_idx", _I32), ("ner_tag", _S)],
+    "media_meta": [("doc_id", _S), ("span_idx", _I32), ("kind", _S), ("n_bytes", _I32),
+                   ("sha1", _S), ("width", _I32), ("height", _I32),
+                   ("duration_ms", _I32)],
+}
+
+
+def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
+    cache = _cache if _cache is not None else {}
+
+    def triples():
+        if "triples" not in cache:
+            cache["triples"] = _triples_rows(n_docs_for(sf_dir))
+        return cache["triples"]
+
+    def links():
+        if "links" not in cache:
+            cache["links"] = _links_rows(triples())
+        return cache["links"]
+
+    def canon():
+        if "canon" not in cache:
+            cache["canon"] = _canonical_rows(links())
+        return cache["canon"]
+
+    if name == "kg_triples":
+        rows = [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[10])
+                for r in triples()]
+    elif name == "kg_sentences":
+        rows = _sentences_rows(sf_dir)
+    elif name == "kg_links":
+        rows = links()
+    elif name == "kg_canonical":
+        rows = canon()
+    elif name == "kg_edges":
+        rows = _edges_rows(triples(), canon())
+    elif name == "kg_invariant":
+        rows = _invariant_rows(n_docs_for(sf_dir))
+    elif name == "tag_bilstm":
+        rows = _tagged_token_rows(sf_dir, crf=False)
+    elif name == "tag_bilstm_crf":
+        rows = [(r[0], r[1], r[2], r[3], r[5]) for r in _tagged_token_rows(sf_dir, crf=True)]
+    elif name == "media_meta":
+        rows = _media_meta_rows(sf_dir)
+    else:
+        raise KeyError(name)
+
+    fields = _SCHEMAS[name]
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    arrays = [pa.array(list(c), type=t) for c, (_n, t) in zip(cols, fields)]
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
+                   names: tuple[str, ...] = GOLDEN_QUERIES, force: bool = False) -> dict[str, str]:
+    """Materialize golden parquet files (idempotent: a manifest pins version + inputs;
+    matching manifests skip recomputation). Returns {query: absolute parquet path}."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest_path = out / "manifest.json"
+    want = {"version": GOLDEN_VERSION, "sf_dir": os.path.abspath(sf_dir),
+            "names": sorted(names)}
+    paths = {n: str((out / f"{n}.parquet").resolve()) for n in names}
+    if not force and manifest_path.exists():
+        try:
+            have = json.loads(manifest_path.read_text())
+        except (ValueError, OSError):
+            have = None
+        if have == want and all(Path(p).exists() for p in paths.values()):
+            return paths
+    cache: dict = {}
+    for n in names:
+        tbl = compute(n, sf_dir, _cache=cache)
+        tmp = out / f".{n}.parquet.tmp"
+        pq.write_table(tbl, tmp)
+        tmp.replace(out / f"{n}.parquet")
+    manifest_path.write_text(json.dumps(want, indent=1))
+    return paths

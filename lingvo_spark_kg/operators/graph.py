@@ -36,9 +36,22 @@ def build_nodes(canon: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFra
 
 
 def build_edges_table(linked_triples: DataFrame, canon: DataFrame,
-                      n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
+                      n_buckets: int = N_BUCKETS_DEFAULT,
+                      strategy: str = "auto", n_salt: int = 16) -> DataFrame:
     """linked triples + canonical map → edges(src_id, pred, dst_id, n_occurrences,
-    avg_confidence, n_docs, example_doc_id, bucket)."""
+    avg_confidence, n_docs, example_doc_id, bucket).
+
+    The canonical map scales with distinct mention surfaces, so the two re-attach
+    joins default to strategy='auto' (no hint — AQE broadcasts at runtime only when
+    the map is actually small; 'broadcast'/'salted' are explicit overrides) — see
+    linking.dim_join.
+
+    avg_confidence sums integer micro-units instead of F.avg on doubles: float
+    summation order varies with partitioning, so a double avg is not bit-reproducible
+    across cluster sizes; the integer sum is exact and order-independent (confidence
+    is already quantized to 1e-6 by the extractor, model/triples.py:83)."""
+    from .linking import dim_join
+
     c_subj = canon.select(
         F.col("mention_norm").alias("subj_norm"), F.col("mention_type").alias("subj_type"),
         F.col("canonical_id").alias("src_id"),
@@ -48,14 +61,15 @@ def build_edges_table(linked_triples: DataFrame, canon: DataFrame,
         F.col("canonical_id").alias("dst_id"),
     )
     t = (
-        linked_triples.join(F.broadcast(c_subj), ["subj_norm", "subj_type"], "left")
-        .join(F.broadcast(c_obj), ["obj_norm", "obj_type"], "left")
+        dim_join(dim_join(linked_triples, c_subj, ["subj_norm", "subj_type"], strategy, n_salt),
+                 c_obj, ["obj_norm", "obj_type"], strategy, n_salt)
         .withColumn("src_id", F.coalesce("src_id", F.concat(F.lit("m:"), "subj_type", F.lit(":"), "subj_norm")))
         .withColumn("dst_id", F.coalesce("dst_id", F.concat(F.lit("m:"), "obj_type", F.lit(":"), "obj_norm")))
     )
     agg = t.groupBy("src_id", "pred", "dst_id").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
-        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        ((F.sum(F.round(F.col("confidence") * 1e6).cast("long")).cast("double")
+          / F.count(F.lit(1))) / F.lit(1e6)).alias("avg_confidence"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("example_doc_id"),
     )

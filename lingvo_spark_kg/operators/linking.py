@@ -126,26 +126,56 @@ def link_mentions_fuzzy(mentions: DataFrame, aliases: DataFrame,
     return linked.unionByName(fallback)
 
 
-def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
-                n_salt: int = 16, how: str = "left") -> DataFrame:
+def salted_join(facts: DataFrame, dim: DataFrame, fact_key: str | list[str],
+                dim_key: str | list[str], n_salt: int = 16, how: str = "left") -> DataFrame:
     """Shuffle join with key salting (J2): dim explodes ×n_salt, facts pick a
-    deterministic pseudo-random salt, join on (key, salt). Use when the dim side
-    exceeds broadcast budget and the fact keys are Zipf-skewed."""
+    deterministic pseudo-random salt, join on (keys..., salt). Use when the dim side
+    exceeds broadcast budget and the fact keys are Zipf-skewed. Same-named keys on
+    both sides are supported: the dim-side duplicates are dropped after the join."""
+    fact_keys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    dim_keys = [dim_key] if isinstance(dim_key, str) else list(dim_key)
     salted_dim = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     salted_facts = facts.withColumn(
-        "__salt", F.pmod(F.hash(F.col(fact_key), F.monotonically_increasing_id()), F.lit(n_salt))
+        "__salt",
+        F.pmod(F.hash(*[F.col(k) for k in fact_keys], F.monotonically_increasing_id()),
+               F.lit(n_salt)),
     )
-    out = salted_facts.join(
-        salted_dim,
-        (salted_facts[fact_key] == salted_dim[dim_key]) & (salted_facts["__salt"] == salted_dim["__salt"]),
-        how,
-    )
-    return out.drop("__salt")
+    cond = salted_facts["__salt"] == salted_dim["__salt"]
+    for fk, dk in zip(fact_keys, dim_keys):
+        cond = cond & (salted_facts[fk] == salted_dim[dk])
+    out = salted_facts.join(salted_dim, cond, how)
+    for fk, dk in zip(fact_keys, dim_keys):
+        if fk == dk:
+            out = out.drop(salted_dim[dk])
+    return out.drop(salted_facts["__salt"]).drop(salted_dim["__salt"])
 
 
-def link_triples(triples: DataFrame, links: DataFrame) -> DataFrame:
-    """Attach canonical-entity candidates to triple subjects and objects via two
-    broadcast joins on the small link table."""
+def dim_join(facts: DataFrame, dim: DataFrame, keys: list[str],
+             strategy: str = "auto", n_salt: int = 16) -> DataFrame:
+    """Left join of a fact table against a dim keyed by same-named columns, with the
+    join strategy as an explicit scale knob:
+
+     * 'auto' (default) — NO join hint: AQE picks broadcast at runtime when the dim's
+       actual size is under ``spark.sql.autoBroadcastJoinThreshold`` and falls back to
+       a (skew-handled) shuffle join when it isn't. This is the 100 TB-safe default
+       for dims that grow with distinct mention surfaces (~10^8 rows at the 10^12-doc
+       target, docs/SCALE.md) — an unconditional broadcast of those OOMs executors.
+     * 'broadcast' — force the hint (known-small dims only).
+     * 'salted' — explicit salting for Zipf-skewed fact keys vs an over-budget dim.
+    """
+    if strategy == "broadcast":
+        return facts.join(F.broadcast(dim), keys, "left")
+    if strategy == "salted":
+        return salted_join(facts, dim, keys, keys, n_salt=n_salt, how="left")
+    return facts.join(dim, keys, "left")
+
+
+def link_triples(triples: DataFrame, links: DataFrame,
+                 strategy: str = "auto", n_salt: int = 16) -> DataFrame:
+    """Attach canonical-entity candidates to triple subjects and objects by joining
+    the link table twice. The link table scales with distinct mention surfaces, so the
+    default strategy is 'auto' (AQE decides broadcast vs shuffle at runtime) — see
+    ``dim_join``."""
     subj_l = links.select(
         F.col("mention_norm").alias("subj_norm"),
         F.col("mention_type").alias("subj_type"),
@@ -156,7 +186,5 @@ def link_triples(triples: DataFrame, links: DataFrame) -> DataFrame:
         F.col("mention_type").alias("obj_type"),
         F.col("entity_id").alias("obj_entity_id"),
     )
-    return (
-        triples.join(F.broadcast(subj_l), ["subj_norm", "subj_type"], "left")
-        .join(F.broadcast(obj_l), ["obj_norm", "obj_type"], "left")
-    )
+    out = dim_join(triples, subj_l, ["subj_norm", "subj_type"], strategy, n_salt)
+    return dim_join(out, obj_l, ["obj_norm", "obj_type"], strategy, n_salt)

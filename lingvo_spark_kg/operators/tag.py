@@ -28,7 +28,31 @@ from ..model.lexicon import LexiconNer, pos_tag_word
 from ..tokenizer import EWT_PUNCTUATION, IT_EMAIL, IT_NUM, IT_URL, Word
 from .schemas import TAGGED_SCHEMA
 
-_MODEL_CACHE: dict[int, object] = {}
+_MODEL_CACHE: dict[object, object] = {}
+_MODEL_CACHE_MAX = 16
+
+
+def _bc_key(bc) -> object:
+    """Stable cache key for a Spark broadcast. ``id(bc)`` is unsafe on executors: each
+    task deserializes a fresh handle (so the cache never hits and grows unboundedly)
+    and a GC'd handle's id can be recycled by a DIFFERENT broadcast, silently serving a
+    stale model. ``Broadcast._path`` is the per-broadcast spill file — unique per
+    broadcast and identical for every handle of it within a worker process (executor
+    handles come from the bid-keyed _broadcastRegistry)."""
+    return getattr(bc, "_path", None) or id(bc)
+
+
+def _cached_from_broadcast(bc, build):
+    """Rehydrate-once-per-worker helper (bounded FIFO so long-lived workers that see
+    many distinct broadcasts don't leak)."""
+    key = _bc_key(bc)
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+        m = build(bc.value)
+        _MODEL_CACHE[key] = m
+    return m
 
 
 def _words_from_tokens(tokens: list[dict]) -> list[Word]:
@@ -78,11 +102,7 @@ def tag_sentences_lexicon(sentences: DataFrame, gazetteer_bc) -> DataFrame:
     {normalized surface → PER|ORG|LOC}."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = id(gazetteer_bc)
-        ner = _MODEL_CACHE.get(key)
-        if ner is None:
-            ner = LexiconNer(gazetteer_bc.value)
-            _MODEL_CACHE[key] = ner
+        ner = _cached_from_broadcast(gazetteer_bc, LexiconNer)
         for pdf in batches:
             pos_col, ner_col = [], []
             for tokens in pdf["tokens"]:
@@ -107,17 +127,11 @@ def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
     'transformer' (the reference's EncoderType option, Applications/Options.cs)."""
 
     def get_model(bc):
-        key = id(bc)
-        m = _MODEL_CACHE.get(key)
-        if m is None:
-            if encoder == "transformer":
-                from ..model.transformer import TransformerTaggerModel
+        if encoder == "transformer":
+            from ..model.transformer import TransformerTaggerModel
 
-                m = TransformerTaggerModel.from_bytes(bc.value)
-            else:
-                m = BiLSTMTaggerModel.from_bytes(bc.value)
-            _MODEL_CACHE[key] = m
-        return m
+            return _cached_from_broadcast(bc, TransformerTaggerModel.from_bytes)
+        return _cached_from_broadcast(bc, BiLSTMTaggerModel.from_bytes)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos_model = get_model(pos_model_bc)

@@ -92,7 +92,11 @@ def tokenize_docs(docs: DataFrame, replace_nums: bool = True,
             spans_col = b.column(1)
             if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
                 spans_col = spans_col.combine_chunks()
-            flat = spans_col.flatten()
+            if spans_col.null_count:  # upstream size(spans)>0 filter removes nulls
+                raise ValueError("docs.spans must not contain null rows")
+            # .values (NOT .flatten()) so indexes line up with the raw offsets buffer
+            # even if the batch arrives sliced — flatten() rebases, offsets don't
+            flat = spans_col.values
             texts = flat.field("text").to_pylist()
             offs = flat.field("offset").to_pylist()
             list_offsets = spans_col.offsets.to_pylist()

@@ -19,7 +19,7 @@ from ..model.lexicon import LexiconNer, tag_sentence
 from ..model.triples import extract_triples
 from ..tokenizer import Word, run_simple_sents_allocate
 from .schemas import TRIPLES_SCHEMA
-from .tag import _MODEL_CACHE, _words_from_tokens
+from .tag import _cached_from_broadcast, _words_from_tokens
 
 _COLS = ("doc_id", "span_idx", "sent_idx", "subj", "pred", "obj",
          "subj_type", "obj_type", "subj_norm", "obj_norm", "confidence")
@@ -81,11 +81,7 @@ def docs_to_triples_fused(docs: DataFrame, gazetteer_bc,
     ).where(F.size("spans") > 0)
 
     def run(batches) -> "Iterator[pa.RecordBatch]":
-        key = id(gazetteer_bc)
-        ner = _MODEL_CACHE.get(key)
-        if ner is None:
-            ner = LexiconNer(gazetteer_bc.value)
-            _MODEL_CACHE[key] = ner
+        ner = _cached_from_broadcast(gazetteer_bc, LexiconNer)
         for b in batches:
             memo: dict[str, list] = {}
             rows: dict[str, list] = {k: [] for k in _COLS}
@@ -93,7 +89,11 @@ def docs_to_triples_fused(docs: DataFrame, gazetteer_bc,
             spans_col = b.column(1)
             if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
                 spans_col = spans_col.combine_chunks()
-            flat = spans_col.flatten()
+            if spans_col.null_count:  # upstream size(spans)>0 filter removes nulls
+                raise ValueError("docs.spans must not contain null rows")
+            # .values (NOT .flatten()) so indexes line up with the raw offsets buffer
+            # even if the batch arrives sliced — flatten() rebases, offsets don't
+            flat = spans_col.values
             texts = flat.field("text").to_pylist()
             offs = flat.field("offset").to_pylist()
             list_offsets = spans_col.offsets.to_pylist()

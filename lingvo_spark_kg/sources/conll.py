@@ -39,11 +39,14 @@ def _parse_lines(lines: Iterator[str], fname: str):
                 sent_id += 1
                 toks, labs = [], []
             continue
-        # token<TAB>label, with single-space fallback (Corpus.cs:528-553)
+        # token<TAB>label, with single-space fallback (Corpus.cs:528-553);
+        # a separator-less line is a token with an empty label (not the reverse)
         if "\t" in line:
             tok, _, lab = line.partition("\t")
-        else:
+        elif " " in line:
             tok, _, lab = line.rpartition(" ")
+        else:
+            tok, lab = line, ""
         toks.append(tok)
         labs.append(lab)
     if toks:
@@ -51,21 +54,19 @@ def _parse_lines(lines: Iterator[str], fname: str):
 
 
 def read_conll(spark: SparkSession, path: str) -> DataFrame:
-    """path: file or directory of CoNLL files → (file, sent_id, tokens, labels)."""
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if not f.startswith(".")
-        )
-    else:
-        files = [path]
+    """path: file or directory of CoNLL files → (file, sent_id, tokens, labels).
 
-    def parse_partition(it):
-        for fname in it:
-            with open(fname, encoding="utf-8") as f:
-                yield from _parse_lines(f, os.path.basename(fname))
+    Content ships through the engine (``wholeTextFiles``), so executors never need
+    driver-filesystem access — works on a real cluster against any Hadoop-compatible
+    store, one task per file; sentences never straddle task boundaries, so reassembly
+    is local and order-stable."""
 
-    rdd = spark.sparkContext.parallelize(files, numSlices=max(len(files), 1))
-    return spark.createDataFrame(rdd.mapPartitions(parse_partition), schema=CONLL_SCHEMA)
+    def parse_file(kv):
+        fname, content = kv
+        return _parse_lines(iter(content.splitlines()), os.path.basename(fname))
+
+    rdd = spark.sparkContext.wholeTextFiles(path).flatMap(parse_file)
+    return spark.createDataFrame(rdd, schema=CONLL_SCHEMA)
 
 
 def exploded_tokens(conll: DataFrame) -> DataFrame:

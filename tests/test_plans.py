@@ -51,6 +51,91 @@ def test_dedup_agg_is_partial_aggregated(spark):
     assert plan.count("Exchange") <= 2
 
 
+def _small_triples_and_links(spark):
+    import pandas as pd
+
+    triples = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"doc-{i:08d}" for i in range(64)],
+        "pred": ["возглавлял"] * 64,
+        "subj": ["Козлов"] * 64, "obj": ["Генштаб"] * 64,
+        "subj_norm": ["козлов"] * 32 + ["сергей козлов"] * 32,
+        "subj_type": ["PER"] * 64,
+        "obj_norm": ["генштаб"] * 64, "obj_type": ["ORG"] * 64,
+        "confidence": [0.5] * 64,
+    }))
+    links = spark.createDataFrame(pd.DataFrame({
+        "mention_norm": ["козлов", "сергей козлов", "генштаб"],
+        "mention_type": ["PER", "PER", "ORG"],
+        "entity_id": ["E000000", "E000000", "E000007"],
+    }))
+    return triples, links
+
+
+def test_link_triples_auto_lets_aqe_choose(spark):
+    """VERDICT round-1 item 2: no unconditional broadcast of vocabulary-sized link
+    tables. strategy='auto' puts NO hint in the plan; AQE then picks broadcast at
+    runtime for an actually-small dim and a shuffle join when broadcasting is
+    disabled/over-threshold."""
+    from lingvo_spark_kg.operators.linking import link_triples
+
+    triples, links = _small_triples_and_links(spark)
+
+    # under the size threshold the optimizer still broadcasts — by its own size
+    # estimate, not a forced hint
+    out = link_triples(triples, links)  # default 'auto'
+    static = _plan(out, spark)
+    assert "BroadcastHashJoin" in static
+
+    # with broadcasting disabled (proxy for an over-threshold dim), the same code
+    # falls back to a shuffle join instead of OOMing on a forced broadcast — this is
+    # exactly what an F.broadcast hint would NOT do
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = link_triples(triples, links)
+        plan2 = _plan(out2, spark)
+        assert "BroadcastHashJoin" not in plan2
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+        # results identical either way
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_link_triples_salted_equivalence(spark):
+    """Multi-key salted join (J2) returns exactly the broadcast-join result."""
+    from lingvo_spark_kg.operators.linking import link_triples
+
+    triples, links = _small_triples_and_links(spark)
+    cols = ["doc_id", "subj_norm", "subj_entity_id", "obj_norm", "obj_entity_id"]
+    a = sorted(map(tuple, link_triples(triples, links, strategy="broadcast")
+                   .select(cols).collect()))
+    b = sorted(map(tuple, link_triples(triples, links, strategy="salted", n_salt=4)
+                   .select(cols).collect()))
+    assert a == b
+
+
+def test_edges_table_strategy_threaded(spark):
+    """build_edges_table exposes the same strategy knob and stays correct on the
+    salted path (the avg is integer-exact, so strategies agree bit-for-bit)."""
+    import pandas as pd
+    from lingvo_spark_kg.operators.graph import build_edges_table
+
+    triples, links = _small_triples_and_links(spark)
+    canon = spark.createDataFrame(pd.DataFrame({
+        "mention_norm": ["козлов", "сергей козлов", "генштаб"],
+        "mention_type": ["PER", "PER", "ORG"],
+        "canonical_id": ["e:E000000", "e:E000000", "e:E000007"],
+    }))
+    cols = ["src_id", "pred", "dst_id", "n_occurrences", "avg_confidence", "n_docs"]
+    a = sorted(map(tuple, build_edges_table(triples, canon).select(cols).collect()))
+    b = sorted(map(tuple, build_edges_table(triples, canon, strategy="salted", n_salt=4)
+                   .select(cols).collect()))
+    assert a == b
+    # both subject readings canonicalize to one node → 2 distinct src_id values max
+    assert {r[0] for r in a} == {"e:E000000"}
+
+
 def test_fused_triples_plan_is_narrow(spark, gaz_bc):
     from lingvo_spark_kg.operators.docsgen import generate_docs
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused

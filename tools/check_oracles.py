@@ -32,6 +32,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str) -> int:
+    import os
+
+    # golden oracles (read_parquet tables) must be built for the SAME sf as the
+    # spark queries; the driver compares at sf0.01 (the env default)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
