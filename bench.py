@@ -3,6 +3,9 @@
 Default: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}.
+``queries`` are per-query medians over ``$SPARK_GRAFT_BENCH_REPEATS`` (default 3)
+full passes (raw runs included under "raw_runs") — single runs on this host swing
+2-4× with ambient load; plus one DNN-regimen tagging throughput entry ("dnn").
 
 ``python bench.py --scaling`` additionally runs the flagship docs→triples job at two
 parallelism levels (local[4] then local[16]; ``--saturated`` uses 8/32) on the SAME
@@ -39,6 +42,39 @@ def _time(fn) -> tuple[float, int]:
     t0 = time.time()
     n = fn()
     return round(time.time() - t0, 3), n
+
+
+def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
+    """DNN-regimen throughput (VERDICT r1 item 3): docs → tokenize → BiLSTM tag (POS +
+    NER NumPy forward passes) → triple templates. Runs on n_docs of the same synthetic
+    corpus; reports docs/s and tokens/s so the 100× story for the tagging-dominated
+    regimen is a measured number, not a guess."""
+    from pyspark.sql import functions as F
+
+    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
+    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
+    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+    from lingvo_spark_kg.operators.triples import extract_triples_df
+
+    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
+    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
+    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
+                                            seed=43)
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    docs = generate_docs(spark, n_docs).persist()
+    docs.count()
+    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc)
+    job = extract_triples_df(tagged).select("doc_id")
+    sec, _n = _time(job.count)
+    n_tokens = tagged.select(F.sum(F.size("tokens"))).first()[0]
+    docs.unpersist()
+    return sec, {"n_docs": n_docs, "n_tokens": int(n_tokens),
+                 "docs_per_sec": round(n_docs / sec, 1),
+                 "tokens_per_sec": round(n_tokens / sec, 1)}
 
 
 def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
@@ -172,16 +208,38 @@ def main() -> None:
                           "detail": res, "sf": sf}))
         return
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spark = _get_spark(cpus)
-    timings = run_headline(spark, sf_dir, n_docs)
-    n_triples = timings.pop("_meta_n_triples")
-    n_docs_done = timings.pop("_meta_n_docs")
+
+    # per-query median-of-N (host noise on this box swings single runs 2-4×,
+    # BASELINE.md "Noise"; medians make round-over-round comparison meaningful)
+    runs: list[dict[str, float]] = []
+    n_triples = n_docs_done = 0
+    for _ in range(repeats):
+        t = run_headline(spark, sf_dir, n_docs)
+        n_triples = t.pop("_meta_n_triples")
+        n_docs_done = t.pop("_meta_n_docs")
+        runs.append(t)
+
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+    timings = {k: median([r[k] for r in runs]) for k in runs[0]}
+
+    dnn_sec, dnn_meta = run_dnn_tag(spark, max(n_docs // 10, 1000))
+    timings["dnn_tag_bilstm"] = dnn_sec
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_and_dataops_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "raw_runs": runs,
+        "repeats": repeats,
+        "dnn": dnn_meta,
         "sf": sf,
         "n_docs": n_docs_done,
         "n_triples": n_triples,

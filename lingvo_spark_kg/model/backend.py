@@ -1,0 +1,145 @@
+"""Inference-backend seam: how tagger weights become per-executor predict functions.
+
+The Spark tag operator (operators/tag.py) is backend-agnostic: it broadcasts an opaque
+``bytes`` blob and a *loader* that rehydrates it once per worker process into an
+object with ``predict_tags(list[list[str]]) -> list[list[str]]``. Production mapping
+(SURVEY.md §1.2/§2.3): export the encoder to ONNX, broadcast the ONNX bytes, and run
+one onnxruntime ``InferenceSession`` per executor — ``OnnxTagBackend`` implements
+exactly that seam (reference architecture being exported: BiEncoder.cs:62-103 /
+TransformerEncoder.cs:63-89; greedy decode SeqLabel.cs:171-173). This sandbox has no
+onnxruntime, so the session construction is injectable (``session_factory``) and the
+default factory raises a clear ImportError — the operator, bundle format, batch shape
+and decode are real and tested either way; the NumPy models are the default backend.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Callable, Protocol
+
+import numpy as np
+
+from .vocab import EOS_ID, UNK_ID, Vocab
+
+
+class InferenceBackend(Protocol):
+    def predict_tags(self, sentences: list[list[str]],
+                     max_sent_length: int = 220) -> list[list[str]]: ...
+
+
+def numpy_backend(encoder: str = "bilstm") -> Callable[[bytes], InferenceBackend]:
+    """Loader for the NumPy forward-pass models (this environment's default)."""
+    if encoder == "transformer":
+        from .transformer import TransformerTaggerModel
+
+        return TransformerTaggerModel.from_bytes
+    from .bilstm import BiLSTMTaggerModel
+
+    return BiLSTMTaggerModel.from_bytes
+
+
+def onnx_backend(session_factory: Callable | None = None) -> Callable[[bytes], InferenceBackend]:
+    """Loader for ONNX bundles (production image: onnxruntime present)."""
+    return lambda blob: OnnxTagBackend.from_bytes(blob, session_factory=session_factory)
+
+
+def bucketed_chunked_predict(sentences: list[list[str]], predict_batch,
+                             max_sent_length: int = 220) -> list[list[str]]:
+    """Shared decode driver: equal-length buckets (batch-composition-invariant even
+    for pad-mask-less encoders) + the reference's long-sentence chunking (>220 tokens
+    chunked; ≤10% overflow truncated and padded with the last tag —
+    SeqLabel.cs:259-311, default 220 Options.cs:31)."""
+    out: list[list[str]] = [None] * len(sentences)  # type: ignore[list-item]
+    by_len: dict[int, list[int]] = {}
+    long_idx = []
+    for k, s in enumerate(sentences):
+        if len(s) <= max_sent_length:
+            by_len.setdefault(len(s), []).append(k)
+        else:
+            long_idx.append(k)
+    for _, idxs in sorted(by_len.items()):
+        for k, t in zip(idxs, predict_batch([sentences[k] for k in idxs])):
+            out[k] = t
+    for k in long_idx:
+        s = sentences[k]
+        n = len(s)
+        if n - max_sent_length <= max_sent_length * 0.1:
+            tags = predict_batch([s[:max_sent_length]])[0]
+            tags = tags + [tags[-1]] * (n - max_sent_length)
+        else:
+            tags = []
+            for off in range(0, n, max_sent_length):
+                tags.extend(predict_batch([s[off : off + max_sent_length]])[0])
+        out[k] = tags
+    return out
+
+
+def _default_session_factory(onnx_bytes: bytes):
+    try:
+        import onnxruntime  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover — not present in this sandbox
+        raise ImportError(
+            "onnxruntime is required for the ONNX inference backend; this sandbox "
+            "image ships without it — use the NumPy backend (numpy_backend()) or "
+            "inject a session_factory"
+        ) from e
+    opts = onnxruntime.SessionOptions()
+    opts.intra_op_num_threads = 1  # Spark task = the parallelism unit; don't oversubscribe
+    return onnxruntime.InferenceSession(onnx_bytes, sess_options=opts,
+                                        providers=["CPUExecutionProvider"])
+
+
+class OnnxTagBackend:
+    """ONNX execution backend: encode tokens via the bundled vocab, run the session on
+    a padded (B, T) int64 ``ids`` input expecting (B, T, n_tags) ``logits``, greedy
+    argmax decode (SeqLabel.cs:171-173), shared bucketing/chunking driver."""
+
+    def __init__(self, session, vocab: Vocab, tgt_tags: list[str]):
+        self.session = session
+        self.vocab = vocab
+        self.tgt_tags = list(tgt_tags)
+
+    # bundle = npz{__onnx__: uint8 model bytes, __meta_tags__, __meta_vocab__} —
+    # same meta conventions as the NumPy models' to_bytes (bilstm.py:86-101)
+    @staticmethod
+    def to_bundle(onnx_bytes: bytes, vocab: Vocab, tgt_tags: list[str]) -> bytes:
+        buf = io.BytesIO()
+        vocab_words = "\n".join(w for w, _ in sorted(vocab.word2id.items(),
+                                                     key=lambda kv: kv[1]))
+        np.savez(
+            buf,
+            __onnx__=np.frombuffer(onnx_bytes, dtype=np.uint8),
+            __meta_tags__=np.frombuffer("\n".join(tgt_tags).encode(), dtype=np.uint8),
+            __meta_vocab__=np.frombuffer(vocab_words.encode(), dtype=np.uint8),
+        )
+        return buf.getvalue()
+
+    @staticmethod
+    def from_bytes(blob: bytes, session_factory: Callable | None = None) -> "OnnxTagBackend":
+        z = np.load(io.BytesIO(blob))
+        tags = bytes(z["__meta_tags__"]).decode().split("\n")
+        vocab_words = bytes(z["__meta_vocab__"]).decode().split("\n")
+        onnx_bytes = bytes(z["__onnx__"])
+        factory = session_factory or _default_session_factory
+        return OnnxTagBackend(factory(onnx_bytes), Vocab(vocab_words[3:]), tags)
+
+    def _predict_batch(self, sentences: list[list[str]]) -> list[list[str]]:
+        if not sentences:
+            return []
+        lens = [len(s) for s in sentences]
+        T = max(lens)
+        if T == 0:
+            return [[] for _ in sentences]
+        ids = np.full((len(sentences), T), EOS_ID, dtype=np.int64)
+        w2i = self.vocab.word2id
+        for r, s in enumerate(sentences):
+            for t, tok in enumerate(s):
+                ids[r, t] = w2i.get(tok, UNK_ID)
+        (logits,) = self.session.run(None, {"ids": ids})
+        pred = np.argmax(logits, axis=2)
+        tags = self.tgt_tags
+        return [[tags[pred[r, t]] for t in range(lens[r])] for r in range(len(sentences))]
+
+    def predict_tags(self, sentences: list[list[str]],
+                     max_sent_length: int = 220) -> list[list[str]]:
+        return bucketed_chunked_predict(sentences, self._predict_batch, max_sent_length)

@@ -40,6 +40,31 @@ class Vocab:
         return [i2w.get(i, UNK) for i in ids]
 
     @staticmethod
+    def from_file(path: str) -> "Vocab":
+        """Vocab file source (S6): one ``word`` or ``word<TAB>anything`` per line; ids
+        are REASSIGNED sequentially from START_MEANING_INDEX=3 in file order — any id
+        column in the file is ignored, empty words and the predefined tokens are
+        skipped (reference: Models/Vocab.cs:97-119)."""
+        words = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n\r")
+                idx = line.find("\t")
+                word = line if idx == -1 else line[:idx]
+                if not word or word in PREDEFINED:
+                    continue
+                words.append(word)
+        return Vocab(words)
+
+    def to_file(self, path: str) -> str:
+        """Inverse of from_file: ``word<TAB>id`` lines, meaning ids only, id order."""
+        with open(path, "w", encoding="utf-8") as f:
+            for w, i in sorted(self.word2id.items(), key=lambda kv: kv[1]):
+                if i >= START_MEANING_INDEX:
+                    f.write(f"{w}\t{i}\n")
+        return path
+
+    @staticmethod
     def build(token_lists: Iterable[Iterable[str]], cap: int = 50_000) -> "Vocab":
         """Frequency-descending vocab (ties broken lexicographically for determinism —
         the reference's Dictionary ordering is unspecified, so we pin one)."""

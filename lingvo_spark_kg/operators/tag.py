@@ -23,7 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (re-exported for callers)
 
-from ..model.bilstm import BiLSTMTaggerModel
 from ..model.lexicon import LexiconNer, pos_tag_word
 from ..tokenizer import EWT_PUNCTUATION, IT_EMAIL, IT_NUM, IT_URL, Word
 from .schemas import TAGGED_SCHEMA
@@ -119,19 +118,24 @@ def tag_sentences_lexicon(sentences: DataFrame, gazetteer_bc) -> DataFrame:
 
 
 def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
-                         encoder: str = "bilstm") -> DataFrame:
+                         encoder: str = "bilstm", backend_loader=None) -> DataFrame:
     """DNN regimen: two tagging passes in one UDF — POS model over ending_pos features
     (MaxEndingLength=4) and NER model over ending_ner features (whole word), mirroring
     the reference's two-model service registry (pos_tagger_ru_settings.json:10-75).
     ``encoder`` selects the architecture the broadcast bytes encode — 'bilstm' or
-    'transformer' (the reference's EncoderType option, Applications/Options.cs)."""
+    'transformer' (the reference's EncoderType option, Applications/Options.cs).
+
+    ``backend_loader`` is the inference seam (model/backend.py): ``bytes →
+    InferenceBackend``, rehydrated once per worker. Default = the NumPy forward pass;
+    pass ``backend.onnx_backend()`` on a production image to run the same operator on
+    onnxruntime — no operator changes."""
+    if backend_loader is None:
+        from ..model.backend import numpy_backend
+
+        backend_loader = numpy_backend(encoder)
 
     def get_model(bc):
-        if encoder == "transformer":
-            from ..model.transformer import TransformerTaggerModel
-
-            return _cached_from_broadcast(bc, TransformerTaggerModel.from_bytes)
-        return _cached_from_broadcast(bc, BiLSTMTaggerModel.from_bytes)
+        return _cached_from_broadcast(bc, backend_loader)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos_model = get_model(pos_model_bc)

@@ -1,0 +1,185 @@
+"""Model/vocab file I/O (S5/S6) and the inference-backend seam.
+
+S5: `.s2s` protobuf-net wire format (Models/Model_4_ProtoBufSerializer.cs:36-57,
+save/load BaseSeq2SeqFramework.cs:186-221). S6: `word<TAB>id` vocab files with
+id-reassignment-from-3 (Models/Vocab.cs:97-119). Seam: operators/tag.py swaps
+NumPy ↔ ONNX backends without operator changes (model/backend.py).
+"""
+
+import numpy as np
+import pytest
+
+from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
+from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
+from lingvo_spark_kg.model.vocab import START_MEANING_INDEX, Vocab
+from lingvo_spark_kg.sources import s2s
+
+VOCAB_ITEMS = [f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя")
+SENTS = [
+    ["_ова", "_ет", "_в", "_на"],
+    ["_рал", "_штаб"],
+    ["_а"] * 7,
+]
+
+
+def _pinned():
+    vocab = Vocab(VOCAB_ITEMS)
+    return BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
+
+
+# ---------------------------------------------------------------- S5: .s2s
+
+def test_s2s_roundtrip_identical_tags(tmp_path):
+    """fixture .s2s → model → identical tags vs the in-memory pinned model."""
+    m = _pinned()
+    blob = s2s.write_s2s(s2s.from_tagger_model(m))
+    p = tmp_path / "model.s2s"
+    p.write_bytes(blob)
+    loaded = s2s.load_tagger(str(p))
+    assert loaded.tgt_tags == m.tgt_tags
+    assert loaded.src_vocab.word2id == m.src_vocab.word2id
+    assert (loaded.emb_dim, loaded.hidden_dim, loaded.depth) == (16, 16, 1)
+    for k, w in m.weights.items():
+        assert np.array_equal(loaded.weights[k].reshape(w.shape), w), k
+    assert loaded.predict_tags(SENTS) == m.predict_tags(SENTS)
+
+
+def test_s2s_reads_packed_floats():
+    """protobuf-net may emit repeated floats packed or unpacked; the reader takes both."""
+    import io as _io
+
+    m = s2s.from_tagger_model(_pinned())
+    raw = s2s.write_s2s(m)
+    parsed_unpacked = s2s.read_s2s(raw)
+
+    # re-encode one weight packed (wire type 2 payload of concatenated LE floats)
+    out = _io.BytesIO()
+    for name, w in m.name2weights.items():
+        pair = _io.BytesIO()
+        s2s._write_len_delimited(pair, 1, name.encode())
+        s2s._write_len_delimited(pair, 2, np.ascontiguousarray(w, "<f4").tobytes())
+        s2s._write_len_delimited(out, 1, pair.getvalue())
+    parsed_packed = s2s.read_s2s(out.getvalue())
+    for name in m.name2weights:
+        assert np.array_equal(parsed_packed.name2weights[name],
+                              parsed_unpacked.name2weights[name])
+
+
+def test_s2s_metadata_fields():
+    m = s2s.from_tagger_model(_pinned())
+    m.best_primary_scores = {"": 0.8125}
+    parsed = s2s.read_s2s(s2s.write_s2s(m))
+    assert parsed.encoder_type == s2s.ENCODER_BILSTM
+    assert parsed.encoder_embedding_dim == 16
+    assert parsed.hidden_dim == 16
+    assert parsed.encoder_layer_depth == 1
+    assert parsed.best_primary_scores == {"": 0.8125}
+
+
+def test_s2s_transformer_unmapped_but_parseable():
+    m = s2s.from_tagger_model(_pinned())
+    m.encoder_type = s2s.ENCODER_TRANSFORMER
+    parsed = s2s.read_s2s(s2s.write_s2s(m))
+    assert parsed.encoder_type == s2s.ENCODER_TRANSFORMER
+    with pytest.raises(NotImplementedError):
+        s2s.to_tagger_model(parsed)
+
+
+# ---------------------------------------------------------------- S6: vocab files
+
+def test_vocab_from_file_reassigns_ids(tmp_path):
+    """File ids are ignored; meaning ids run from START_MEANING_INDEX in file order;
+    empty words and predefined tokens are skipped (Vocab.cs:97-119)."""
+    p = tmp_path / "vocab.txt"
+    p.write_text("слово\t99\nдело\nтекст\t7\n\n</s>\t0\n<unk>\t2\nслово\t1\n",
+                 encoding="utf-8")
+    v = Vocab.from_file(str(p))
+    assert v.word2id["слово"] == START_MEANING_INDEX
+    assert v.word2id["дело"] == START_MEANING_INDEX + 1
+    assert v.word2id["текст"] == START_MEANING_INDEX + 2
+    assert len(v) == 3 + 3  # 3 predefined + 3 words (duplicate "слово" collapsed)
+
+
+def test_vocab_file_roundtrip(tmp_path):
+    v = Vocab(VOCAB_ITEMS)
+    p = v.to_file(str(tmp_path / "v.txt"))
+    assert Vocab.from_file(p).word2id == v.word2id
+
+
+# ---------------------------------------------------------------- backend seam
+
+class FakeSession:
+    """onnxruntime.InferenceSession stand-in: same run() contract, NumPy inside."""
+
+    def __init__(self, model: BiLSTMTaggerModel):
+        self._m = model
+
+    def run(self, _outputs, feeds):
+        return [self._m.logits(feeds["ids"])]
+
+
+def test_onnx_backend_parity_with_numpy():
+    from lingvo_spark_kg.model.backend import OnnxTagBackend
+
+    m = _pinned()
+    bundle = OnnxTagBackend.to_bundle(b"\x08\x07fake-onnx", m.src_vocab, m.tgt_tags)
+    be = OnnxTagBackend.from_bytes(bundle, session_factory=lambda _b: FakeSession(m))
+    assert be.predict_tags(SENTS) == m.predict_tags(SENTS)
+    # long-sentence chunking path too (>220 tokens, >10% overflow → chunked)
+    long_sent = ["_а"] * 500
+    assert be.predict_tags([long_sent]) == m.predict_tags([long_sent])
+
+
+def test_onnx_backend_missing_runtime_raises():
+    from lingvo_spark_kg.model.backend import OnnxTagBackend, _default_session_factory
+
+    m = _pinned()
+    bundle = OnnxTagBackend.to_bundle(b"bytes", m.src_vocab, m.tgt_tags)
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="onnxruntime"):
+            OnnxTagBackend.from_bytes(bundle, session_factory=_default_session_factory)
+
+
+def test_tag_operator_backend_swap(spark):
+    """The Spark operator produces identical frames under numpy and injected-ONNX
+    backends — the seam requires no operator changes (VERDICT r1 item 3)."""
+    from lingvo_spark_kg.model.backend import OnnxTagBackend
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    vocab = Vocab(VOCAB_ITEMS)
+    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
+    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
+                                            seed=43)
+    sents = tokenize_docs(generate_docs(spark, 48))
+
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    a = tag_sentences_bilstm(sents, pos_bc, ner_bc).select(
+        "doc_id", "span_idx", "sent_idx", "pos_tags", "ner_tags").collect()
+
+    pos_bundle = spark.sparkContext.broadcast(
+        OnnxTagBackend.to_bundle(pos_m.to_bytes(), vocab, POS_TAGS))
+    ner_bundle = spark.sparkContext.broadcast(
+        OnnxTagBackend.to_bundle(ner_m.to_bytes(), vocab, NER_TAGS))
+
+    def fake_loader(blob: bytes):
+        # a "session" built from the bundled payload itself — proves the loader seam
+        # carries everything the backend needs to executors. Local class (not the
+        # module-level FakeSession) so cloudpickle ships it by value to workers.
+        class _WorkerFakeSession:
+            def __init__(self, b: bytes):
+                self._m = BiLSTMTaggerModel.from_bytes(b)
+
+            def run(self, _outputs, feeds):
+                return [self._m.logits(feeds["ids"])]
+
+        return OnnxTagBackend.from_bytes(blob, session_factory=_WorkerFakeSession)
+
+    b = tag_sentences_bilstm(sents, pos_bundle, ner_bundle,
+                             backend_loader=fake_loader).select(
+        "doc_id", "span_idx", "sent_idx", "pos_tags", "ner_tags").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
