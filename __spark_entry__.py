@@ -329,6 +329,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (OR-amplified) LSH ANN with Hamming-1 multiprobe — the scale path
+    whose recall stops being a single-table bucket lottery (recall@10 ≥ 0.95 vs the
+    brute-force oracle is pinned in tests/test_spark_pipeline.py)."""
+    from lingvo_spark_kg.operators.ann import lsh_multitable_topk
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_multitable_topk(emb, queries, dim=64, k=10, round_digits=4)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 _HYP_RULE = """
 CASE WHEN token LIKE '%ть' THEN 'Verb'
      WHEN token LIKE '%ой' OR token LIKE '%ый' OR token LIKE '%ий' THEN 'Adjective'
@@ -457,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multi": q_ann_lsh_multi,
         "emb_neardup": q_emb_neardup,
         "prf_metrics": q_prf_metrics,
         "vocab_build": q_vocab_build,

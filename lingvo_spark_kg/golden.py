@@ -34,12 +34,20 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden's semantics change so stale files regenerate
-GOLDEN_VERSION = 3
+GOLDEN_VERSION = 4
 
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
-    "kg_invariant", "tag_bilstm", "tag_bilstm_crf", "media_meta",
+    "kg_invariant", "tag_bilstm", "tag_bilstm_crf", "media_meta", "ann_lsh_multi",
 )
+
+
+def _round_like_spark(x: float, digits: int) -> float:
+    """Spark's Round on DOUBLE = BigDecimal(Double.toString(x)).setScale(d, HALF_UP):
+    shortest round-trip repr (Python repr matches), then half-away-from-zero."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), ROUND_HALF_UP))
 
 
 def n_docs_for(sf_dir: str) -> int:
@@ -307,6 +315,64 @@ def _media_meta_rows(sf_dir: str) -> list[tuple]:
     return out
 
 
+def _ann_lsh_multi_rows(sf_dir: str, k: int = 10, n_planes: int = 6, n_tables: int = 16,
+                        seed: int = 42, round_digits: int = 4) -> list[tuple]:
+    """Mirror of ann.lsh_multitable_topk with sequential-fold float arithmetic (Spark's
+    F.aggregate is a left-to-right double fold, so plain Python loops — NOT np.dot,
+    whose pairwise summation differs in the last ulp — reproduce it bit-exactly)."""
+    import math
+
+    from .operators.ann import _hyperplanes
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = [[float(x) for x in e] for e in t.column("embedding").to_pylist()]
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a: list[float]) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    queries = [(vid, e) for vid, e in zip(ids, embs) if vid < 5]
+    cand: dict[int, set] = {qid: set() for qid, _ in queries}
+    for tbl in range(n_tables):
+        planes = _hyperplanes(len(embs[0]), n_planes, seed, table=tbl)
+        buckets: dict[str, list] = defaultdict(list)
+        bits_of: dict[int, str] = {}
+        for vid, e in zip(ids, embs):
+            bits = "".join("1" if fold_dot(e, p) >= 0 else "0" for p in planes)
+            buckets[bits].append(vid)
+            bits_of[vid] = bits
+        for qid, _e in queries:
+            qb = bits_of[qid]
+            probes = {qb}
+            for j in range(n_planes):
+                probes.add(qb[:j] + ("0" if qb[j] == "1" else "1") + qb[j + 1 :])
+            for p in probes:
+                cand[qid].update(buckets.get(p, ()))
+
+    emb_by_id = dict(zip(ids, embs))
+    out: list[tuple] = []
+    for qid, qe in queries:
+        scored = []
+        for vid in cand[qid]:
+            e = emb_by_id[vid]
+            cos = _round_like_spark(fold_dot(e, qe) / (norm(e) * norm(qe)), round_digits)
+            scored.append((vid, cos))
+        scored.sort(key=lambda vc: (-vc[1], vc[0]))
+        for rank, (vid, cos) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, cos, rank))
+    return out
+
+
 # ------------------------------------------------------------------ materialization
 
 _S, _I32, _I64, _F64 = pa.string(), pa.int32(), pa.int64(), pa.float64()
@@ -331,6 +397,8 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     "media_meta": [("doc_id", _S), ("span_idx", _I32), ("kind", _S), ("n_bytes", _I32),
                    ("sha1", _S), ("width", _I32), ("height", _I32),
                    ("duration_ms", _I32)],
+    "ann_lsh_multi": [("query_id", _I64), ("vec_id", _I64), ("cosine", _F64),
+                      ("rank", _I64)],
 }
 
 
@@ -371,6 +439,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = [(r[0], r[1], r[2], r[3], r[5]) for r in _tagged_token_rows(sf_dir, crf=True)]
     elif name == "media_meta":
         rows = _media_meta_rows(sf_dir)
+    elif name == "ann_lsh_multi":
+        rows = _ann_lsh_multi_rows(sf_dir)
     else:
         raise KeyError(name)
 

@@ -53,8 +53,12 @@ def cosine_topk_brute(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng([seed, 777])
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42,
+                 table: int | None = None) -> list[list[float]]:
+    """Deterministic seeded hyperplanes; ``table`` selects an independent plane set
+    per LSH table (None keeps the original single-table stream for compatibility
+    with the pinned single-table oracles)."""
+    rng = np.random.default_rng([seed, 777] if table is None else [seed, 777, table])
     return rng.standard_normal((n_planes, dim)).astype(float).tolist()
 
 
@@ -86,6 +90,65 @@ def embedding_neardup(embeddings: DataFrame, dim: int, threshold: float = 0.95,
                 / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), round_digits).alias("cosine"),
     )
     return scored.where(F.col("cosine") >= threshold)
+
+
+def lsh_multitable_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+                        k: int = 10, n_planes: int = 6, n_tables: int = 16,
+                        seed: int = 42, round_digits: int = 6,
+                        probe_hamming1: bool = True) -> DataFrame:
+    """ANN with OR-amplification: ``n_tables`` independent hyperplane tables; a
+    corpus vector is a candidate if it shares a bucket with the query in ANY table
+    (union → distinct), plus optional Hamming-1 multiprobe on the query side (each
+    query also probes the n_planes buckets one bit-flip away — big recall boost per
+    table at zero corpus-side cost). Candidates are re-ranked by exact cosine.
+
+    Single-table LSH recall at fixed k is a bucket-boundary lottery; with L tables a
+    true neighbor with per-table collision probability p is recalled with
+    1-(1-p)^L. At 100 TB the per-table bucket joins and the final candidate re-rank
+    join are all key-partitioned equi-joins — never an all-pairs product; candidate
+    volume is bounded by bucket sizes × L."""
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed, table=t)
+        e_bits = [
+            F.when(_dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) >= 0,
+                   "1").otherwise("0")
+            for p in planes
+        ]
+        e_t = embeddings.select("vec_id", F.concat(*e_bits).alias("bucket"))
+        q_bits = [
+            F.when(_dot(F.col("q_emb"), F.array(*[F.lit(v) for v in p])) >= 0,
+                   "1").otherwise("0")
+            for p in planes
+        ]
+        probes = [F.concat(*q_bits)]
+        if probe_hamming1:
+            flip = {"1": "0", "0": "1"}
+            for j in range(n_planes):
+                flipped = [
+                    F.when(b == "1", flip["1"]).otherwise(flip["0"]) if i == j else b
+                    for i, b in enumerate(q_bits)
+                ]
+                probes.append(F.concat(*flipped))
+        q_t = q.select("query_id", F.explode(F.array(*probes)).alias("bucket")).distinct()
+        c = e_t.join(F.broadcast(q_t), "bucket").select("query_id", "vec_id")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    scored = (
+        cand.join(embeddings, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, queries: DataFrame, dim: int,

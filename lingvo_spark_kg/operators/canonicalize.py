@@ -56,23 +56,75 @@ def build_edges(links: DataFrame) -> DataFrame:
     return e_link.unionByName(e_block).dropDuplicates(["src", "dst"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _read_cc_state(checkpoint_dir: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(checkpoint_dir, "cc_state.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (ValueError, OSError):  # half-written state: ignore, restart from scratch
+        return None
+
+
+def _write_cc_state(checkpoint_dir: str, state: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(checkpoint_dir, ".cc_state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, os.path.join(checkpoint_dir, "cc_state.json"))  # atomic
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         checkpoint_dir: str | None = None, checkpoint_every: int = 4,
+                         on_iteration=None) -> DataFrame:
     """(v, component) for every vertex appearing in edges; component = min vertex id
-    reachable. Checkpointed loop; converges when no label changes."""
+    reachable. Checkpointed loop; converges when no label changes.
+
+    Durability: ``localCheckpoint`` (the default) cuts lineage but stores blocks on
+    executors — fine in local mode, but an executor loss at hour N of a 100 TB run
+    kills the job. With ``checkpoint_dir`` set, every ``checkpoint_every``-th
+    iteration's labels are written to reliable storage (ping-pong A/B parquet +
+    atomically-replaced state file) and a rerun with the same dir RESUMES from the
+    last durable iteration instead of restarting. The dir must belong to this edge
+    set (the pipeline's config-fingerprinted workdir guarantees that —
+    pipeline.py:91-106); pass a fresh dir for a different graph.
+
+    ``on_iteration(it)`` is called at each iteration start (progress/metrics hook;
+    the resume test injects faults through it)."""
+    import os
+
+    spark = edges.sparkSession
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates(["src", "dst"])
     sym = sym.repartition("src").localCheckpoint()
 
-    labels = (
-        sym.select(F.col("src").alias("v"))
-        .distinct()
-        .withColumn("component", F.col("v"))
-        .localCheckpoint()
-    )
+    start_it = 0
+    labels = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        state = _read_cc_state(checkpoint_dir)
+        if state:
+            labels = spark.read.parquet(state["path"]).select("v", "component")
+            start_it = state["iteration"] + 1
+    if labels is None:
+        labels = (
+            sym.select(F.col("src").alias("v"))
+            .distinct()
+            .withColumn("component", F.col("v"))
+            .localCheckpoint()
+        )
 
     changed = 0
-    for it in range(max_iter):
+    for it in range(start_it, max_iter):
+        if on_iteration is not None:
+            on_iteration(it)
         neighbor_min = (
             sym.join(labels, sym.dst == labels.v)
             .groupBy("src")
@@ -89,7 +141,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.col("component").alias("old_component"),
             )
         )
-        new_labels = new_labels.localCheckpoint()
+        if checkpoint_dir and it % checkpoint_every == checkpoint_every - 1:
+            # ping-pong so the overwrite never clobbers files the live frame reads
+            slot = os.path.join(checkpoint_dir, f"labels_{(it // checkpoint_every) % 2}")
+            new_labels.write.mode("overwrite").parquet(slot)
+            _write_cc_state(checkpoint_dir, {"iteration": it, "path": slot})
+            new_labels = spark.read.parquet(slot)
+        else:
+            new_labels = new_labels.localCheckpoint()
         labels = new_labels.select("v", "component")
         # convergence check every 2nd iteration: each check is a driver round-trip,
         # and one extra (idempotent) propagation pass is cheaper than a check
@@ -105,7 +164,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
-def canonical_map(links: DataFrame, max_iter: int = 25) -> DataFrame:
+def canonical_map(links: DataFrame, max_iter: int = 25,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """→ (mention_norm, mention_type, n_mentions, entity_id, canonical_id).
 
     ``links`` is materialized once up front (localCheckpoint): it is consumed three
@@ -115,7 +175,7 @@ def canonical_map(links: DataFrame, max_iter: int = 25) -> DataFrame:
     links = links.localCheckpoint()
     m = _mention_vertices(links)
     edges = build_edges(links)
-    comp = connected_components(edges, max_iter=max_iter)
+    comp = connected_components(edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     return (
         m.join(comp, m.v == comp.v, "left")
         .select(

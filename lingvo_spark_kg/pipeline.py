@@ -45,6 +45,8 @@ class KgPipeline:
     fused: bool = True
     link_strategy: str = "broadcast"  # or "salted" when the alias dim exceeds broadcast budget
     link_fuzzy: bool = False  # second-pass stem-block linking for inflected mentions
+    durable_cc: bool = False  # CC iteration state to reliable storage (cluster runs);
+    # local-mode default stays localCheckpoint — see canonicalize.connected_components
     docs_df: DataFrame | None = None  # override the generated corpus with a real table
     timings: dict[str, float] = field(default_factory=dict)
 
@@ -139,8 +141,10 @@ class KgPipeline:
             return linking.link_mentions(mentions, aliases, strategy=self.link_strategy)
 
         links = self._run_stage("links", build_links, resume)
+        cc_dir = self.path("cc_checkpoints") if self.durable_cc else None
         canon = self._run_stage(
-            "canonical_map", lambda: canonicalize.canonical_map(links), resume
+            "canonical_map",
+            lambda: canonicalize.canonical_map(links, checkpoint_dir=cc_dir), resume
         )
         linked_triples = self._run_stage(
             "linked_triples", lambda: linking.link_triples(triples, links), resume

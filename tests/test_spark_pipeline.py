@@ -139,6 +139,60 @@ def test_connected_components_known_graph(spark):
     assert comp["f"] == "f"
 
 
+def test_ann_multitable_recall(spark):
+    """OR-amplified LSH (VERDICT r1 item 8): recall@10 ≥ 0.95 vs the exact brute-force
+    top-k on the driver embeddings — single-table LSH recall here is ~0.2-0.4."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    exact = e.q_ann_topk(spark, sf).collect()
+    approx = e.q_ann_lsh_multi(spark, sf).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+
+
+def test_connected_components_durable_resume(spark, tmp_path):
+    """VERDICT r1 item 7: kill between CC iterations, complete from durable state.
+    A long path graph (diameter 12) forces many propagation iterations; the fault
+    injector kills the run after the first durable checkpoint; the rerun must (a)
+    resume past iteration 0 instead of restarting and (b) produce exactly the
+    labels of an uninterrupted run."""
+    n = 13
+    chain = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, ["src", "dst"])
+    cc_dir = str(tmp_path / "cc")
+
+    class Killed(RuntimeError):
+        pass
+
+    def kill_after_checkpoint(it):
+        if it == 3:  # first durable write happens at it==1 (checkpoint_every=2)
+            raise Killed()
+
+    with pytest.raises(Killed):
+        canonicalize.connected_components(
+            edges, checkpoint_dir=cc_dir, checkpoint_every=2,
+            on_iteration=kill_after_checkpoint)
+    assert (tmp_path / "cc" / "cc_state.json").exists()
+
+    seen_iters = []
+    comp = {r["v"]: r["component"] for r in canonicalize.connected_components(
+        edges, checkpoint_dir=cc_dir, checkpoint_every=2,
+        on_iteration=seen_iters.append).collect()}
+    assert seen_iters[0] == 2  # resumed after the it==1 durable state, not from 0
+
+    golden = {r["v"]: r["component"] for r in
+              canonicalize.connected_components(edges).collect()}
+    assert comp == golden
+    assert set(comp.values()) == {"v00"}
+
+
 def test_canonicalization_groups_name_variants(spark, docs, gaz_bc):
     aliases = spark.createDataFrame(make_aliases(seed=42), schema=ALIASES_SCHEMA)
     triples = docs_to_triples_fused(docs, gaz_bc)
