@@ -1,0 +1,100 @@
+"""Table writer seam: where stage outputs land (parquet dirs now, Iceberg on a lake).
+
+The north-star spec materializes the graph as partitioned Iceberg node/edge tables;
+this sandbox has no Iceberg runtime, so the pipeline writes parquet directories. To
+keep that a *deployment* choice instead of a code path, every stage write goes through
+a ``TableWriter``:
+
+ * ``ParquetTableWriter`` — directory-per-stage under a workdir; bucketed tables use
+   ``partitionBy("bucket")`` (the file-layout stand-in for Iceberg's bucket transform);
+   done-detection via the ``_SUCCESS`` marker.
+ * ``IcebergTableWriter`` — ``df.writeTo(cat.ns.table).using("iceberg")
+   .partitionedBy(bucket(N, col))`` with done-detection via the catalog; construction
+   fails fast when the session has no such catalog configured, so SCALE.md's DDL is an
+   executable swap (``KgPipeline(writer=IcebergTableWriter(spark, "lake"))``), not
+   aspiration.
+
+Both implement the same contract, unit-tested in tests/test_spark_pipeline.py; the
+pipeline is writer-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableWriter(Protocol):
+    def write(self, df: DataFrame, table: str, bucket_col: str | None = None,
+              n_buckets: int = 32) -> None: ...
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame: ...
+
+    def done(self, spark: SparkSession, table: str) -> bool: ...
+
+
+class ParquetTableWriter:
+    """Directory-per-table parquet layout under ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, df: DataFrame, table: str, bucket_col: str | None = None,
+              n_buckets: int = 32) -> None:
+        w = df
+        if bucket_col is not None:
+            # co-locate and order by bucket so downstream bucket-wise consumers read
+            # contiguous files — the parquet analog of Iceberg's bucket(N, col)
+            w = w.repartition(n_buckets, bucket_col).sortWithinPartitions(bucket_col)
+        writer = w.write.mode("overwrite")
+        if bucket_col is not None:
+            writer = writer.partitionBy(bucket_col)
+        writer.parquet(self._path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self._path(table))
+
+    def done(self, spark: SparkSession, table: str) -> bool:
+        return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))
+
+
+class IcebergTableWriter:
+    """Iceberg catalog tables (production lake). Requires a configured catalog —
+    e.g. ``spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog`` — and the
+    Iceberg runtime on the classpath; constructor fails fast otherwise."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "kg"):
+        try:
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:  # noqa: BLE001 — Spark raises for unset conf keys
+            impl = None
+        if not impl:
+            raise RuntimeError(
+                f"no Spark catalog '{catalog}' configured "
+                f"(spark.sql.catalog.{catalog} unset) — IcebergTableWriter needs an "
+                "Iceberg catalog + runtime jar; use ParquetTableWriter here"
+            )
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def _full(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def write(self, df: DataFrame, table: str, bucket_col: str | None = None,
+              n_buckets: int = 32) -> None:
+        w = df.writeTo(self._full(table)).using("iceberg")
+        if bucket_col is not None:
+            w = w.partitionedBy(F.bucket(n_buckets, bucket_col))
+        w.createOrReplace()
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.table(self._full(table))
+
+    def done(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(self._full(table))

@@ -29,10 +29,7 @@ from .operators.schemas import ALIASES_SCHEMA
 from .operators.tag import tag_sentences_lexicon
 from .operators.tokenize import media_spans, tokenize_docs
 from .operators.triples import docs_to_triples_fused, extract_triples_df
-
-
-def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+from .operators.writer import ParquetTableWriter
 
 
 @dataclass
@@ -48,23 +45,30 @@ class KgPipeline:
     durable_cc: bool = False  # CC iteration state to reliable storage (cluster runs);
     # local-mode default stays localCheckpoint — see canonicalize.connected_components
     docs_df: DataFrame | None = None  # override the generated corpus with a real table
+    writer: object | None = None  # TableWriter; default ParquetTableWriter(workdir) —
+    # pass IcebergTableWriter(spark, catalog) on a lake (operators/writer.py)
     timings: dict[str, float] = field(default_factory=dict)
 
     def path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
-    def _read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(stage))
+    def _writer(self):
+        if self.writer is None:
+            self.writer = ParquetTableWriter(self.workdir)
+        return self.writer
 
-    def _run_stage(self, stage: str, build, resume: bool) -> DataFrame:
-        p = self.path(stage)
-        if resume and _done(p):
-            return self._read(stage)
+    def _read(self, stage: str) -> DataFrame:
+        return self._writer().read(self.spark, stage)
+
+    def _run_stage(self, stage: str, build, resume: bool,
+                   bucket_col: str | None = None) -> DataFrame:
+        w = self._writer()
+        if resume and w.done(self.spark, stage):
+            return w.read(self.spark, stage)
         t0 = time.time()
-        df = build()
-        df.write.mode("overwrite").parquet(p)
+        w.write(build(), stage, bucket_col=bucket_col, n_buckets=self.n_buckets)
         self.timings[stage] = round(time.time() - t0, 3)
-        return self._read(stage)
+        return w.read(self.spark, stage)
 
     # --- broadcast side data (alias rows computed once per pipeline object) ---
     def _alias_rows(self) -> list:
@@ -150,11 +154,12 @@ class KgPipeline:
             "linked_triples", lambda: linking.link_triples(triples, links), resume
         )
         nodes = self._run_stage(
-            "nodes", lambda: graph.build_nodes(canon, self.n_buckets), resume
+            "nodes", lambda: graph.build_nodes(canon, self.n_buckets), resume,
+            bucket_col="bucket",
         )
         edges = self._run_stage(
             "edges", lambda: graph.build_edges_table(linked_triples, canon, self.n_buckets),
-            resume,
+            resume, bucket_col="bucket",
         )
         metrics = self._run_stage(
             "metrics",

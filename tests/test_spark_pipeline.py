@@ -139,6 +139,56 @@ def test_connected_components_known_graph(spark):
     assert comp["f"] == "f"
 
 
+def test_table_writer_contract(spark, tmp_path):
+    """Writer seam (VERDICT r1 item 9): parquet impl round-trips bucketed tables and
+    reports done(); the Iceberg impl fails fast without a configured catalog (SCALE.md
+    swap point), so pipelines can't silently write nowhere."""
+    import pandas as pd
+
+    from lingvo_spark_kg.operators.writer import IcebergTableWriter, ParquetTableWriter
+
+    w = ParquetTableWriter(str(tmp_path))
+    df = spark.createDataFrame(pd.DataFrame({
+        "src_id": [f"e:{i}" for i in range(20)],
+        "n": list(range(20)),
+        "bucket": [i % 4 for i in range(20)],
+    }))
+    assert not w.done(spark, "edges")
+    w.write(df, "edges", bucket_col="bucket", n_buckets=4)
+    assert w.done(spark, "edges")
+    back = w.read(spark, "edges")
+    assert sorted((r["src_id"], r["n"], r["bucket"]) for r in back.collect()) == \
+        sorted((r["src_id"], r["n"], r["bucket"]) for r in df.collect())
+    # bucket is a physical partition of the layout
+    assert any(p.name.startswith("bucket=") for p in (tmp_path / "edges").iterdir())
+
+    with pytest.raises(RuntimeError, match="catalog"):
+        IcebergTableWriter(spark, "no_such_catalog")
+
+
+def test_pipeline_through_custom_writer(spark, tmp_path):
+    """The pipeline is writer-agnostic: an instrumented writer sees every stage."""
+    from lingvo_spark_kg.operators.writer import ParquetTableWriter
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    class RecordingWriter(ParquetTableWriter):
+        def __init__(self, root):
+            super().__init__(root)
+            self.tables = []
+
+        def write(self, df, table, bucket_col=None, n_buckets=32):
+            self.tables.append((table, bucket_col))
+            super().write(df, table, bucket_col, n_buckets)
+
+    w = RecordingWriter(str(tmp_path))
+    p = KgPipeline(spark, workdir=str(tmp_path), n_docs=200, writer=w)
+    counts = p.run(resume=False)
+    assert counts["edges"] > 0
+    written = dict(w.tables)
+    assert written["nodes"] == "bucket" and written["edges"] == "bucket"
+    assert "triples_raw" in written and "canonical_map" in written
+
+
 def test_ann_multitable_recall(spark):
     """OR-amplified LSH (VERDICT r1 item 8): recall@10 ≥ 0.95 vs the exact brute-force
     top-k on the driver embeddings — single-table LSH recall here is ~0.2-0.4."""
