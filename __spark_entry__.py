@@ -344,6 +344,20 @@ def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic hash-sampled coarse centroids, cell-keyed candidate
+    join, n_probe=4 of 16 cells, exact cosine re-rank (operators/ann.py ivf_topk)."""
+    from lingvo_spark_kg.operators.ann import ivf_topk
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4, round_digits=4)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 _HYP_RULE = """
 CASE WHEN token LIKE '%ть' THEN 'Verb'
      WHEN token LIKE '%ой' OR token LIKE '%ый' OR token LIKE '%ий' THEN 'Adjective'
@@ -473,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multi": q_ann_lsh_multi,
+        "ann_ivf": q_ann_ivf,
         "emb_neardup": q_emb_neardup,
         "prf_metrics": q_prf_metrics,
         "vocab_build": q_vocab_build,

@@ -69,6 +69,8 @@ def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
     docs.count()
     tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc)
     job = extract_triples_df(tagged).select("doc_id")
+    job.count()  # warm-up: python workers + model rehydration are fixed costs,
+    # steady-state throughput is the number that scales
     sec, _n = _time(job.count)
     n_tokens = tagged.select(F.sum(F.size("tokens"))).first()[0]
     docs.unpersist()

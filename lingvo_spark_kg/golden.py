@@ -34,11 +34,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden's semantics change so stale files regenerate
-GOLDEN_VERSION = 4
+GOLDEN_VERSION = 5
 
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
     "kg_invariant", "tag_bilstm", "tag_bilstm_crf", "media_meta", "ann_lsh_multi",
+    "ann_ivf",
 )
 
 
@@ -373,6 +374,55 @@ def _ann_lsh_multi_rows(sf_dir: str, k: int = 10, n_planes: int = 6, n_tables: i
     return out
 
 
+def _ann_ivf_rows(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+                  round_digits: int = 4) -> list[tuple]:
+    """Mirror of ann.ivf_topk (same sequential-fold arithmetic as the LSH mirror)."""
+    import math
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = [[float(x) for x in e] for e in t.column("embedding").to_pylist()]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    emb_by_id = dict(zip(ids, embs))
+    # centroid pick: n smallest md5(str(vec_id)) — mirrors pick_ivf_centroids
+    ranked_ids = sorted(ids, key=lambda v: hashlib.md5(str(v).encode()).hexdigest())
+    centroids = [(vid, emb_by_id[vid]) for vid in sorted(ranked_ids[:n_centroids])]
+
+    def cell_scores(e):
+        return [(fold_dot(e, cvec) / (norm(e) * norm(cvec)), cid) for cid, cvec in centroids]
+
+    cells: dict[int, list] = defaultdict(list)
+    for vid, e in zip(ids, embs):
+        cells[max(cell_scores(e))[1]].append(vid)
+
+    out: list[tuple] = []
+    for qid, qe in [(v, e) for v, e in zip(ids, embs) if v < 5]:
+        probes = [cid for _cos, cid in sorted(cell_scores(qe), reverse=True)[:n_probe]]
+        cand = {vid for cid in probes for vid in cells[cid]}
+        scored = []
+        for vid in cand:
+            e = emb_by_id[vid]
+            cos = _round_like_spark(fold_dot(e, qe) / (norm(e) * norm(qe)), round_digits)
+            scored.append((vid, cos))
+        scored.sort(key=lambda vc: (-vc[1], vc[0]))
+        for rank, (vid, cos) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, cos, rank))
+    return out
+
+
 # ------------------------------------------------------------------ materialization
 
 _S, _I32, _I64, _F64 = pa.string(), pa.int32(), pa.int64(), pa.float64()
@@ -399,6 +449,8 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
                    ("duration_ms", _I32)],
     "ann_lsh_multi": [("query_id", _I64), ("vec_id", _I64), ("cosine", _F64),
                       ("rank", _I64)],
+    "ann_ivf": [("query_id", _I64), ("vec_id", _I64), ("cosine", _F64),
+                ("rank", _I64)],
 }
 
 
@@ -441,6 +493,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _media_meta_rows(sf_dir)
     elif name == "ann_lsh_multi":
         rows = _ann_lsh_multi_rows(sf_dir)
+    elif name == "ann_ivf":
+        rows = _ann_ivf_rows(sf_dir)
     else:
         raise KeyError(name)
 

@@ -151,6 +151,75 @@ def lsh_multitable_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def pick_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the ``n_centroids`` corpus vectors
+    with the smallest md5(vec_id) — a seeded-hash sample that is reproducible across
+    engines (so the oracle can mirror it) and, unlike k-means, has no float-iteration
+    ambiguity. On a production lake this is where trained k-means centroids plug in;
+    everything downstream only sees (centroid_id, vector) pairs."""
+    rows = (
+        embeddings.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    # centroid_id = vec_id of the chosen vector (stable, engine-portable)
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _cell_expr(emb_col, centroids) -> "F.Column":
+    """argmax-cosine cell id as a pure column expression: max of (cosine, centroid_id)
+    structs — no UDF, codegen-friendly."""
+    scored = [
+        F.struct(
+            (_dot(emb_col, F.array(*[F.lit(v) for v in vec]))
+             / (_norm(emb_col) * _norm(F.array(*[F.lit(v) for v in vec])))).alias("cos"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, vec in centroids
+    ]
+    return F.array_max(F.array(*scored))["cid"]
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             round_digits: int = 6) -> DataFrame:
+    """IVF ANN (the inverted-file scale path next to LSH): corpus vectors are
+    partitioned into coarse cells by nearest centroid; each query probes its
+    ``n_probe`` nearest cells and re-ranks candidates by exact cosine. All joins are
+    cell-keyed equi-joins; candidate volume ≈ corpus × n_probe / n_centroids. At
+    100 TB the cell column doubles as the physical partition key, so a probe reads
+    only its cells' files (partition pruning)."""
+    centroids = pick_ivf_centroids(embeddings, n_centroids)
+    e = embeddings.withColumn("cell", _cell_expr(F.col("embedding"), centroids))
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+
+    scored_cells = [
+        F.struct(
+            (_dot(F.col("q_emb"), F.array(*[F.lit(v) for v in vec]))
+             / (_norm(F.col("q_emb")) * _norm(F.array(*[F.lit(v) for v in vec])))).alias("cos"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, vec in centroids
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*scored_cells)))  # desc by (cos, cid)
+    probes = q.select(
+        "query_id", "q_emb",
+        F.explode(F.slice(ranked, 1, n_probe)).alias("probe"),
+    ).select("query_id", "q_emb", F.col("probe")["cid"].alias("cell"))
+    joined = e.join(F.broadcast(probes), "cell")
+    scored = joined.select(
+        "query_id", "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
                       k: int = 10, n_planes: int = 6, seed: int = 42,
                       round_digits: int = 6) -> DataFrame:

@@ -207,6 +207,30 @@ def test_ann_multitable_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.95, recalls
 
 
+def test_ann_ivf_self_match_and_bounded_candidates(spark):
+    """IVF sanity: every query's rank-1 hit is itself (cosine 1.0 — its own cell is
+    always probed), and probing n_probe of n_centroids cells actually bounds the
+    candidate set (the point of the inverted file)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from lingvo_spark_kg.operators.ann import ivf_topk, pick_ivf_centroids, _cell_expr
+
+    sf = "/root/testdata/sf0.001"
+    rows = e.q_ann_ivf(spark, sf).collect()
+    top1 = {r["query_id"]: (r["vec_id"], r["cosine"]) for r in rows if r["rank"] == 1}
+    assert top1 == {q: (q, 1.0) for q in range(5)}
+
+    emb = e._embeddings(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    centroids = pick_ivf_centroids(emb, 16)
+    assert len(centroids) == 16
+    cells = emb.withColumn("cell", _cell_expr(F.col("embedding"), centroids))
+    sizes = {r["cell"]: r["n"] for r in
+             cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 4 probed cells can never cover the whole corpus
+    assert sum(sorted(sizes.values(), reverse=True)[:4]) < emb.count()
+
+
 def test_connected_components_durable_resume(spark, tmp_path):
     """VERDICT r1 item 7: kill between CC iterations, complete from durable state.
     A long path graph (diameter 12) forces many propagation iterations; the fault
