@@ -67,12 +67,15 @@ def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
     docs = generate_docs(spark, n_docs).persist()
     docs.count()
-    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc)
+    sents = tokenize_docs(docs)
+    # token count from the UN-tagged frame (identical tokens) — counting via `tagged`
+    # would re-run both DNN forward passes just for the sum
+    n_tokens = sents.select(F.sum(F.size("tokens"))).first()[0]
+    tagged = tag_sentences_bilstm(sents, pos_bc, ner_bc)
     job = extract_triples_df(tagged).select("doc_id")
     job.count()  # warm-up: python workers + model rehydration are fixed costs,
     # steady-state throughput is the number that scales
     sec, _n = _time(job.count)
-    n_tokens = tagged.select(F.sum(F.size("tokens"))).first()[0]
     docs.unpersist()
     return sec, {"n_docs": n_docs, "n_tokens": int(n_tokens),
                  "docs_per_sec": round(n_docs / sec, 1),

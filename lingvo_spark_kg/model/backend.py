@@ -44,20 +44,33 @@ def onnx_backend(session_factory: Callable | None = None) -> Callable[[bytes], I
 
 
 def bucketed_chunked_predict(sentences: list[list[str]], predict_batch,
-                             max_sent_length: int = 220) -> list[list[str]]:
-    """Shared decode driver: equal-length buckets (batch-composition-invariant even
-    for pad-mask-less encoders) + the reference's long-sentence chunking (>220 tokens
-    chunked; ≤10% overflow truncated and padded with the last tag —
-    SeqLabel.cs:259-311, default 220 Options.cs:31)."""
+                             max_sent_length: int = 220,
+                             bucket_by_length: bool = True) -> list[list[str]]:
+    """THE decode driver (single copy — BiLSTM, Transformer and ONNX backends all
+    delegate here): length bucketing + the reference's long-sentence chunking
+    (>220 tokens chunked; ≤10% overflow truncated and padded with the last tag —
+    SeqLabel.cs:259-311, default 220 Options.cs:31).
+
+    ``bucket_by_length=True`` = equal-length batches, so no sentence ever sees pad
+    tokens — required for pad-mask-less encoders (the reference BiLSTM,
+    BiEncoder.cs:62-103) to stay batch-composition-invariant. ``False`` = one padded
+    batch of all normal-length sentences, for encoders with a pad attention mask
+    (Transformer, Encoder.cs:91)."""
     out: list[list[str]] = [None] * len(sentences)  # type: ignore[list-item]
+    normal_idx = []
     by_len: dict[int, list[int]] = {}
     long_idx = []
     for k, s in enumerate(sentences):
         if len(s) <= max_sent_length:
+            normal_idx.append(k)
             by_len.setdefault(len(s), []).append(k)
         else:
             long_idx.append(k)
-    for _, idxs in sorted(by_len.items()):
+    if bucket_by_length:
+        groups = [idxs for _, idxs in sorted(by_len.items())]
+    else:
+        groups = [normal_idx] if normal_idx else []
+    for idxs in groups:
         for k, t in zip(idxs, predict_batch([sentences[k] for k in idxs])):
             out[k] = t
     for k in long_idx:

@@ -178,40 +178,15 @@ class BiLSTMTaggerModel:
                      max_sent_length: int = 220) -> list[list[str]]:
         """Full predict path: encode via vocab, pad to batch max with EOS
         (BuildInTokens.PadSentences, Corpus/BuildInTokens.cs:29-75), forward, argmax,
-        slice to true length. Sentences longer than ``max_sent_length`` are predicted in
-        chunks and concatenated — unless the overflow is ≤10%, in which case the tail is
-        truncated and padded with the last chunk's final tag
-        (Predict_Full/Predict_Full_Routine, SeqLabel.cs:259-311; default 220,
-        Options.cs:31)."""
-        out: list[list[str]] = [None] * len(sentences)  # type: ignore[list-item]
-        normal_idx = [k for k, s in enumerate(sentences) if len(s) <= max_sent_length]
-        long_idx = [k for k, s in enumerate(sentences) if len(s) > max_sent_length]
+        slice to true length. Length bucketing + >220-token chunking live in the
+        shared decode driver (model/backend.py bucketed_chunked_predict); bucketing is
+        REQUIRED here — the reference BiLSTM has no pad mask (BiEncoder.cs:62-103), so
+        a padded mixed-length batch would leak pad tokens into backward states and
+        make results batch-composition-dependent."""
+        from .backend import bucketed_chunked_predict
 
-        # Bucket by length so no sentence sees pad tokens: the reference BiLSTM has no
-        # pad mask (BiEncoder.cs:62-103 — only the Transformer path builds one,
-        # Encoder.cs:91), so padding would leak into backward states and make results
-        # batch-dependent. Equal-length batching keeps the decode deterministic under
-        # any partitioning/batching Spark chooses.
-        by_len: dict[int, list[int]] = {}
-        for k in normal_idx:
-            by_len.setdefault(len(sentences[k]), []).append(k)
-        for _, idxs in sorted(by_len.items()):
-            tags = self._predict_batch([sentences[k] for k in idxs])
-            for k, t in zip(idxs, tags):
-                out[k] = t
-
-        for k in long_idx:
-            s = sentences[k]
-            n = len(s)
-            if n - max_sent_length <= max_sent_length * 0.1:
-                tags = self._predict_batch([s[:max_sent_length]])[0]
-                tags = tags + [tags[-1]] * (n - max_sent_length)
-            else:
-                tags = []
-                for off in range(0, n, max_sent_length):
-                    tags.extend(self._predict_batch([s[off : off + max_sent_length]])[0])
-            out[k] = tags
-        return out
+        return bucketed_chunked_predict(sentences, self._predict_batch,
+                                        max_sent_length, bucket_by_length=True)
 
     def predict_probs(self, sentence: list[str]) -> tuple[list[list[tuple[str, float]]], float]:
         """Per-class probabilities, batch-1 path (SeqLabel.cs:175-218): per word the

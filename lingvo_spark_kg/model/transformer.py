@@ -152,27 +152,13 @@ class TransformerTaggerModel:
     def predict_tags(self, sentences: list[list[str]],
                      max_sent_length: int = 220) -> list[list[str]]:
         """Padded batch decode WITH the pad self-attention mask (so results are
-        batch-composition independent, unlike the unmasked BiLSTM); same chunking
-        semantics as the BiLSTM path (SeqLabel.cs:259-311)."""
-        out: list[list[str]] = [None] * len(sentences)  # type: ignore[list-item]
-        normal = [k for k, s in enumerate(sentences) if len(s) <= max_sent_length]
-        long_idx = [k for k, s in enumerate(sentences) if len(s) > max_sent_length]
-        if normal:
-            batch = [sentences[k] for k in normal]
-            for k, t in zip(normal, self._predict_batch(batch)):
-                out[k] = t
-        for k in long_idx:
-            s = sentences[k]
-            n = len(s)
-            if n - max_sent_length <= max_sent_length * 0.1:
-                tags = self._predict_batch([s[:max_sent_length]])[0]
-                tags = tags + [tags[-1]] * (n - max_sent_length)
-            else:
-                tags = []
-                for off in range(0, n, max_sent_length):
-                    tags.extend(self._predict_batch([s[off : off + max_sent_length]])[0])
-            out[k] = tags
-        return out
+        batch-composition independent — no length bucketing needed, unlike the
+        unmasked BiLSTM); chunking semantics (SeqLabel.cs:259-311) live in the shared
+        decode driver."""
+        from .backend import bucketed_chunked_predict
+
+        return bucketed_chunked_predict(sentences, self._predict_batch,
+                                        max_sent_length, bucket_by_length=False)
 
     def _predict_batch(self, sentences: list[list[str]]) -> list[list[str]]:
         if not sentences:

@@ -108,7 +108,12 @@ def lsh_multitable_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     join are all key-partitioned equi-joins — never an all-pairs product; candidate
     volume is bounded by bucket sizes × L."""
     q = queries.select("query_id", F.col("embedding").alias("q_emb"))
-    cand = None
+
+    # ONE corpus scan: all n_tables bucket ids computed in a single projection and
+    # posexploded to (table, bucket) rows; a per-table loop of separate joins would
+    # re-execute the embeddings source plan n_tables times.
+    e_bucket_exprs = []
+    q_probe_exprs = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed, table=t)
         e_bits = [
@@ -116,7 +121,7 @@ def lsh_multitable_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
                    "1").otherwise("0")
             for p in planes
         ]
-        e_t = embeddings.select("vec_id", F.concat(*e_bits).alias("bucket"))
+        e_bucket_exprs.append(F.concat(*e_bits))
         q_bits = [
             F.when(_dot(F.col("q_emb"), F.array(*[F.lit(v) for v in p])) >= 0,
                    "1").otherwise("0")
@@ -124,17 +129,30 @@ def lsh_multitable_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
         ]
         probes = [F.concat(*q_bits)]
         if probe_hamming1:
-            flip = {"1": "0", "0": "1"}
             for j in range(n_planes):
                 flipped = [
-                    F.when(b == "1", flip["1"]).otherwise(flip["0"]) if i == j else b
+                    (F.when(b == "1", "0").otherwise("1")) if i == j else b
                     for i, b in enumerate(q_bits)
                 ]
                 probes.append(F.concat(*flipped))
-        q_t = q.select("query_id", F.explode(F.array(*probes)).alias("bucket")).distinct()
-        c = e_t.join(F.broadcast(q_t), "bucket").select("query_id", "vec_id")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["query_id", "vec_id"])
+        q_probe_exprs.extend(
+            F.struct(F.lit(t).alias("table"), p.alias("bucket")) for p in probes
+        )
+
+    e_all = embeddings.select(
+        "vec_id", F.posexplode(F.array(*e_bucket_exprs)).alias("table", "bucket")
+    )
+    q_all = (
+        q.select("query_id", F.explode(F.array(*q_probe_exprs)).alias("probe"))
+        .select("query_id", F.col("probe")["table"].alias("table"),
+                F.col("probe")["bucket"].alias("bucket"))
+        .distinct()
+    )
+    cand = (
+        e_all.join(F.broadcast(q_all), ["table", "bucket"])
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     scored = (
         cand.join(embeddings, "vec_id")
         .join(F.broadcast(q), "query_id")

@@ -121,7 +121,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             .localCheckpoint()
         )
 
-    changed = 0
+    changed: int | None = None  # None = convergence never verified this run
     for it in range(start_it, max_iter):
         if on_iteration is not None:
             on_iteration(it)
@@ -156,6 +156,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             changed = new_labels.where(F.col("component") != F.col("old_component")).limit(1).count()
             if changed == 0:
                 break
+    if changed is None:
+        # the loop never ran a convergence check — e.g. resume from a checkpoint
+        # written at max_iter-1 right before the original run raised. Verify the
+        # restored labels directly instead of silently trusting them.
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        changed = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src)
+            .where(F.col("nbr_component") < F.col("component"))
+            .limit(1)
+            .count()
+        )
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} iterations — "

@@ -65,7 +65,17 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         fname, content = kv
         return _parse_lines(iter(content.splitlines()), os.path.basename(fname))
 
-    rdd = spark.sparkContext.wholeTextFiles(path).flatMap(parse_file)
+    # Hadoop's hidden-file filter silently drops '_'-prefixed files (not just '.');
+    # corpus files named '_train.conll' are legitimate, so enumerate local dirs
+    # explicitly (driver-side listing is fine — only the OPEN must happen in-engine)
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if not f.startswith(".")
+        )
+        src = ",".join(files) if files else path
+    else:
+        src = path
+    rdd = spark.sparkContext.wholeTextFiles(src).flatMap(parse_file)
     return spark.createDataFrame(rdd, schema=CONLL_SCHEMA)
 
 

@@ -55,6 +55,11 @@ def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
 
 
 def _write_varint(out: io.BytesIO, v: int) -> None:
+    if v < 0:
+        # protobuf-net would emit a 10-byte two's-complement varint; no valid model
+        # field here (ids, dims, enums) is negative, so fail loudly instead of
+        # spinning forever on Python's arithmetic right-shift of a negative int
+        raise ValueError(f"negative varint not supported: {v}")
     while True:
         b = v & 0x7F
         v >>= 7
@@ -140,8 +145,12 @@ def _parse_str_int_map_entry(buf: memoryview) -> tuple[str, int]:
         if fno == 1:
             k = bytes(v).decode("utf-8")
         elif fno == 2:
-            val = v
-    return k, int(val)
+            val = int(v)
+            # protobuf encodes negative int32 as a 10-byte two's-complement varint;
+            # fold back to signed instead of returning a huge positive id
+            if val >= 1 << 63:
+                val -= 1 << 64
+    return k, val
 
 
 def _parse_vocab(buf: memoryview) -> tuple[dict[str, int], bool]:
