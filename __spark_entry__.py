@@ -465,6 +465,23 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation — the same watermarked operator the
+    streaming path uses (operators/streaming.windowed_event_counts), run on the batch
+    events table (identical plan modulo the watermark node)."""
+    from lingvo_spark_kg.operators.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # window bounds as formatted strings: engines disagree on timestamp unit/tz
+    # dtypes (ns vs us, naive vs tz) even when the instants are identical
+    return windowed_event_counts(ev, window="5 minutes").select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"), "sum_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -494,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_distribution": q_len_distribution,
         "words_in_dict": q_words_in_dict,
         "event_windows": q_event_windows,
+        "event_windowed_agg": q_event_windowed_agg,
     }
 
 
@@ -742,6 +760,16 @@ def oracle_sql() -> dict[str, str]:
                    lag(event_type, 1) OVER w AS prev_type
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "event_windowed_agg": """
+            SELECT strftime(epoch_ms(CAST(floor(epoch(ts) / 300) * 300000 AS BIGINT)),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   strftime(epoch_ms(CAST(floor(epoch(ts) / 300) * 300000 + 300000 AS BIGINT)),
+                            '%Y-%m-%d %H:%M:%S') AS win_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2, 3
         """,
         "ann_lsh": _ann_lsh_oracle(),
         "emb_neardup": _emb_neardup_oracle(),

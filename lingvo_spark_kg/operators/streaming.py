@@ -1,20 +1,30 @@
-"""Structured Streaming ingestion: incremental docs → triples.
+"""Structured Streaming: incremental docs → triples, stateful mention counts,
+watermarked windowed aggregation.
 
 The reference is a batch/offline system (no streaming constructs — SURVEY.md §2.7), so
-the batch pipeline is the primary shape. This module adds the incremental-ingest
-variant a production triple factory needs: new doc files landing in a directory are
-picked up by a file-source ``readStream``, run through the SAME fused extraction
-operator via ``foreachBatch`` (one code path for batch and streaming — no semantic
-drift, including duplicate multiplicity). foreachBatch is at-least-once, so the write
-is made idempotent by keying each micro-batch to its own partition directory
-(``batch_id=N``) written with overwrite — a retried batch replaces its own output
-instead of appending twice. Combined with the file-source checkpoint this yields
-effective exactly-once.
+the batch pipeline is the primary shape. This module adds the incremental shapes a
+production triple factory needs:
+
+ * ``stream_docs_to_triples`` — file-source ``readStream`` through the SAME fused
+   extraction operator via ``foreachBatch`` (one code path for batch and streaming —
+   no semantic drift, including duplicate multiplicity). foreachBatch is
+   at-least-once, so the write is made idempotent by keying each micro-batch to its
+   own partition directory (``batch_id=N``) written with overwrite — a retried batch
+   replaces its own output instead of appending twice. Combined with the file-source
+   checkpoint this yields effective exactly-once.
+ * ``streaming_mention_counts`` — custom stateful operator via
+   ``applyInPandasWithState``: cumulative per-mention occurrence counts across
+   micro-batches, state in the checkpointed state store (survives restarts).
+ * ``windowed_event_counts`` — watermark + tumbling-window aggregation over an event
+   stream: late events within the watermark still update their window; events later
+   than the watermark are dropped (bounded state at 100 TB/day event volumes).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import DOCS_SCHEMA
 from .triples import docs_to_triples_fused
@@ -44,4 +54,72 @@ def stream_docs_to_triples(spark: SparkSession, input_dir: str, output_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+MENTION_COUNTS_SCHEMA = T.StructType([
+    T.StructField("mention_norm", T.StringType()),
+    T.StructField("mention_type", T.StringType()),
+    T.StructField("n_total", T.LongType()),
+])
+
+_MENTION_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def streaming_mention_counts(spark: SparkSession, input_dir: str, gazetteer_bc) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): docs file-stream →
+    fused triple extraction (stateless mapInArrow works unchanged on streaming frames)
+    → explode subject/object mentions → per-(norm, type) CUMULATIVE occurrence counts.
+    Running totals live in the state store under the query's checkpoint, so counts
+    keep accumulating across restarts; emit mode is 'update' (one row per touched
+    mention per micro-batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    triples = docs_to_triples_fused(docs, gazetteer_bc)
+    mentions = triples.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj_norm").alias("mention_norm"),
+                         F.col("subj_type").alias("mention_type")),
+                F.struct(F.col("obj_norm").alias("mention_norm"),
+                         F.col("obj_type").alias("mention_type")),
+            )
+        ).alias("m")
+    ).select("m.mention_norm", "m.mention_type")
+
+    def update_counts(key, pdfs, state):
+        n_new = sum(len(pdf) for pdf in pdfs)
+        n_old = state.get[0] if state.exists else 0
+        total = n_old + n_new
+        state.update((total,))
+        yield pd.DataFrame({
+            "mention_norm": [key[0]], "mention_type": [key[1]], "n_total": [total],
+        })
+
+    return mentions.groupBy("mention_norm", "mention_type").applyInPandasWithState(
+        update_counts,
+        outputStructType=MENTION_COUNTS_SCHEMA,
+        stateStructType=_MENTION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes",
+                          window: str = "5 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation for late data: events carry an event-
+    time ``ts``; a late event inside the watermark still updates its window, one
+    beyond it is dropped and its window's state evicted — state stays bounded by
+    (watermark horizon / window size) × key cardinality regardless of stream length.
+    Works on both streaming and batch frames (same plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "event_type", "n_events", "sum_value")
     )

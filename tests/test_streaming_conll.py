@@ -31,6 +31,106 @@ def test_streaming_matches_batch(spark, gaz_bc, tmp_path_factory):
     assert len(streamed) > 0
 
 
+def test_streaming_stateful_mention_counts(spark, gaz_bc, tmp_path_factory):
+    """applyInPandasWithState: running per-mention totals ACCUMULATE across separate
+    availableNow runs (state survives in the checkpointed state store), and the final
+    totals equal the batch-computed mention counts."""
+    from lingvo_spark_kg.operators.linking import mentions_from_triples
+    from lingvo_spark_kg.operators.streaming import streaming_mention_counts
+
+    base = tmp_path_factory.mktemp("stateful")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+
+    docs = generate_docs(spark, 120).cache()
+    half = "doc-00000060"
+
+    def run_once(_name: str) -> dict:
+        rows = []
+
+        def sink(bdf, _bid):  # memory sink can't recover from a checkpoint; foreachBatch can
+            rows.extend(bdf.collect())
+
+        q = (
+            streaming_mention_counts(spark, in_dir, gaz_bc)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["mention_norm"], r["mention_type"]): r["n_total"] for r in rows}
+
+    docs.where(F.col("doc_id") < half).write.mode("overwrite").parquet(in_dir)
+    first = run_once("mc_run1")
+    assert first and all(v > 0 for v in first.values())
+
+    docs.where(F.col("doc_id") >= half).write.mode("append").parquet(in_dir)
+    second = run_once("mc_run2")
+
+    batch = {
+        (r["mention_norm"], r["mention_type"]): r["n_mentions"]
+        for r in mentions_from_triples(docs_to_triples_fused(docs, gaz_bc)).collect()
+    }
+    # run-2 emits totals for mentions touched by batch 2 — every emitted total must
+    # equal the full-corpus batch count (i.e. run-1 state accumulated, not reset)
+    assert second, "second run should emit updated totals"
+    for k, v in second.items():
+        assert v == batch[k], (k, v, batch[k])
+    # and at least one mention grew across the two runs
+    assert any(second[k] > first.get(k, 0) for k in second)
+
+
+def test_streaming_windowed_watermark_late_data(spark, tmp_path_factory):
+    """Watermark semantics: a late event within the watermark updates its window; an
+    event older than the watermark horizon is dropped."""
+    import pandas as pd
+    from lingvo_spark_kg.operators.streaming import windowed_event_counts
+
+    base = tmp_path_factory.mktemp("watermark")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(rows, mode):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=schema).write.mode(mode).parquet(in_dir)
+
+    def run_once(_name: str) -> dict:
+        rows = []
+
+        def sink(bdf, _bid):
+            rows.extend(bdf.collect())
+
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            windowed_event_counts(stream, watermark="10 minutes", window="5 minutes")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(str(r["win_start"]), r["event_type"]): r["n_events"] for r in rows}
+
+    # batch 1: events up to 12:00 → watermark advances to 11:50
+    write_batch([("2026-01-01 11:00:00", "click", 1.0),
+                 ("2026-01-01 11:02:00", "click", 1.0),
+                 ("2026-01-01 12:00:00", "view", 1.0)], "overwrite")
+    run_once("wm_run1")
+
+    # batch 2: one late-but-inside-watermark event (11:57 ≥ 11:50) and one too-late
+    # event (11:01 < 11:50, its 11:00 window state already evicted)
+    write_batch([("2026-01-01 11:57:00", "click", 1.0),
+                 ("2026-01-01 11:01:00", "click", 1.0)], "append")
+    out2 = run_once("wm_run2")
+
+    assert out2.get(("2026-01-01 11:55:00", "click")) == 1  # accepted late event
+    assert ("2026-01-01 11:00:00", "click") not in out2  # dropped: beyond watermark
+
+
 def test_conll_roundtrip_and_metric_shape(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("conll")
     path = str(base / "valid.conll")
