@@ -258,15 +258,11 @@ def _vocab_from_word2id(word2id: dict[str, int]):
 
 
 def to_tagger_model(m: S2SModel):
-    """S2SModel → BiLSTMTaggerModel with reference weight names mapped onto the NumPy
-    forward pass's keys (shape reconstruction mirrors the reference's network
-    re-creation before LoadParameters, SeqLabel.cs:70-90)."""
-    if m.encoder_type != ENCODER_BILSTM:
-        raise NotImplementedError(
-            "only EncoderType=BiLSTM .s2s models are mapped onto the NumPy forward "
-            "pass; Transformer weight packing (sharedQKV MultiHeadAttention) differs "
-            "— parse layer (read_s2s) exposes the raw tensors for custom mapping"
-        )
+    """S2SModel → BiLSTM/Transformer tagger model with reference weight names mapped
+    onto the NumPy forward pass's keys (shape reconstruction mirrors the reference's
+    network re-creation before LoadParameters, SeqLabel.cs:70-90)."""
+    if m.encoder_type == ENCODER_TRANSFORMER:
+        return _to_transformer_model(m)
     from ..model.bilstm import BiLSTMTaggerModel
 
     emb_dim, hidden, depth = m.encoder_embedding_dim, m.hidden_dim, m.encoder_layer_depth
@@ -300,9 +296,76 @@ def to_tagger_model(m: S2SModel):
     return BiLSTMTaggerModel(weights, src_vocab, tgt_tags, emb_dim, hidden, depth)
 
 
+def _to_transformer_model(m: S2SModel):
+    """Transformer mapping: the reference encoder uses sharedQKV MultiHeadAttention
+    (one packed (inputDim, 3H) projection viewed as (…, 3, heads, D) and select-sliced
+    — MultiHeadAttention.cs:61-62,84-88), so columns [0:H]=Q, [H:2H]=K, [2H:3H]=V,
+    head-major inside each block — exactly our per-matrix reshape order. Layer names:
+    TransformerEncoder.SelfAttn_i.{Q,Qb,W0,b0,layerNormQ.*},
+    TransformerEncoder.PosFFN_i.{feedForwardLayer1|2.m_Whd|m_Bd, layerNorm2.*},
+    TransformerEncoder.layerNorm.* (TransformerEncoder.cs:44-57); the sinusoidal
+    PosEmbedding is static (isStaticWeights, SeqLabel.cs:84-85 — not serialized) and
+    is regenerated. Requires hiddenDim == embeddingDim as the reference asserts
+    (TransformerEncoder.cs:32)."""
+    from ..model.transformer import TransformerTaggerModel, sinusoidal_position_embedding
+
+    emb_dim, hidden, depth = m.encoder_embedding_dim, m.hidden_dim, m.encoder_layer_depth
+    if hidden != emb_dim:
+        raise ValueError(
+            f"Transformer .s2s requires HiddenDim == EncoderEmbeddingDim "
+            f"(got {hidden} != {emb_dim}) — TransformerEncoder.cs:32"
+        )
+    src_vocab = _vocab_from_word2id(m.src_word2id)
+    tgt_tags = [w for w, _i in sorted(m.tgt_word2id.items(), key=lambda kv: kv[1])]
+    nw = m.name2weights
+
+    def t(name: str, *shape: int) -> np.ndarray:
+        w = nw[name]
+        if w.size != int(np.prod(shape)):
+            raise ValueError(f"{name}: got {w.size} floats, expected shape {shape}")
+        return w.reshape(shape)
+
+    H = hidden
+    weights: dict[str, np.ndarray] = {
+        "emb": t("SrcEmbeddings", len(src_vocab), emb_dim),
+        "ln_f.g": t("TransformerEncoder.layerNorm.m_alpha", H),
+        "ln_f.b": t("TransformerEncoder.layerNorm.m_beta", H),
+        "ff.W": t("FeedForward.m_Whd", H, len(tgt_tags)),
+        "ff.b": t("FeedForward.m_Bd", len(tgt_tags)),
+    }
+    for layer in range(depth):
+        a = f"TransformerEncoder.SelfAttn_{layer}"
+        f_ = f"TransformerEncoder.PosFFN_{layer}"
+        p = f"enc.{layer}"
+        qkv = t(f"{a}.Q", emb_dim, 3 * H)
+        qkv_b = t(f"{a}.Qb", 3 * H)
+        for j, name in enumerate(("q", "k", "v")):
+            weights[f"{p}.attn.{name}.W"] = qkv[:, j * H : (j + 1) * H]
+            weights[f"{p}.attn.{name}.b"] = qkv_b[j * H : (j + 1) * H]
+        weights[f"{p}.attn.o.W"] = t(f"{a}.W0", H, H)
+        weights[f"{p}.attn.o.b"] = t(f"{a}.b0", H)
+        weights[f"{p}.ln1.g"] = t(f"{a}.layerNormQ.m_alpha", H)
+        weights[f"{p}.ln1.b"] = t(f"{a}.layerNormQ.m_beta", H)
+        weights[f"{p}.ffn.W1"] = t(f"{f_}.feedForwardLayer1.m_Whd", H, 4 * H)
+        weights[f"{p}.ffn.b1"] = t(f"{f_}.feedForwardLayer1.m_Bd", 4 * H)
+        weights[f"{p}.ffn.W2"] = t(f"{f_}.feedForwardLayer2.m_Whd", 4 * H, H)
+        weights[f"{p}.ffn.b2"] = t(f"{f_}.feedForwardLayer2.m_Bd", H)
+        weights[f"{p}.ln2.g"] = t(f"{f_}.layerNorm2.m_alpha", H)
+        weights[f"{p}.ln2.b"] = t(f"{f_}.layerNorm2.m_beta", H)
+    max_len = 512
+    weights["pos"] = sinusoidal_position_embedding(max_len + 2, emb_dim)
+    n_heads = m.multi_head_num or 1
+    return TransformerTaggerModel(weights, src_vocab, tgt_tags, emb_dim, n_heads,
+                                  depth, max_len=max_len)
+
+
 def from_tagger_model(model) -> S2SModel:
-    """BiLSTMTaggerModel → S2SModel with reference-convention names (model sink for
-    interop fixtures; inverse of to_tagger_model)."""
+    """Tagger model → S2SModel with reference-convention names (model sink for
+    interop fixtures; inverse of to_tagger_model). Dispatches on model type."""
+    from ..model.transformer import TransformerTaggerModel
+
+    if isinstance(model, TransformerTaggerModel):
+        return _from_transformer_model(model)
     w = model.weights
     nw: dict[str, np.ndarray] = {
         "SrcEmbeddings": w["emb"],
@@ -332,7 +395,48 @@ def from_tagger_model(model) -> S2SModel:
     )
 
 
+def _from_transformer_model(model) -> S2SModel:
+    w = model.weights
+    H = model.emb_dim
+    nw: dict[str, np.ndarray] = {
+        "SrcEmbeddings": w["emb"],
+        "TransformerEncoder.layerNorm.m_alpha": w["ln_f.g"],
+        "TransformerEncoder.layerNorm.m_beta": w["ln_f.b"],
+        "FeedForward.m_Whd": w["ff.W"],
+        "FeedForward.m_Bd": w["ff.b"],
+    }
+    for layer in range(model.depth):
+        a = f"TransformerEncoder.SelfAttn_{layer}"
+        f_ = f"TransformerEncoder.PosFFN_{layer}"
+        p = f"enc.{layer}"
+        nw[f"{a}.Q"] = np.concatenate(
+            [w[f"{p}.attn.{n}.W"] for n in ("q", "k", "v")], axis=1)
+        nw[f"{a}.Qb"] = np.concatenate(
+            [w[f"{p}.attn.{n}.b"] for n in ("q", "k", "v")])
+        nw[f"{a}.W0"] = w[f"{p}.attn.o.W"]
+        nw[f"{a}.b0"] = w[f"{p}.attn.o.b"]
+        nw[f"{a}.layerNormQ.m_alpha"] = w[f"{p}.ln1.g"]
+        nw[f"{a}.layerNormQ.m_beta"] = w[f"{p}.ln1.b"]
+        nw[f"{f_}.feedForwardLayer1.m_Whd"] = w[f"{p}.ffn.W1"]
+        nw[f"{f_}.feedForwardLayer1.m_Bd"] = w[f"{p}.ffn.b1"]
+        nw[f"{f_}.feedForwardLayer2.m_Whd"] = w[f"{p}.ffn.W2"]
+        nw[f"{f_}.feedForwardLayer2.m_Bd"] = w[f"{p}.ffn.b2"]
+        nw[f"{f_}.layerNorm2.m_alpha"] = w[f"{p}.ln2.g"]
+        nw[f"{f_}.layerNorm2.m_beta"] = w[f"{p}.ln2.b"]
+    return S2SModel(
+        name2weights=nw,
+        encoder_embedding_dim=model.emb_dim,
+        encoder_layer_depth=model.depth,
+        encoder_type=ENCODER_TRANSFORMER,
+        hidden_dim=H,
+        multi_head_num=model.n_heads,
+        src_word2id=dict(model.src_vocab.word2id),
+        tgt_word2id={t: i for i, t in enumerate(model.tgt_tags)},
+        best_primary_scores={"": 0.0},
+    )
+
+
 def load_tagger(path: str):
-    """Convenience: .s2s file → ready BiLSTMTaggerModel."""
+    """Convenience: .s2s file → ready BiLSTM/Transformer tagger model."""
     with open(path, "rb") as f:
         return to_tagger_model(read_s2s(f.read()))

@@ -76,13 +76,36 @@ def test_s2s_metadata_fields():
     assert parsed.best_primary_scores == {"": 0.8125}
 
 
-def test_s2s_transformer_unmapped_but_parseable():
-    m = s2s.from_tagger_model(_pinned())
-    m.encoder_type = s2s.ENCODER_TRANSFORMER
-    parsed = s2s.read_s2s(s2s.write_s2s(m))
-    assert parsed.encoder_type == s2s.ENCODER_TRANSFORMER
-    with pytest.raises(NotImplementedError):
-        s2s.to_tagger_model(parsed)
+def test_s2s_transformer_roundtrip_identical_tags(tmp_path):
+    """Transformer .s2s: sharedQKV packing (Q|K|V column blocks) and the full layer
+    name map roundtrip to identical tags — the reference's shipped POS model is a
+    Transformer (pos_tagger_ru_settings.json), so this is the path a real user's
+    model file takes."""
+    from lingvo_spark_kg.model.transformer import TransformerTaggerModel
+
+    vocab = Vocab(VOCAB_ITEMS)
+    m = TransformerTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, n_heads=4,
+                                             depth=2)
+    blob = s2s.write_s2s(s2s.from_tagger_model(m))
+    p = tmp_path / "model_tx.s2s"
+    p.write_bytes(blob)
+    loaded = s2s.load_tagger(str(p))
+    assert isinstance(loaded, TransformerTaggerModel)
+    assert (loaded.emb_dim, loaded.n_heads, loaded.depth) == (16, 4, 2)
+    for k, w in m.weights.items():
+        assert np.array_equal(loaded.weights[k].reshape(w.shape), w), k
+    assert loaded.predict_tags(SENTS) == m.predict_tags(SENTS)
+
+
+def test_s2s_transformer_requires_hidden_eq_embedding():
+    from lingvo_spark_kg.model.transformer import TransformerTaggerModel
+
+    m = s2s.from_tagger_model(
+        TransformerTaggerModel.create_pinned(Vocab(VOCAB_ITEMS), POS_TAGS,
+                                             emb_dim=16, n_heads=4, depth=1))
+    m.hidden_dim = 32  # violates TransformerEncoder.cs:32
+    with pytest.raises(ValueError, match="HiddenDim"):
+        s2s.to_tagger_model(m)
 
 
 # ---------------------------------------------------------------- S6: vocab files
