@@ -137,14 +137,29 @@ def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
     def get_model(bc):
         return _cached_from_broadcast(bc, backend_loader)
 
+    def predict_unique(model, feats: list[list[str]]) -> list[list[str]]:
+        # batch-local dedup: identical feature sequences decoded once — the DNN
+        # analog of the tokenizer operators' per-batch text memo (real web corpora
+        # are duplicate-heavy; the decode is deterministic and batch-invariant, so
+        # results are identical to predicting every copy)
+        idx_of: dict[tuple, int] = {}
+        uniq: list[list[str]] = []
+        for fs in feats:
+            key = tuple(fs)
+            if key not in idx_of:
+                idx_of[key] = len(uniq)
+                uniq.append(fs)
+        preds = model.predict_tags(uniq)
+        return [preds[idx_of[tuple(fs)]] for fs in feats]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos_model = get_model(pos_model_bc)
         ner_model = get_model(ner_model_bc)
         for pdf in batches:
             pos_feats = [[t["ending_pos"] for t in toks] for toks in pdf["tokens"]]
             ner_feats = [[t["ending_ner"] for t in toks] for toks in pdf["tokens"]]
-            pos_raw = pos_model.predict_tags(pos_feats)
-            ner_raw = ner_model.predict_tags(ner_feats)
+            pos_raw = predict_unique(pos_model, pos_feats)
+            ner_raw = predict_unique(ner_model, ner_feats)
             pdf = pdf.copy()
             pdf["pos_tags"] = [
                 _correct_output_types(toks, tags) for toks, tags in zip(pdf["tokens"], pos_raw)

@@ -41,7 +41,10 @@ def build_pyfiles_zip(out_path: str | None = None) -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith((".py", ".npz")):
+                # code + every runtime data file the package loads (chartypes npz
+                # cache, sentence-splitter tables) — a .py-only zip imports but
+                # fails at table load on executors
+                if f.endswith((".py", ".npz", ".json.gz", ".json")):
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, REPO_DIR)
                     z.write(full, rel)
