@@ -169,16 +169,24 @@ class KgPipeline:
             resume,
         )
 
-        counts = {
-            "docs": docs.count(),
-            "media_spans": media.count(),
-            "triples_raw": triples.count(),
-            "links": links.count(),
-            "canonical_map": canon.count(),
-            "nodes": nodes.count(),
-            "edges": edges.count(),
-            "metrics": metrics.count(),
+        # one job for the whole summary (a union of per-stage counts) instead of
+        # 8 sequential .count() actions / driver round-trips
+        from functools import reduce
+
+        stage_frames = {
+            "docs": docs, "media_spans": media, "triples_raw": triples,
+            "links": links, "canonical_map": canon, "nodes": nodes,
+            "edges": edges, "metrics": metrics,
         }
+        counts_df = reduce(
+            DataFrame.unionByName,
+            [
+                df.agg(F.count(F.lit(1)).alias("n")).select(
+                    F.lit(name).alias("stage"), "n")
+                for name, df in stage_frames.items()
+            ],
+        )
+        counts = {r["stage"]: r["n"] for r in counts_df.collect()}
         with open(os.path.join(self.workdir, "run_summary.json"), "w") as f:
             json.dump({"counts": counts, "timings": self.timings}, f, indent=2)
         return counts

@@ -88,3 +88,48 @@ def test_full_mode_splitter_valid_spans(text):
         assert s.start + s.length <= len(text)
         assert s.start >= prev_end
         prev_end = s.start + s.length
+
+
+# ---------------------------------------------------------------- s2s wire format
+
+_WORD = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+        st.characters(min_codepoint=0x400, max_codepoint=0x4FF),
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@given(
+    weights=st.dictionaries(_WORD, st.lists(
+        st.floats(width=32, allow_nan=False, allow_infinity=False),
+        max_size=20), max_size=6),
+    dims=st.tuples(st.integers(0, 4096), st.integers(0, 8), st.integers(0, 1),
+                   st.integers(0, 4096), st.integers(0, 64)),
+    vocab=st.dictionaries(_WORD, st.integers(0, 2**31 - 1), max_size=30),
+    scores=st.dictionaries(st.text(max_size=8), st.floats(allow_nan=False), max_size=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_s2s_wire_roundtrip(weights, dims, vocab, scores):
+    """Arbitrary models survive write_s2s → read_s2s byte-exactly: names (unicode),
+    flat float32 weights, varint hyperparams, both vocab dicts, double scores."""
+    import numpy as np
+
+    from lingvo_spark_kg.sources.s2s import S2SModel, read_s2s, write_s2s
+
+    m = S2SModel(
+        name2weights={k: np.asarray(v, dtype=np.float32) for k, v in weights.items()},
+        encoder_embedding_dim=dims[0], encoder_layer_depth=dims[1],
+        encoder_type=dims[2], hidden_dim=dims[3], multi_head_num=dims[4],
+        src_word2id=dict(vocab), tgt_word2id=dict(vocab),
+        best_primary_scores=dict(scores),
+    )
+    p = read_s2s(write_s2s(m))
+    assert set(p.name2weights) == set(m.name2weights)
+    for k, w in m.name2weights.items():
+        assert np.array_equal(p.name2weights[k], w, equal_nan=True), k
+    assert (p.encoder_embedding_dim, p.encoder_layer_depth, p.encoder_type,
+            p.hidden_dim, p.multi_head_num) == dims
+    assert p.src_word2id == vocab and p.tgt_word2id == vocab
+    assert p.best_primary_scores == scores
