@@ -465,6 +465,27 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation chain composed end-to-end: language-ID + quality
+    gate + exact-dedup keeper (doc survives iff it is its duplicate-group's keeper,
+    its quality ≥ 0.7, and its language was identified) — one Catalyst plan, no
+    Python. This is the filter a 100 TB corpus passes before tokenization."""
+    from lingvo_spark_kg.operators.dedup import exact_duplicates
+    from lingvo_spark_kg.operators.textstats import language_id, quality_score
+
+    d = _documents(spark, sf_dir)
+    q = quality_score(d).select("doc_id", "quality",
+                                F.col("n_tokens").cast("long").alias("n_tokens"))
+    lang = language_id(d).select("doc_id", "lang_pred")
+    keepers = exact_duplicates(d).select(F.col("keep_doc_id").alias("doc_id"))
+    return (
+        q.join(lang, "doc_id")
+        .join(keepers, "doc_id")  # inner join = keeper-only
+        .where((F.col("quality") >= 0.7) & (F.col("lang_pred") != "other"))
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+    )
+
+
 def q_event_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation — the same watermarked operator the
     streaming path uses (operators/streaming.windowed_event_counts), run on the batch
@@ -512,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "words_in_dict": q_words_in_dict,
         "event_windows": q_event_windows,
         "event_windowed_agg": q_event_windowed_agg,
+        "curated_docs": q_curated_docs,
     }
 
 
@@ -770,6 +792,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "curated_docs": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END, 4) AS digit_ratio,
+                     round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^.,!?;:()«»—-]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END, 4) AS punct_ratio,
+                     round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END, 4) AS cyr_ratio,
+                     round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END, 4) AS lat_ratio
+              FROM documents),
+            q AS (
+              SELECT doc_id, n_tokens,
+                     round((CASE WHEN n_chars >= 20 THEN 0.4 ELSE 0.0 END)
+                         + (CASE WHEN digit_ratio < 0.3 THEN 0.3 ELSE 0.0 END)
+                         + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END), 2) AS quality,
+                     CASE WHEN cyr_ratio >= 0.3 THEN 'ru'
+                          WHEN lat_ratio >= 0.3 THEN 'en'
+                          ELSE 'other' END AS lang_pred
+              FROM f),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents GROUP BY md5(lower(trim(text))))
+            SELECT q.doc_id, q.lang_pred, q.quality, q.n_tokens
+            FROM q JOIN keepers ON q.doc_id = keepers.doc_id
+            WHERE q.quality >= 0.7 AND q.lang_pred != 'other'
         """,
         "ann_lsh": _ann_lsh_oracle(),
         "emb_neardup": _emb_neardup_oracle(),
