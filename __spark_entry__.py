@@ -558,6 +558,41 @@ def _golden_oracles() -> dict[str, str]:
     return {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
 
 
+# Shared document-feature CTE: the ONE copy of the ratio regexes and thresholds that
+# lang_id, quality and curated_docs all build on (textstats.py is the Spark-side twin)
+_DOC_FEATURES_CTE = r"""
+f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         round(CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+           ELSE 0.0 END, 4) AS digit_ratio,
+         round(CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[^.,!?;:()«»—-]', '', 'g')) * 1.0 / length(text)
+           ELSE 0.0 END, 4) AS punct_ratio,
+         round(CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) * 1.0 / length(text)
+           ELSE 0.0 END, 4) AS cyr_ratio,
+         round(CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+           ELSE 0.0 END, 4) AS lat_ratio
+  FROM documents
+)
+"""
+
+_QUALITY_EXPR = """
+round((CASE WHEN n_chars >= 20 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN digit_ratio < 0.3 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END), 2)
+"""
+
+_LANG_EXPR = """
+CASE WHEN cyr_ratio >= 0.3 THEN 'ru'
+     WHEN lat_ratio >= 0.3 THEN 'en'
+     ELSE 'other' END
+"""
+
 _SHINGLE_CTE = r"""
 words AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
@@ -644,21 +679,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
-        "lang_id": r"""
-            WITH r AS (
-              SELECT doc_id,
-                round(CASE WHEN length(text) > 0 THEN
-                  length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) * 1.0 / length(text)
-                  ELSE 0.0 END, 4) AS cyr_ratio,
-                round(CASE WHEN length(text) > 0 THEN
-                  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
-                  ELSE 0.0 END, 4) AS lat_ratio
-              FROM documents)
-            SELECT doc_id, cyr_ratio, lat_ratio,
-                   CASE WHEN cyr_ratio >= 0.3 THEN 'ru'
-                        WHEN lat_ratio >= 0.3 THEN 'en'
-                        ELSE 'other' END AS lang_pred
-            FROM r
+        "lang_id": f"""
+            WITH {_DOC_FEATURES_CTE}
+            SELECT doc_id, cyr_ratio, lat_ratio, {_LANG_EXPR} AS lang_pred
+            FROM f
         """,
         "token_count": r"""
             SELECT doc_id,
@@ -667,23 +691,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(length(text) / 4) AS BIGINT) AS n_bpe_est
             FROM documents
         """,
-        "quality": r"""
-            WITH f AS (
-              SELECT doc_id, length(text) AS n_chars,
-                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                     round(CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
-                       ELSE 0.0 END, 4) AS digit_ratio,
-                     round(CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[^.,!?;:()«»—-]', '', 'g')) * 1.0 / length(text)
-                       ELSE 0.0 END, 4) AS punct_ratio
-              FROM documents)
+        "quality": f"""
+            WITH {_DOC_FEATURES_CTE}
             SELECT doc_id, n_chars, n_tokens, digit_ratio, punct_ratio,
                    round(CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END, 4)
                      AS mean_token_len,
-                   round((CASE WHEN n_chars >= 20 THEN 0.4 ELSE 0.0 END)
-                       + (CASE WHEN digit_ratio < 0.3 THEN 0.3 ELSE 0.0 END)
-                       + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END), 2) AS quality
+                   {_QUALITY_EXPR} AS quality
             FROM f
         """,
         "fingerprint": """
@@ -793,32 +806,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2, 3
         """,
-        "curated_docs": r"""
-            WITH f AS (
-              SELECT doc_id,
-                     length(text) AS n_chars,
-                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                     round(CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
-                       ELSE 0.0 END, 4) AS digit_ratio,
-                     round(CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[^.,!?;:()«»—-]', '', 'g')) * 1.0 / length(text)
-                       ELSE 0.0 END, 4) AS punct_ratio,
-                     round(CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) * 1.0 / length(text)
-                       ELSE 0.0 END, 4) AS cyr_ratio,
-                     round(CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
-                       ELSE 0.0 END, 4) AS lat_ratio
-              FROM documents),
+        "curated_docs": f"""
+            WITH {_DOC_FEATURES_CTE},
             q AS (
               SELECT doc_id, n_tokens,
-                     round((CASE WHEN n_chars >= 20 THEN 0.4 ELSE 0.0 END)
-                         + (CASE WHEN digit_ratio < 0.3 THEN 0.3 ELSE 0.0 END)
-                         + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END), 2) AS quality,
-                     CASE WHEN cyr_ratio >= 0.3 THEN 'ru'
-                          WHEN lat_ratio >= 0.3 THEN 'en'
-                          ELSE 'other' END AS lang_pred
+                     {_QUALITY_EXPR} AS quality,
+                     {_LANG_EXPR} AS lang_pred
               FROM f),
             keepers AS (
               SELECT min(doc_id) AS doc_id

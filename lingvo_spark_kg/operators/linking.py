@@ -20,13 +20,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mentions_from_triples(triples: DataFrame) -> DataFrame:
-    # SINGLE pass over triples: subj+obj via explode(array(...)), NOT a self-union —
-    # a union would execute the whole upstream triples plan twice (measured 34 s → 12 s
-    # for the links stage at sf0.1). Count per surface so linking scores can prefer
-    # frequent readings and the graph stage can weight nodes; one map-side-combined
-    # groupBy shuffle.
-    pairs = triples.select(
+def mention_pairs(triples: DataFrame) -> DataFrame:
+    """One (mention_norm, mention_type) row per subject AND object occurrence, in a
+    SINGLE pass over triples: explode(array(...)), NOT a self-union — a union would
+    execute the whole upstream triples plan twice (measured 34 s → 12 s for the links
+    stage at sf0.1). Shared by batch mention counting and the stateful streaming
+    counter so the two can never diverge on what a 'mention' is."""
+    return triples.select(
         F.explode(
             F.array(
                 F.struct(F.col("subj_norm").alias("mention_norm"),
@@ -36,8 +36,13 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
             )
         ).alias("m")
     ).select("m.mention_norm", "m.mention_type")
+
+
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    # count per surface so linking scores can prefer frequent readings and the graph
+    # stage can weight nodes; one map-side-combined groupBy shuffle
     return (
-        pairs.groupBy("mention_norm", "mention_type")
+        mention_pairs(triples).groupBy("mention_norm", "mention_type")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
 

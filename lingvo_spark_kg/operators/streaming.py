@@ -76,18 +76,10 @@ def streaming_mention_counts(spark: SparkSession, input_dir: str, gazetteer_bc) 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .linking import mention_pairs
+
     docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
-    triples = docs_to_triples_fused(docs, gazetteer_bc)
-    mentions = triples.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("subj_norm").alias("mention_norm"),
-                         F.col("subj_type").alias("mention_type")),
-                F.struct(F.col("obj_norm").alias("mention_norm"),
-                         F.col("obj_type").alias("mention_type")),
-            )
-        ).alias("m")
-    ).select("m.mention_norm", "m.mention_type")
+    mentions = mention_pairs(docs_to_triples_fused(docs, gazetteer_bc))
 
     def update_counts(key, pdfs, state):
         n_new = sum(len(pdf) for pdf in pdfs)

@@ -306,7 +306,14 @@ def _to_transformer_model(m: S2SModel):
     TransformerEncoder.layerNorm.* (TransformerEncoder.cs:44-57); the sinusoidal
     PosEmbedding is static (isStaticWeights, SeqLabel.cs:84-85 — not serialized) and
     is regenerated. Requires hiddenDim == embeddingDim as the reference asserts
-    (TransformerEncoder.cs:32)."""
+    (TransformerEncoder.cs:32).
+
+    VALIDATION CAVEAT: the reference repo ships no model binaries and this sandbox
+    has no .NET runtime to produce one, so the packing is derived from the reference
+    source (the cited view/select lines) and verified self-inverse
+    (from_tagger_model→to_tagger_model roundtrip to identical tags) — not against a
+    reference-serialized byte fixture. If a real file ever disagrees, read_s2s still
+    exposes the raw named tensors for re-mapping."""
     from ..model.transformer import TransformerTaggerModel, sinusoidal_position_embedding
 
     emb_dim, hidden, depth = m.encoder_embedding_dim, m.hidden_dim, m.encoder_layer_depth
@@ -354,7 +361,18 @@ def _to_transformer_model(m: S2SModel):
         weights[f"{p}.ln2.b"] = t(f"{f_}.layerNorm2.m_beta", H)
     max_len = 512
     weights["pos"] = sinusoidal_position_embedding(max_len + 2, emb_dim)
-    n_heads = m.multi_head_num or 1
+    n_heads = m.multi_head_num
+    # fail at load time, not mid-predict on an executor: a zero MultiHeadNum means a
+    # malformed file (reference default is 8, Options.cs), and heads must tile emb_dim
+    if n_heads <= 0:
+        raise ValueError(
+            f"Transformer .s2s has MultiHeadNum={n_heads} — malformed file "
+            "(the reference never writes 0; its default is 8)"
+        )
+    if emb_dim % n_heads != 0:
+        raise ValueError(
+            f"MultiHeadNum={n_heads} does not divide EncoderEmbeddingDim={emb_dim}"
+        )
     return TransformerTaggerModel(weights, src_vocab, tgt_tags, emb_dim, n_heads,
                                   depth, max_len=max_len)
 
