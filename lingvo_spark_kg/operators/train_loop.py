@@ -1,0 +1,156 @@
+"""Distributed training loop (R2-R6): synchronous data-parallel SGD on Spark.
+
+The reference trains on multiple devices with synchronized weights — every device
+computes gradients on its slice, gradients are summed on the default device, one
+optimizer step updates all copies (Network/BaseSeq2SeqFramework.cs Train loop;
+MultiProcessorNetworkWrapper.cs:58-79 weight sync). The Spark-first shape keeps that
+structure with partitions as devices:
+
+  per epoch: broadcast current weights → each partition buckets its sentences into
+  equal-length micro-batches and computes summed NLL + gradient SUMS (model/train.py,
+  verified by numerical gradcheck) → per-partition results come back small (one grads
+  dict per partition) and are reduced in deterministic partition order → ONE Adam step
+  on the driver (reference kernel semantics: /batchSize, ±clip, β=0.9/0.98) → repeat.
+
+R5 (OOM-adaptive batch splitting, BaseSeq2SeqFramework.cs:283-390 TryToSplitBatchFactor
+:432-450): a micro-batch that raises MemoryError is recursively halved and retried —
+the Spark analog of the reference doubling its batchSplitFactor on CUDA OOM.
+
+R6 (external validator, ModelBuilding PipeIPC ExternalValidator/Program.cs:14-32): a
+``validate_fn(model) -> score`` callback runs between epochs; the best-scoring weights
+are kept and optionally saved as a reference-format ``.s2s`` file (S9 model sink,
+sources/s2s.py) — the in-process seam replacing the reference's subprocess pipe.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..model.bilstm import BiLSTMTaggerModel
+from ..model.train import AdamOptimizer, add_grads, loss_and_grads
+from ..model.vocab import UNK_ID
+
+
+def _bucketed_batches(rows: list[tuple[list[int], list[int]]], batch_size: int):
+    """Equal-length micro-batches (same bucketing as inference — no pad tokens)."""
+    by_len: dict[int, list] = {}
+    for ids, tgt in rows:
+        if ids:
+            by_len.setdefault(len(ids), []).append((ids, tgt))
+    for _length, group in sorted(by_len.items()):
+        for off in range(0, len(group), batch_size):
+            chunk = group[off : off + batch_size]
+            yield (np.asarray([c[0] for c in chunk], dtype=np.int64),
+                   np.asarray([c[1] for c in chunk], dtype=np.int64))
+
+
+def _grads_with_oom_split(compute, weights, dims, ids, tgt):
+    """R5: recursively halve a micro-batch that cannot be processed (MemoryError),
+    mirroring the reference's batchSplitFactor doubling on OOM."""
+    try:
+        return compute(weights, *dims, ids, tgt)
+    except MemoryError:
+        if ids.shape[0] <= 1:
+            raise  # a single sentence that OOMs cannot be split further
+        half = ids.shape[0] // 2
+        c1, g1, n1 = _grads_with_oom_split(compute, weights, dims, ids[:half], tgt[:half])
+        c2, g2, n2 = _grads_with_oom_split(compute, weights, dims, ids[half:], tgt[half:])
+        return c1 + c2, add_grads(g1, g2), n1 + n2
+
+
+def train_bilstm_distributed(
+    corpus: DataFrame,
+    model: BiLSTMTaggerModel,
+    epochs: int = 3,
+    lr: float = 0.01,
+    batch_size: int = 64,
+    grad_clip: float = 3.0,
+    validate_fn=None,
+    save_best_path: str | None = None,
+    compute_fn=None,
+) -> tuple[BiLSTMTaggerModel, list[dict]]:
+    """corpus: (tokens array<string>, labels array<string>) rows — the CoNLL shape
+    (sources/conll.py). Returns (best-or-final model, per-epoch history). ``compute_fn``
+    is the per-micro-batch loss/grad function (default model/train.loss_and_grads;
+    injectable for the OOM-retry test and alternative backends)."""
+    spark = corpus.sparkSession
+    sc = spark.sparkContext
+    compute = compute_fn or loss_and_grads
+    dims = (model.emb_dim, model.hidden_dim, model.depth)
+    tag2id = {t: i for i, t in enumerate(model.tgt_tags)}
+    w2i = model.src_vocab.word2id
+
+    # encode once: ids via vocab (UNK for OOV — Vocab.cs:177-194), labels must be known
+    encoded = corpus.select("tokens", "labels").rdd.map(
+        lambda r: ([w2i.get(t, UNK_ID) for t in r["tokens"]],
+                   [tag2id[lb] for lb in r["labels"]])
+    ).cache()
+
+    weights = {k: v.copy() for k, v in model.weights.items()}
+    opt = AdamOptimizer(grad_clip=grad_clip)
+    history: list[dict] = []
+    best_score = None
+    best_weights = None
+
+    for epoch in range(epochs):
+        bc = sc.broadcast(weights)
+
+        def part_grads(it, _compute=compute, _dims=dims, _bs=batch_size, _bc=bc):
+            w = _bc.value
+            total = None
+            cost = 0.0
+            n_tok = 0
+            for ids, tgt in _bucketed_batches(list(it), _bs):
+                c, g, n = _grads_with_oom_split(_compute, w, _dims, ids, tgt)
+                cost += c
+                n_tok += n
+                total = add_grads(total, g)
+            yield (cost, n_tok, pickle.dumps(total, protocol=4))
+
+        # deterministic reduce order: collect per-partition results, sum in
+        # partition-index order (float sums are order-sensitive)
+        parts = encoded.mapPartitionsWithIndex(
+            lambda i, it: ((i, r) for r in part_grads(it))
+        ).collect()
+        grads = None
+        cost = 0.0
+        n_tok = 0
+        for _i, (c, n, blob) in sorted(parts, key=lambda p: p[0]):
+            g = pickle.loads(blob)
+            if g is not None:
+                grads = add_grads(grads, g)
+            cost += c
+            n_tok += n
+        bc.destroy()
+        if grads is None:
+            raise ValueError("training corpus is empty")
+        opt.step(weights, grads, batch_size=n_tok, lr=lr)
+
+        entry = {"epoch": epoch, "nll_per_token": round(cost / max(n_tok, 1), 6),
+                 "n_tokens": n_tok}
+        if validate_fn is not None:
+            cand = BiLSTMTaggerModel({k: v.copy() for k, v in weights.items()},
+                                     model.src_vocab, model.tgt_tags, model.emb_dim,
+                                     model.hidden_dim, model.depth,
+                                     model.max_ending_length)
+            score = float(validate_fn(cand))
+            entry["val_score"] = score
+            if best_score is None or score > best_score:
+                best_score = score
+                best_weights = {k: v.copy() for k, v in weights.items()}
+        history.append(entry)
+
+    final_weights = best_weights if best_weights is not None else weights
+    out = BiLSTMTaggerModel(final_weights, model.src_vocab, model.tgt_tags,
+                            model.emb_dim, model.hidden_dim, model.depth,
+                            model.max_ending_length)
+    if save_best_path is not None:
+        from ..sources.s2s import from_tagger_model, write_s2s
+
+        with open(save_best_path, "wb") as f:  # S9 model sink: reference .s2s format
+            f.write(write_s2s(from_tagger_model(out)))
+    encoded.unpersist()
+    return out, history

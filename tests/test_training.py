@@ -1,0 +1,179 @@
+"""Training stack (R2-R6 + S9): gradient correctness, reference-Adam semantics,
+distributed-equals-local gradients, end-to-end learning, OOM-adaptive splitting,
+external validator + best-model .s2s sink."""
+
+import numpy as np
+import pytest
+
+from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
+from lingvo_spark_kg.model.train import AdamOptimizer, loss_and_grads
+from lingvo_spark_kg.model.vocab import Vocab
+
+TAGS = ["A", "B", "C"]
+
+
+def _tiny_model(depth=2, seed=7):
+    return BiLSTMTaggerModel.create_pinned(Vocab(list("abcdef")), TAGS, emb_dim=4,
+                                           hidden_dim=3, depth=depth, seed=seed)
+
+
+def test_gradients_match_numerical():
+    """Analytic BPTT (LayerNorm-LSTM ×2 directions ×2 layers, embedding ×√d, softmax
+    NLL) vs central differences on sampled elements of EVERY weight tensor."""
+    m = _tiny_model()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, len(m.src_vocab), (2, 4))
+    tgt = rng.integers(0, len(TAGS), (2, 4))
+    _cost, grads, n = loss_and_grads(m.weights, 4, 3, 2, ids, tgt)
+    assert n == 8
+    h = 1e-5
+    for name, g in grads.items():
+        w = m.weights[name]
+        for fi in rng.choice(w.size, size=min(5, w.size), replace=False):
+            idx = np.unravel_index(fi, w.shape)
+            wp = w.astype(np.float64).copy()
+            wp[idx] += h
+            cp, _, _ = loss_and_grads({**m.weights, name: wp}, 4, 3, 2, ids, tgt)
+            wm = w.astype(np.float64).copy()
+            wm[idx] -= h
+            cm, _, _ = loss_and_grads({**m.weights, name: wm}, 4, 3, 2, ids, tgt)
+            num = (cp - cm) / (2 * h)
+            ana = np.asarray(g).reshape(w.shape)[idx]
+            assert abs(num - ana) <= 1e-4 * max(1.0, abs(num)), (name, idx, num, ana)
+
+
+def test_adam_reference_semantics():
+    """Kernel parity (TensorApplyCPU.cs:1073-1113): /batchSize then clip, zero-grad
+    elements (weights AND m/v state) untouched."""
+    opt = AdamOptimizer(grad_clip=1.0)
+    w = {"x": np.array([1.0, 2.0, 3.0], dtype=np.float32)}
+    g = {"x": np.array([0.0, 400.0, -400.0])}  # /batchSize(100) = ±4 → clip to ±1
+    opt.step(w, g, batch_size=100, lr=0.1)
+    assert w["x"][0] == np.float32(1.0)  # zero grad skipped
+    # clipped ±1 → m̂=1, v̂=1 → step ≈ lr
+    assert w["x"][1] == pytest.approx(2.0 - 0.1, abs=1e-4)
+    assert w["x"][2] == pytest.approx(3.0 + 0.1, abs=1e-4)
+    assert opt._m["x"][0] == 0.0 and opt._v["x"][0] == 0.0
+
+
+def _toy_corpus(spark, n_sents=160, seed=3):
+    """Learnable task: label = A for tokens starting 'a', B for 'b', else C."""
+    rng = np.random.default_rng(seed)
+    toks_pool = ["ax", "ay", "bx", "by", "cx", "dx", "ex", "fx"]
+    rows = []
+    for _ in range(n_sents):
+        n = int(rng.integers(3, 8))
+        toks = [toks_pool[int(rng.integers(0, len(toks_pool)))] for _ in range(n)]
+        labs = ["A" if t[0] == "a" else ("B" if t[0] == "b" else "C") for t in toks]
+        rows.append((toks, labs))
+    return rows, spark.createDataFrame(rows, "tokens array<string>, labels array<string>")
+
+
+def _vocab_for(rows):
+    return Vocab.build([toks for toks, _ in rows])
+
+
+def test_distributed_gradients_equal_local(spark):
+    """Sum of per-partition gradient sums == single-process gradients on the same
+    data (data-parallel sync is exact up to float64 summation order)."""
+    from lingvo_spark_kg.operators.train_loop import _bucketed_batches
+    from lingvo_spark_kg.model.train import add_grads
+    from lingvo_spark_kg.model.vocab import UNK_ID
+
+    rows, df = _toy_corpus(spark, n_sents=60)
+    vocab = _vocab_for(rows)
+    m = BiLSTMTaggerModel.create_pinned(vocab, TAGS, emb_dim=4, hidden_dim=3, seed=11)
+    tag2id = {t: i for i, t in enumerate(TAGS)}
+    enc = [([vocab.word2id.get(t, UNK_ID) for t in toks], [tag2id[x] for x in labs])
+           for toks, labs in rows]
+
+    local = None
+    local_cost = 0.0
+    for ids, tgt in _bucketed_batches(enc, 16):
+        c, g, _n = loss_and_grads(m.weights, 4, 3, 1, ids, tgt)
+        local_cost += c
+        local = add_grads(local, g)
+
+    # run ONE epoch of the distributed loop with lr=0 (no weight change) by reusing
+    # its internals: instead, compare via a 1-epoch train at lr=0 is opaque — so
+    # recompute the distributed side directly over 4 partitions:
+    rdd = spark.sparkContext.parallelize(enc, 4)
+
+    def part(it):
+        tot, cost = None, 0.0
+        for ids, tgt in _bucketed_batches(list(it), 16):
+            c, g, _n = loss_and_grads(m.weights, 4, 3, 1, ids, tgt)
+            cost += c
+            tot = add_grads(tot, g)
+        yield cost, tot
+
+    dist = None
+    dist_cost = 0.0
+    for c, g in rdd.mapPartitions(part).collect():
+        dist_cost += c
+        if g is not None:
+            dist = add_grads(dist, g)
+
+    assert dist_cost == pytest.approx(local_cost, rel=1e-12)
+    for k, v in local.items():
+        np.testing.assert_allclose(np.asarray(dist[k]), np.asarray(v), rtol=1e-9,
+                                   atol=1e-9)
+
+
+def test_training_learns_and_saves_best(spark, tmp_path):
+    """End-to-end R2-R6+S9: NLL drops, the external validator drives best-model
+    retention, the saved .s2s reloads to the same tags, accuracy beats 0.9 on the
+    learnable task."""
+    from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
+    from lingvo_spark_kg.sources.s2s import load_tagger
+
+    rows, df = _toy_corpus(spark, n_sents=160)
+    vocab = _vocab_for(rows)
+    m0 = BiLSTMTaggerModel.create_pinned(vocab, TAGS, emb_dim=8, hidden_dim=8, seed=5)
+    val_rows, _ = _toy_corpus(spark, n_sents=40, seed=99)
+
+    def validate(model):
+        toks = [t for t, _ in val_rows]
+        gold = [l for _, l in val_rows]
+        pred = model.predict_tags(toks)
+        n_ok = sum(p == g for ps, gs in zip(pred, gold) for p, g in zip(ps, gs))
+        n = sum(len(g) for g in gold)
+        return n_ok / n
+
+    save = str(tmp_path / "best.s2s")
+    trained, hist = train_bilstm_distributed(
+        df.repartition(4), m0, epochs=12, lr=0.05, batch_size=32,
+        validate_fn=validate, save_best_path=save)
+
+    assert hist[-1]["nll_per_token"] < hist[0]["nll_per_token"] * 0.5
+    best = max(h["val_score"] for h in hist)
+    assert best >= 0.9, hist
+    # the returned model IS the best-validation one
+    assert validate(trained) == pytest.approx(best)
+    # S9 sink: reference-format file reloads to identical behavior
+    reloaded = load_tagger(save)
+    sample = [t for t, _ in val_rows[:10]]
+    assert reloaded.predict_tags(sample) == trained.predict_tags(sample)
+
+
+def test_oom_adaptive_batch_split(spark):
+    """R5: a micro-batch raising MemoryError is recursively halved (reference
+    TryToSplitBatchFactor semantics) and training completes with the same loss."""
+    from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
+
+    rows, df = _toy_corpus(spark, n_sents=80)
+    vocab = _vocab_for(rows)
+    m0 = BiLSTMTaggerModel.create_pinned(vocab, TAGS, emb_dim=4, hidden_dim=4, seed=5)
+
+    def oomy_compute(weights, emb, hid, depth, ids, tgt):
+        if ids.shape[0] > 4:  # "device memory" fits only 4 sentences
+            raise MemoryError("simulated OOM")
+        return loss_and_grads(weights, emb, hid, depth, ids, tgt)
+
+    _m1, hist_oom = train_bilstm_distributed(df.repartition(2), m0, epochs=2, lr=0.02,
+                                             batch_size=32, compute_fn=oomy_compute)
+    _m2, hist_ref = train_bilstm_distributed(df.repartition(2), m0, epochs=2, lr=0.02,
+                                             batch_size=32)
+    for a, b in zip(hist_oom, hist_ref):
+        assert a["n_tokens"] == b["n_tokens"]
+        assert a["nll_per_token"] == pytest.approx(b["nll_per_token"], rel=1e-9)
