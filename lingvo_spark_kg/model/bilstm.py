@@ -31,10 +31,13 @@ import numpy as np
 from .vocab import EOS_ID, Vocab
 
 
+LN_EPS = 1e-5  # shared with the training backward pass (model/train.py)
+
+
 def _layer_norm(x: np.ndarray, gamma: np.ndarray, beta: np.ndarray) -> np.ndarray:
     mu = x.mean(axis=-1, keepdims=True)
     var = x.var(axis=-1, keepdims=True)
-    return (x - mu) / np.sqrt(var + 1e-5) * gamma + beta
+    return (x - mu) / np.sqrt(var + LN_EPS) * gamma + beta
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 
-_EPS = 1e-5  # LayerNorm epsilon — must match bilstm._layer_norm
+from .bilstm import LN_EPS as _EPS  # the SAME epsilon the inference forward uses —
+# a drifting copy would train a different network than predict_tags runs
 
 
 def _ln_forward(x: np.ndarray, g: np.ndarray, b: np.ndarray):
@@ -135,7 +136,9 @@ def loss_and_grads(weights: dict[str, np.ndarray], emb_dim: int, hidden_dim: int
     """One equal-length batch: ids/tgt (B,T) int → (summed NLL, grads, n_tokens).
     Gradient SUMS (not means) — the /batchSize normalization happens inside Adam,
     exactly as the reference (TensorApplyCPU.cs:1091)."""
-    w64 = {k: v.astype(np.float64) for k, v in weights.items()}
+    # no-op when the caller pre-cast once per partition (train_loop does)
+    w64 = {k: (v if v.dtype == np.float64 else v.astype(np.float64))
+           for k, v in weights.items()}
     B, T = ids.shape
     H = hidden_dim
     scale = np.sqrt(float(emb_dim))

@@ -24,8 +24,6 @@ sources/s2s.py) — the in-process seam replacing the reference's subprocess pip
 
 from __future__ import annotations
 
-import pickle
-
 import numpy as np
 from pyspark.sql import DataFrame
 
@@ -76,6 +74,8 @@ def train_bilstm_distributed(
     (sources/conll.py). Returns (best-or-final model, per-epoch history). ``compute_fn``
     is the per-micro-batch loss/grad function (default model/train.loss_and_grads;
     injectable for the OOM-retry test and alternative backends)."""
+    from pyspark.sql import functions as F
+
     spark = corpus.sparkSession
     sc = spark.sparkContext
     compute = compute_fn or loss_and_grads
@@ -83,7 +83,14 @@ def train_bilstm_distributed(
     tag2id = {t: i for i, t in enumerate(model.tgt_tags)}
     w2i = model.src_vocab.word2id
 
-    # encode once: ids via vocab (UNK for OOV — Vocab.cs:177-194), labels must be known
+    # fail fast, driver-side, with the offending label named — not as a KeyError
+    # buried in an executor traceback after an epoch of compute
+    seen = {r[0] for r in corpus.select(F.explode("labels")).distinct().collect()}
+    unknown = sorted(seen - set(tag2id))
+    if unknown:
+        raise ValueError(f"corpus labels not in model.tgt_tags: {unknown[:10]}")
+
+    # encode once: ids via vocab (UNK for OOV — Vocab.cs:177-194)
     encoded = corpus.select("tokens", "labels").rdd.map(
         lambda r: ([w2i.get(t, UNK_ID) for t in r["tokens"]],
                    [tag2id[lb] for lb in r["labels"]])
@@ -95,53 +102,56 @@ def train_bilstm_distributed(
     best_score = None
     best_weights = None
 
-    for epoch in range(epochs):
-        bc = sc.broadcast(weights)
+    try:
+        for epoch in range(epochs):
+            bc = sc.broadcast(weights)
 
-        def part_grads(it, _compute=compute, _dims=dims, _bs=batch_size, _bc=bc):
-            w = _bc.value
-            total = None
+            def part_grads(it, _compute=compute, _dims=dims, _bs=batch_size, _bc=bc):
+                # ONE float64 cast per partition; loss_and_grads skips re-casting
+                w = {k: np.asarray(v, dtype=np.float64) for k, v in _bc.value.items()}
+                total = None
+                cost = 0.0
+                n_tok = 0
+                for ids, tgt in _bucketed_batches(list(it), _bs):
+                    c, g, n = _grads_with_oom_split(_compute, w, _dims, ids, tgt)
+                    cost += c
+                    n_tok += n
+                    total = add_grads(total, g)
+                yield (cost, n_tok, total)  # Spark pickles this once — no manual dumps
+
+            # deterministic reduce order: collect per-partition results, sum in
+            # partition-index order (float sums are order-sensitive)
+            parts = encoded.mapPartitionsWithIndex(
+                lambda i, it: ((i, r) for r in part_grads(it))
+            ).collect()
+            grads = None
             cost = 0.0
             n_tok = 0
-            for ids, tgt in _bucketed_batches(list(it), _bs):
-                c, g, n = _grads_with_oom_split(_compute, w, _dims, ids, tgt)
+            for _i, (c, n, g) in sorted(parts, key=lambda p: p[0]):
+                if g is not None:
+                    grads = add_grads(grads, g)
                 cost += c
                 n_tok += n
-                total = add_grads(total, g)
-            yield (cost, n_tok, pickle.dumps(total, protocol=4))
+            bc.destroy()
+            if grads is None:
+                raise ValueError("training corpus is empty")
+            opt.step(weights, grads, batch_size=n_tok, lr=lr)
 
-        # deterministic reduce order: collect per-partition results, sum in
-        # partition-index order (float sums are order-sensitive)
-        parts = encoded.mapPartitionsWithIndex(
-            lambda i, it: ((i, r) for r in part_grads(it))
-        ).collect()
-        grads = None
-        cost = 0.0
-        n_tok = 0
-        for _i, (c, n, blob) in sorted(parts, key=lambda p: p[0]):
-            g = pickle.loads(blob)
-            if g is not None:
-                grads = add_grads(grads, g)
-            cost += c
-            n_tok += n
-        bc.destroy()
-        if grads is None:
-            raise ValueError("training corpus is empty")
-        opt.step(weights, grads, batch_size=n_tok, lr=lr)
-
-        entry = {"epoch": epoch, "nll_per_token": round(cost / max(n_tok, 1), 6),
-                 "n_tokens": n_tok}
-        if validate_fn is not None:
-            cand = BiLSTMTaggerModel({k: v.copy() for k, v in weights.items()},
-                                     model.src_vocab, model.tgt_tags, model.emb_dim,
-                                     model.hidden_dim, model.depth,
-                                     model.max_ending_length)
-            score = float(validate_fn(cand))
-            entry["val_score"] = score
-            if best_score is None or score > best_score:
-                best_score = score
-                best_weights = {k: v.copy() for k, v in weights.items()}
-        history.append(entry)
+            entry = {"epoch": epoch, "nll_per_token": round(cost / max(n_tok, 1), 6),
+                     "n_tokens": n_tok}
+            if validate_fn is not None:
+                cand = BiLSTMTaggerModel({k: v.copy() for k, v in weights.items()},
+                                         model.src_vocab, model.tgt_tags, model.emb_dim,
+                                         model.hidden_dim, model.depth,
+                                         model.max_ending_length)
+                score = float(validate_fn(cand))
+                entry["val_score"] = score
+                if best_score is None or score > best_score:
+                    best_score = score
+                    best_weights = {k: v.copy() for k, v in weights.items()}
+            history.append(entry)
+    finally:
+        encoded.unpersist()  # also on error paths — a leaked cache pins executor memory
 
     final_weights = best_weights if best_weights is not None else weights
     out = BiLSTMTaggerModel(final_weights, model.src_vocab, model.tgt_tags,
@@ -152,5 +162,4 @@ def train_bilstm_distributed(
 
         with open(save_best_path, "wb") as f:  # S9 model sink: reference .s2s format
             f.write(write_s2s(from_tagger_model(out)))
-    encoded.unpersist()
     return out, history

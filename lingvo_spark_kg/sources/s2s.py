@@ -293,6 +293,13 @@ def to_tagger_model(m: S2SModel):
             weights[f"{p}.ln2.g"] = t(f"{rp}.m_layerNorm2.m_alpha", hidden)
             weights[f"{p}.ln2.b"] = t(f"{rp}.m_layerNorm2.m_beta", hidden)
         in_dim = hidden * 2
+    # this engine's additive CRF slot (not a reference tensor — the format is an
+    # open name→float[] dict, so the extra names ride along): restoring them keeps
+    # save→reload→identical-tags true for Viterbi-decoding models too
+    if "crf.T" in nw:
+        weights["crf.T"] = t("crf.T", len(tgt_tags), len(tgt_tags))
+    if "crf.start" in nw:
+        weights["crf.start"] = t("crf.start", len(tgt_tags))
     return BiLSTMTaggerModel(weights, src_vocab, tgt_tags, emb_dim, hidden, depth)
 
 
@@ -400,6 +407,9 @@ def from_tagger_model(model) -> S2SModel:
             nw[f"{rp}.m_layerNorm1.m_beta"] = w[f"{p}.ln1.b"]
             nw[f"{rp}.m_layerNorm2.m_alpha"] = w[f"{p}.ln2.g"]
             nw[f"{rp}.m_layerNorm2.m_beta"] = w[f"{p}.ln2.b"]
+    for crf_key in ("crf.T", "crf.start"):  # additive Viterbi slot — see to_tagger_model
+        if crf_key in w:
+            nw[crf_key] = w[crf_key]
     return S2SModel(
         name2weights=nw,
         encoder_embedding_dim=model.emb_dim,

@@ -97,6 +97,23 @@ def test_s2s_transformer_roundtrip_identical_tags(tmp_path):
     assert loaded.predict_tags(SENTS) == m.predict_tags(SENTS)
 
 
+def test_s2s_crf_weights_roundtrip(tmp_path):
+    """A Viterbi-decoding model (additive CRF slot) keeps its transition weights
+    through the .s2s sink — save → reload → identical tags holds for CRF models too."""
+    from lingvo_spark_kg.model.lexicon import NER_TAGS
+
+    vocab = Vocab(VOCAB_ITEMS)
+    m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
+                                        seed=43).with_crf(bio=True)
+    p = tmp_path / "crf.s2s"
+    p.write_bytes(s2s.write_s2s(s2s.from_tagger_model(m)))
+    loaded = s2s.load_tagger(str(p))
+    assert "crf.T" in loaded.weights and "crf.start" in loaded.weights
+    assert np.array_equal(loaded.weights["crf.T"].reshape(m.weights["crf.T"].shape),
+                          m.weights["crf.T"])
+    assert loaded.predict_tags(SENTS) == m.predict_tags(SENTS)
+
+
 def test_s2s_transformer_requires_hidden_eq_embedding():
     from lingvo_spark_kg.model.transformer import TransformerTaggerModel
 

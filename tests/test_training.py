@@ -80,7 +80,7 @@ def test_distributed_gradients_equal_local(spark):
     from lingvo_spark_kg.model.train import add_grads
     from lingvo_spark_kg.model.vocab import UNK_ID
 
-    rows, df = _toy_corpus(spark, n_sents=60)
+    rows, _df = _toy_corpus(spark, n_sents=60)
     vocab = _vocab_for(rows)
     m = BiLSTMTaggerModel.create_pinned(vocab, TAGS, emb_dim=4, hidden_dim=3, seed=11)
     tag2id = {t: i for i, t in enumerate(TAGS)}
@@ -94,9 +94,8 @@ def test_distributed_gradients_equal_local(spark):
         local_cost += c
         local = add_grads(local, g)
 
-    # run ONE epoch of the distributed loop with lr=0 (no weight change) by reusing
-    # its internals: instead, compare via a 1-epoch train at lr=0 is opaque — so
-    # recompute the distributed side directly over 4 partitions:
+    # distributed side: the same per-partition math the training loop runs, spread
+    # over 4 partitions, reduced on the driver
     rdd = spark.sparkContext.parallelize(enc, 4)
 
     def part(it):
