@@ -466,24 +466,12 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data curation chain composed end-to-end: language-ID + quality
-    gate + exact-dedup keeper (doc survives iff it is its duplicate-group's keeper,
-    its quality ≥ 0.7, and its language was identified) — one Catalyst plan, no
-    Python. This is the filter a 100 TB corpus passes before tokenization."""
-    from lingvo_spark_kg.operators.dedup import exact_duplicates
-    from lingvo_spark_kg.operators.textstats import language_id, quality_score
+    """The training-data curation chain: language-ID + quality gate + exact-dedup
+    keeper in ONE corpus scan + one window shuffle (textstats.curate_documents) —
+    the filter a 100 TB corpus passes before tokenization."""
+    from lingvo_spark_kg.operators.textstats import curate_documents
 
-    d = _documents(spark, sf_dir)
-    q = quality_score(d).select("doc_id", "quality",
-                                F.col("n_tokens").cast("long").alias("n_tokens"))
-    lang = language_id(d).select("doc_id", "lang_pred")
-    keepers = exact_duplicates(d).select(F.col("keep_doc_id").alias("doc_id"))
-    return (
-        q.join(lang, "doc_id")
-        .join(keepers, "doc_id")  # inner join = keeper-only
-        .where((F.col("quality") >= 0.7) & (F.col("lang_pred") != "other"))
-        .select("doc_id", "lang_pred", "quality", "n_tokens")
-    )
+    return curate_documents(_documents(spark, sf_dir), min_quality=0.7)
 
 
 def q_event_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,6 +79,48 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def curate_documents(docs: DataFrame, min_quality: float = 0.7) -> DataFrame:
+    """The training-data curation chain in ONE corpus scan: every feature (script
+    ratios → lang_pred, digit/punct ratios → quality, content fingerprint) is computed
+    in a single projection, and the exact-dedup keeper is a window min over the
+    fingerprint — one scan + one shuffle, vs the naive compose-three-operators shape
+    (quality ⋈ lang ⋈ keepers) that reads the corpus three times. A doc survives iff
+    it is its duplicate group's keeper, quality ≥ min_quality and its language was
+    identified. Same expressions as language_id/quality_score (shared helpers), so
+    results are identical to the composed form."""
+    from pyspark.sql import Window
+
+    cyr = F.round(_ratio(CYRILLIC_CLASS), 4)
+    lat = F.round(_ratio(LATIN_CLASS), 4)
+    digit = F.round(_ratio(DIGIT_CLASS), 4)
+    punct = F.round(
+        F.when(
+            F.length("text") > 0,
+            F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:()«»—-]", "")) / F.length("text"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    feats = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.when(cyr >= 0.3, "ru").when(lat >= 0.3, "en").otherwise("other").alias("lang_pred"),
+        F.round(
+            F.when(F.length("text") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.when(digit < 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(punct < 0.2, F.lit(0.3)).otherwise(F.lit(0.0)),
+            2,
+        ).alias("quality"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        feats.withColumn("is_keeper", F.col("doc_id") == keeper)
+        .where(F.col("is_keeper") & (F.col("quality") >= min_quality)
+               & (F.col("lang_pred") != "other"))
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the lowercase trimmed text (exact content hash)
     plus a 16-bucket locality prefix — the groupBy key for exact dedup and the blocking

@@ -136,6 +136,21 @@ def test_edges_table_strategy_threaded(spark):
     assert {r[0] for r in a} == {"e:E000000"}
 
 
+def test_curation_is_single_scan(spark):
+    """curate_documents reads the corpus ONCE (window keeper, not a three-way
+    self-join) — at 100 TB a second scan is a second 100 TB read."""
+    import __spark_entry__ as e
+
+    import re
+
+    plan = _plan(e.queries()["curated_docs"](spark, SF), spark)
+    # formatted explain prints each node in the tree AND in the details section —
+    # count scan NODES, not string occurrences
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_fused_triples_plan_is_narrow(spark, gaz_bc):
     from lingvo_spark_kg.operators.docsgen import generate_docs
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused
