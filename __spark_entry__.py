@@ -183,6 +183,18 @@ def q_kg_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All BIO entity spans (operators/mentions.py) — the superset of the
+    triple-participating mentions; isolated mentions become degree-0 graph nodes."""
+    from lingvo_spark_kg.operators.mentions import ner_mentions
+    from lingvo_spark_kg.operators.tag import tag_sentences_lexicon
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    docs = _synthetic_docs(spark, sf_dir)
+    tagged = tag_sentences_lexicon(tokenize_docs(docs), _gaz_bc(spark))
+    return ner_mentions(tagged)
+
+
 def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned DNN regimen over the corpus (rows-only check; parity gates in tests/)."""
     from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
@@ -399,6 +411,23 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 Common-Score analog: macro P/R/F1 over the per-label table
+    (MultiLabelsFscoreMetric.cs:40-153), same rule taggings as prf_metrics."""
+    from lingvo_spark_kg.operators.metrics import macro_f1, per_label_prf
+
+    d = _documents(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.lit(0).alias("sent_key"),
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok_idx", "token"),
+    )
+    hyp = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_HYP_RULE).alias("label"))
+    ref = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_REF_RULE).alias("label"))
+    m = macro_f1(per_label_prf(hyp, ref))
+    return m.select("macro_precision", "macro_recall", "macro_f1",
+                    F.col("n_labels").cast("long").alias("n_labels"))
+
+
 def q_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 metric aggregation parity: per-label token P/R/F1 between two rule taggings
     of the same corpus (both rules SQL-expressible so DuckDB can mirror them)."""
@@ -499,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
         "kg_invariant": q_kg_invariant,
+        "kg_mentions": q_kg_mentions,
         "tag_bilstm": q_tag_bilstm,
         "tag_bilstm_crf": q_tag_bilstm_crf,
         "media_meta": q_media_meta,
@@ -516,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "emb_neardup": q_emb_neardup,
         "prf_metrics": q_prf_metrics,
+        "macro_f1": q_macro_f1,
         "vocab_build": q_vocab_build,
         "len_distribution": q_len_distribution,
         "words_in_dict": q_words_in_dict,
@@ -821,7 +852,19 @@ def oracle_sql() -> dict[str, str]:
               FROM counts)
             SELECT token, cnt, rank + 2 AS vocab_id FROM ranked WHERE rank <= 200
         """,
-        "prf_metrics": rf"""
+        "prf_metrics": _PRF_SQL,
+        "macro_f1": f"""
+            WITH prf AS ({_PRF_SQL})
+            SELECT round(avg(precision), 6) AS macro_precision,
+                   round(avg(recall), 6) AS macro_recall,
+                   round(avg(f1), 6) AS macro_f1,
+                   count(*) AS n_labels
+            FROM prf WHERE label NOT IN ('O', '<s>', '</s>', '<unk>')
+        """,
+    }
+
+
+_PRF_SQL = rf"""
             WITH toks AS (
               SELECT doc_id, 0 AS sent_key,
                      unnest(string_split_regex(trim(text), '\s+')) AS token,
@@ -851,5 +894,4 @@ def oracle_sql() -> dict[str, str]:
                       / ((n_both * 1.0 / n_hyp) + (n_both * 1.0 / n_ref))
                   ELSE 0.0 END, 6) AS f1
             FROM m
-        """,
-    }
+        """

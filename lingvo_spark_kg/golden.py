@@ -34,12 +34,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden's semantics change so stale files regenerate
-GOLDEN_VERSION = 5
+GOLDEN_VERSION = 6
 
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
-    "kg_invariant", "tag_bilstm", "tag_bilstm_crf", "media_meta", "ann_lsh_multi",
-    "ann_ivf",
+    "kg_invariant", "kg_mentions", "tag_bilstm", "tag_bilstm_crf", "media_meta",
+    "ann_lsh_multi", "ann_ivf",
 )
 
 
@@ -99,6 +99,40 @@ def _triples_rows(n_docs: int) -> list[tuple]:
                     rows.append((doc_id, s["offset"], sent_idx, tr.subj, tr.pred,
                                  tr.obj, tr.subj_type, tr.obj_type, tr.subj_norm,
                                  tr.obj_norm, tr.confidence))
+    return rows
+
+
+def _mentions_rows(n_docs: int) -> list[tuple]:
+    """Mirror of tokenize_docs → tag_sentences_lexicon → ner_mentions (all BIO entity
+    spans, operators/mentions.py): (doc_id, span_idx, sent_idx, start_tok, end_tok,
+    surface, mention_norm, mention_type)."""
+    from .fixtures.corpus import gazetteer_from_aliases, make_aliases
+    from .model.lexicon import LexiconNer
+    from .model.triples import merge_bio_spans
+    from .tokenizer import run_simple_sents_allocate
+
+    ner = LexiconNer(gazetteer_from_aliases(make_aliases(seed=42)))
+    memo: dict[str, list] = {}
+    rows: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            text = s["text"]
+            per_text = memo.get(text)
+            if per_text is None:
+                per_text = []
+                for sent_idx, (_sent, words) in enumerate(
+                    run_simple_sents_allocate(text, True)
+                ):
+                    spans_out = merge_bio_spans(words, ner.tag(words))
+                    if spans_out:
+                        per_text.append((sent_idx, spans_out))
+                memo[text] = per_text
+            for sent_idx, ments in per_text:
+                for mt in ments:
+                    rows.append((doc_id, s["offset"], sent_idx, mt.start_tok,
+                                 mt.end_tok, mt.surface, mt.norm, mt.etype))
     return rows
 
 
@@ -440,6 +474,9 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     "kg_edges": [("src_id", _S), ("pred", _S), ("dst_id", _S), ("n_occurrences", _I64),
                  ("avg_confidence", _F64), ("n_docs", _I64), ("example_doc_id", _S)],
     "kg_invariant": [("n_docs", _I64), ("violations", _I64)],
+    "kg_mentions": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                    ("start_tok", _I32), ("end_tok", _I32), ("surface", _S),
+                    ("mention_norm", _S), ("mention_type", _S)],
     "tag_bilstm": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
                    ("tok_idx", _I32), ("pos_tag", _S), ("ner_tag", _S)],
     "tag_bilstm_crf": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
@@ -485,6 +522,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _edges_rows(triples(), canon())
     elif name == "kg_invariant":
         rows = _invariant_rows(n_docs_for(sf_dir))
+    elif name == "kg_mentions":
+        rows = _mentions_rows(n_docs_for(sf_dir))
     elif name == "tag_bilstm":
         rows = _tagged_token_rows(sf_dir, crf=False)
     elif name == "tag_bilstm_crf":
