@@ -251,6 +251,17 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media_payloads(media_spans(docs))).orderBy("doc_id")
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/window sampling over time-based media spans of the synthetic corpus
+    (multimodal family: decode → sample; codec stubbed at the declared seam)."""
+    from lingvo_spark_kg.operators.multimodal import decode_media, media_payloads, sample_frames
+    from lingvo_spark_kg.operators.tokenize import media_spans
+
+    docs = _synthetic_docs(spark, sf_dir)
+    decoded = decode_media(media_payloads(media_spans(docs)))
+    return sample_frames(decoded, interval_ms=5000)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.dedup import exact_duplicates
 
@@ -532,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_bilstm": q_tag_bilstm,
         "tag_bilstm_crf": q_tag_bilstm_crf,
         "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "token_count": q_token_count,

@@ -39,7 +39,7 @@ GOLDEN_VERSION = 6
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
     "kg_invariant", "kg_mentions", "tag_bilstm", "tag_bilstm_crf", "media_meta",
-    "ann_lsh_multi", "ann_ivf",
+    "media_frames", "ann_lsh_multi", "ann_ivf",
 )
 
 
@@ -332,6 +332,27 @@ def _tagged_token_rows(sf_dir: str, crf: bool) -> list[tuple]:
     return out
 
 
+def _media_frames_rows(n_docs: int, interval_ms: int = 5000) -> list[tuple]:
+    """Mirror of media_spans → media_payloads → decode_media(fake) → sample_frames
+    over the synthetic corpus: (doc_id, span_idx, frame_idx, t_ms, frame_sha1)."""
+    out: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] == "text":
+                continue
+            payload = bytes.fromhex(
+                hashlib.sha1(s["media_ref"].encode()).hexdigest()[:32] * 4)
+            sha = hashlib.sha1(payload).hexdigest()
+            if s["kind"] == "audio":
+                duration = 1000 + ((payload[0] << 8) | payload[1])
+            else:
+                duration = 0
+            for i, t in enumerate(range(0, duration, interval_ms)):
+                out.append((doc_id, s["offset"], i, t,
+                            hashlib.sha1(f"{sha}:{t}".encode()).hexdigest()))
+    return out
+
+
 def _media_meta_rows(sf_dir: str) -> list[tuple]:
     """Mirror of docs_from_documents_table media spans → media_payloads →
     decode_media(impl='fake'): (doc_id, span_idx, kind, n_bytes, sha1, width, height,
@@ -484,6 +505,8 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     "media_meta": [("doc_id", _S), ("span_idx", _I32), ("kind", _S), ("n_bytes", _I32),
                    ("sha1", _S), ("width", _I32), ("height", _I32),
                    ("duration_ms", _I32)],
+    "media_frames": [("doc_id", _S), ("span_idx", _I32), ("frame_idx", _I32),
+                     ("t_ms", _I32), ("frame_sha1", _S)],
     "ann_lsh_multi": [("query_id", _I64), ("vec_id", _I64), ("cosine", _F64),
                       ("rank", _I64)],
     "ann_ivf": [("query_id", _I64), ("vec_id", _I64), ("cosine", _F64),
@@ -530,6 +553,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = [(r[0], r[1], r[2], r[3], r[5]) for r in _tagged_token_rows(sf_dir, crf=True)]
     elif name == "media_meta":
         rows = _media_meta_rows(sf_dir)
+    elif name == "media_frames":
+        rows = _media_frames_rows(n_docs_for(sf_dir))
     elif name == "ann_lsh_multi":
         rows = _ann_lsh_multi_rows(sf_dir)
     elif name == "ann_ivf":

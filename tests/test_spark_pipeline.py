@@ -139,6 +139,45 @@ def test_connected_components_known_graph(spark):
     assert comp["f"] == "f"
 
 
+def test_multimodal_resize_frames_features(spark, docs):
+    """The full multimodal family beyond decode: resize / frame-sample / feature-
+    extract — deterministic fake impls over real Spark plumbing, real seams raise."""
+    import math
+
+    import pytest as _pytest
+
+    from lingvo_spark_kg.operators.multimodal import (
+        decode_media, media_features, media_payloads, resize_media, sample_frames)
+
+    media = media_payloads(media_spans(docs))
+
+    resized = resize_media(media, width=8, height=4).collect()
+    assert resized and all(len(r["resized"]) == 32 for r in resized)
+    # deterministic: same payload → same resized bytes
+    again = {(r["doc_id"], r["span_idx"]): r["resized_sha1"]
+             for r in resize_media(media, width=8, height=4).collect()}
+    for r in resized:
+        assert again[(r["doc_id"], r["span_idx"])] == r["resized_sha1"]
+
+    decoded = decode_media(media)
+    frames = sample_frames(decoded, interval_ms=500).collect()
+    audio_rows = [r for r in decoded.collect() if r["kind"] == "audio"]
+    expected = sum(len(range(0, r["duration_ms"], 500)) for r in audio_rows)
+    assert len(frames) == expected
+    assert all(r["t_ms"] % 500 == 0 for r in frames)
+
+    feats = media_features(media, dim=16).collect()
+    assert feats and all(len(r["embedding"]) == 16 for r in feats)
+    for r in feats[:5]:
+        assert math.isclose(sum(x * x for x in r["embedding"]), 1.0, rel_tol=1e-9)
+
+    for fn in (lambda: resize_media(media, impl="real"),
+               lambda: sample_frames(decoded, impl="real"),
+               lambda: media_features(media, impl="real")):
+        with _pytest.raises(NotImplementedError):
+            fn()
+
+
 def test_table_writer_contract(spark, tmp_path):
     """Writer seam (VERDICT r1 item 9): parquet impl round-trips bucketed tables and
     reports done(); the Iceberg impl fails fast without a configured catalog (SCALE.md
