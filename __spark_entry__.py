@@ -422,11 +422,9 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 Common-Score analog: macro P/R/F1 over the per-label table
-    (MultiLabelsFscoreMetric.cs:40-153), same rule taggings as prf_metrics."""
-    from lingvo_spark_kg.operators.metrics import macro_f1, per_label_prf
-
+def _rule_taggings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The (hyp, ref) rule-tagged token streams that BOTH metric queries compare —
+    one definition so prf_metrics and macro_f1 can never tokenize differently."""
     d = _documents(spark, sf_dir)
     toks = d.select(
         "doc_id", F.lit(0).alias("sent_key"),
@@ -434,6 +432,15 @@ def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hyp = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_HYP_RULE).alias("label"))
     ref = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_REF_RULE).alias("label"))
+    return hyp, ref
+
+
+def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 Common-Score analog: macro P/R/F1 over the per-label table
+    (MultiLabelsFscoreMetric.cs:40-153), same rule taggings as prf_metrics."""
+    from lingvo_spark_kg.operators.metrics import macro_f1, per_label_prf
+
+    hyp, ref = _rule_taggings(spark, sf_dir)
     m = macro_f1(per_label_prf(hyp, ref))
     return m.select("macro_precision", "macro_recall", "macro_f1",
                     F.col("n_labels").cast("long").alias("n_labels"))
@@ -444,13 +451,7 @@ def q_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same corpus (both rules SQL-expressible so DuckDB can mirror them)."""
     from lingvo_spark_kg.operators.metrics import per_label_prf
 
-    d = _documents(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.lit(0).alias("sent_key"),
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok_idx", "token"),
-    )
-    hyp = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_HYP_RULE).alias("label"))
-    ref = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_REF_RULE).alias("label"))
+    hyp, ref = _rule_taggings(spark, sf_dir)
     return per_label_prf(hyp, ref).select(
         "label",
         F.col("n_hyp").cast("long").alias("n_hyp"),

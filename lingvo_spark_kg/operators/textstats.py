@@ -25,6 +25,29 @@ def _ratio(cls: str):
     ).otherwise(F.lit(0.0))
 
 
+# the quality score's punct class (narrower than PUNCT_CLASS above, which the
+# tokenizer-adjacent stats use) — ONE definition shared by quality_score and
+# curate_documents; the DuckDB oracle CTE mirrors it (__spark_entry__._DOC_FEATURES_CTE)
+_QUALITY_PUNCT_CLASS = "[.,!?;:()«»—-]"
+
+
+def _punct_ratio():
+    return F.round(_ratio(_QUALITY_PUNCT_CLASS), 4)
+
+
+def _lang_pred_expr(cyr_col, lat_col):
+    return (F.when(cyr_col >= 0.3, "ru").when(lat_col >= 0.3, "en").otherwise("other"))
+
+
+def _quality_expr(n_chars_col, digit_col, punct_col):
+    return F.round(
+        F.when(n_chars_col >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(digit_col < 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_col < 0.2, F.lit(0.3)).otherwise(F.lit(0.0)),
+        2,
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """n-gram-free heuristic language ID: script-class character ratios."""
     d = docs.select(
@@ -34,10 +57,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
     return d.select(
         "doc_id", "cyr_ratio", "lat_ratio",
-        F.when(F.col("cyr_ratio") >= 0.3, "ru")
-        .when(F.col("lat_ratio") >= 0.3, "en")
-        .otherwise("other")
-        .alias("lang_pred"),
+        _lang_pred_expr(F.col("cyr_ratio"), F.col("lat_ratio")).alias("lang_pred"),
     )
 
 
@@ -58,24 +78,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
         F.round(_ratio(DIGIT_CLASS), 4).alias("digit_ratio"),
-        F.round(
-            F.when(
-                F.length("text") > 0,
-                F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:()«»—-]", "")) / F.length("text"),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("punct_ratio"),
+        _punct_ratio().alias("punct_ratio"),
     )
     mean_tok = F.when(F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")).otherwise(F.lit(0.0))
-    score = (
-        F.when(F.col("n_chars") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((F.col("digit_ratio") < 0.3), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when((F.col("punct_ratio") < 0.2), F.lit(0.3)).otherwise(F.lit(0.0))
-    )
     return feats.select(
         "doc_id", "n_chars", "n_tokens", "digit_ratio", "punct_ratio",
         F.round(mean_tok, 4).alias("mean_token_len"),
-        F.round(score, 2).alias("quality"),
+        _quality_expr(F.col("n_chars"), F.col("digit_ratio"), F.col("punct_ratio"))
+        .alias("quality"),
     )
 
 
@@ -90,26 +100,13 @@ def curate_documents(docs: DataFrame, min_quality: float = 0.7) -> DataFrame:
     results are identical to the composed form."""
     from pyspark.sql import Window
 
-    cyr = F.round(_ratio(CYRILLIC_CLASS), 4)
-    lat = F.round(_ratio(LATIN_CLASS), 4)
-    digit = F.round(_ratio(DIGIT_CLASS), 4)
-    punct = F.round(
-        F.when(
-            F.length("text") > 0,
-            F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:()«»—-]", "")) / F.length("text"),
-        ).otherwise(F.lit(0.0)),
-        4,
-    )
     feats = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
-        F.when(cyr >= 0.3, "ru").when(lat >= 0.3, "en").otherwise("other").alias("lang_pred"),
-        F.round(
-            F.when(F.length("text") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
-            + F.when(digit < 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
-            + F.when(punct < 0.2, F.lit(0.3)).otherwise(F.lit(0.0)),
-            2,
-        ).alias("quality"),
+        _lang_pred_expr(F.round(_ratio(CYRILLIC_CLASS), 4),
+                        F.round(_ratio(LATIN_CLASS), 4)).alias("lang_pred"),
+        _quality_expr(F.length("text"), F.round(_ratio(DIGIT_CLASS), 4),
+                      _punct_ratio()).alias("quality"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
     )
     keeper = F.min("doc_id").over(Window.partitionBy("fp"))

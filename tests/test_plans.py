@@ -2,6 +2,8 @@
 joins where intended, predicate pushdown + column pruning into the parquet scan, and
 whole-stage codegen on the relational paths — must not silently regress."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -140,8 +142,6 @@ def test_curation_is_single_scan(spark):
     """curate_documents reads the corpus ONCE (window keeper, not a three-way
     self-join) — at 100 TB a second scan is a second 100 TB read."""
     import __spark_entry__ as e
-
-    import re
 
     plan = _plan(e.queries()["curated_docs"](spark, SF), spark)
     # formatted explain prints each node in the tree AND in the details section —

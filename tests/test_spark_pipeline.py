@@ -144,8 +144,6 @@ def test_multimodal_resize_frames_features(spark, docs):
     extract — deterministic fake impls over real Spark plumbing, real seams raise."""
     import math
 
-    import pytest as _pytest
-
     from lingvo_spark_kg.operators.multimodal import (
         decode_media, media_features, media_payloads, resize_media, sample_frames)
 
@@ -174,7 +172,7 @@ def test_multimodal_resize_frames_features(spark, docs):
     for fn in (lambda: resize_media(media, impl="real"),
                lambda: sample_frames(decoded, impl="real"),
                lambda: media_features(media, impl="real")):
-        with _pytest.raises(NotImplementedError):
+        with pytest.raises(NotImplementedError):
             fn()
 
 
