@@ -1,5 +1,13 @@
 import pytest
 
+# the one copy of the small-scale testdata path tests run against
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -10,38 +10,58 @@ from pathlib import Path
 
 import pytest
 
+from conftest import SF_DIR as SF
+
 from lingvo_spark_kg import golden
 
-SF = "/root/testdata/sf0.001"
+
+def _counting_compute(monkeypatch):
+    """Instrument golden.compute so tests assert recomputation directly (mtime
+    comparisons are granularity-dependent)."""
+    calls = []
+    real = golden.compute
+
+    def spy(name, sf_dir, _cache=None):
+        calls.append(name)
+        return real(name, sf_dir, _cache=_cache)
+
+    monkeypatch.setattr(golden, "compute", spy)
+    return calls
 
 
-def test_ensure_goldens_idempotent(tmp_path):
+def test_ensure_goldens_idempotent(tmp_path, monkeypatch):
     names = ("kg_invariant", "media_meta")  # the two cheapest goldens
+    calls = _counting_compute(monkeypatch)
     p1 = golden.ensure_goldens(SF, tmp_path, names=names)
-    stamps = {n: Path(p).stat().st_mtime_ns for n, p in p1.items()}
+    assert sorted(calls) == sorted(names)
     p2 = golden.ensure_goldens(SF, tmp_path, names=names)
     assert p1 == p2
-    # second call matched the manifest and did NOT rewrite the files
-    assert stamps == {n: Path(p).stat().st_mtime_ns for n, p in p2.items()}
+    # second call matched the manifest and did NOT recompute anything
+    assert sorted(calls) == sorted(names)
+    assert all(Path(p).exists() for p in p2.values())
 
 
 def test_ensure_goldens_invalidates_on_version_or_names(tmp_path, monkeypatch):
     names = ("kg_invariant",)
+    calls = _counting_compute(monkeypatch)
     golden.ensure_goldens(SF, tmp_path, names=names)
     manifest = json.loads((tmp_path / "manifest.json").read_text())
     assert manifest["version"] == golden.GOLDEN_VERSION
+    assert calls == ["kg_invariant"]
 
-    # version bump → regeneration (manifest rewritten with the new version)
+    # version bump → actual recomputation, not just a manifest rewrite
     monkeypatch.setattr(golden, "GOLDEN_VERSION", golden.GOLDEN_VERSION + 1)
     golden.ensure_goldens(SF, tmp_path, names=names)
     manifest2 = json.loads((tmp_path / "manifest.json").read_text())
     assert manifest2["version"] == manifest["version"] + 1
+    assert calls == ["kg_invariant", "kg_invariant"]
 
     # name-set change → regeneration too (the driver adds queries between rounds)
     golden.ensure_goldens(SF, tmp_path, names=("kg_invariant", "media_meta"))
     manifest3 = json.loads((tmp_path / "manifest.json").read_text())
     assert sorted(manifest3["names"]) == ["kg_invariant", "media_meta"]
     assert (tmp_path / "media_meta.parquet").exists()
+    assert calls.count("media_meta") == 1
 
 
 def test_round_like_spark_half_up():

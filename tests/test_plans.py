@@ -5,15 +5,13 @@ whole-stage codegen on the relational paths — must not silently regress."""
 import re
 
 import pytest
+from conftest import SF_DIR as SF
 from pyspark.sql import functions as F
 
 
 def _plan(df, spark) -> str:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
-
-
-SF = "/root/testdata/sf0.001"
 
 
 def test_link_join_is_broadcast(spark, gaz_bc):

@@ -7,6 +7,7 @@ import shutil
 
 import numpy as np
 import pytest
+from conftest import SF_DIR
 from pyspark.sql import functions as F
 
 from lingvo_spark_kg.fixtures.corpus import (
@@ -231,7 +232,7 @@ def test_ann_multitable_recall(spark):
     top-k on the driver embeddings — single-table LSH recall here is ~0.2-0.4."""
     import __spark_entry__ as e
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     exact = e.q_ann_topk(spark, sf).collect()
     approx = e.q_ann_lsh_multi(spark, sf).collect()
     truth = {}
@@ -252,7 +253,7 @@ def test_ann_ivf_self_match_and_bounded_candidates(spark):
     from pyspark.sql import functions as F
     from lingvo_spark_kg.operators.ann import ivf_topk, pick_ivf_centroids, _cell_expr
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     rows = e.q_ann_ivf(spark, sf).collect()
     top1 = {r["query_id"]: (r["vec_id"], r["cosine"]) for r in rows if r["rank"] == 1}
     assert top1 == {q: (q, 1.0) for q in range(5)}
