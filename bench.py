@@ -75,7 +75,9 @@ def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
     job = extract_triples_df(tagged).select("doc_id")
     job.count()  # warm-up: python workers + model rehydration are fixed costs,
     # steady-state throughput is the number that scales
-    sec, _n = _time(job.count)
+    sec1, _n = _time(job.count)
+    sec2, _n = _time(job.count)
+    sec = min(sec1, sec2)  # best-of-2 steady state (single runs swing 2× with load)
     docs.unpersist()
     return sec, {"n_docs": n_docs, "n_tokens": int(n_tokens),
                  "docs_per_sec": round(n_docs / sec, 1),
