@@ -48,8 +48,12 @@ def bucketed_chunked_predict(sentences: list[list[str]], predict_batch,
                              bucket_by_length: bool = True) -> list[list[str]]:
     """THE decode driver (single copy — BiLSTM, Transformer and ONNX backends all
     delegate here): length bucketing + the reference's long-sentence chunking
-    (>220 tokens chunked; ≤10% overflow truncated and padded with the last tag —
-    SeqLabel.cs:259-311, default 220 Options.cs:31).
+    (>220 tokens chunked; ≤10% overflow truncated — SeqLabel.cs:259-311, default 220
+    Options.cs:31). DELIBERATE DEVIATION: the reference returns NO tags for the
+    truncated ≤10% tail (its Predict drops the overflow tokens); we pad the tail with
+    the last predicted tag instead so every token keeps a tag and token/tag alignment
+    survives downstream zips — the reference's behavior would desynchronize our
+    per-token output rows.
 
     ``bucket_by_length=True`` = equal-length batches, so no sentence ever sees pad
     tokens — required for pad-mask-less encoders (the reference BiLSTM,

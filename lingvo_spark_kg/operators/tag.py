@@ -37,8 +37,17 @@ def _bc_key(bc) -> object:
     and a GC'd handle's id can be recycled by a DIFFERENT broadcast, silently serving a
     stale model. ``Broadcast._path`` is the per-broadcast spill file — unique per
     broadcast and identical for every handle of it within a worker process (executor
-    handles come from the bid-keyed _broadcastRegistry)."""
-    return getattr(bc, "_path", None) or id(bc)
+    handles come from the bid-keyed _broadcastRegistry). No silent fallback: a PySpark
+    version whose handles lack ``_path`` fails loudly here rather than degrading to
+    the exact unstable-id behavior this function exists to prevent."""
+    path = getattr(bc, "_path", None)
+    if path is None:
+        raise AttributeError(
+            "Broadcast handle has no _path spill file — this PySpark version/deploy "
+            "mode changed broadcast internals; pick a new stable per-broadcast key "
+            "for the executor model cache (see _bc_key docstring)"
+        )
+    return path
 
 
 def _cached_from_broadcast(bc, build):

@@ -6,11 +6,23 @@ optimizer step updates all copies (Network/BaseSeq2SeqFramework.cs Train loop;
 MultiProcessorNetworkWrapper.cs:58-79 weight sync). The Spark-first shape keeps that
 structure with partitions as devices:
 
-  per epoch: broadcast current weights → each partition buckets its sentences into
+  per round: broadcast current weights → each partition buckets its sentences into
   equal-length micro-batches and computes summed NLL + gradient SUMS (model/train.py,
-  verified by numerical gradcheck) → per-partition results come back small (one grads
-  dict per partition) and are reduced in deterministic partition order → ONE Adam step
-  on the driver (reference kernel semantics: /batchSize, ±clip, β=0.9/0.98) → repeat.
+  verified by numerical gradcheck) over its share of the round's batches →
+  per-partition results come back small (one grads dict per partition) and are
+  reduced → ONE Adam step on the driver (reference kernel semantics: /batchSize,
+  ±clip, β=0.9/0.98) → repeat.
+
+DELIBERATE DIVERGENCE from the reference's update cadence: the reference steps its
+optimizer once per mini-batch (BaseSeq2SeqFramework Train loop), which is inherently
+sequential; a synchronous data-parallel engine steps once per *round* of parallel
+batches. ``rounds_per_epoch=1`` (default) is full-batch GD — one step per epoch,
+maximally cheap in broadcast/reduce traffic and bit-deterministic; raise
+``rounds_per_epoch`` to approach the reference's per-mini-batch dynamics (weights
+re-broadcast every round, Adam's bias-correction counts steps = epochs×rounds).
+Convergence per epoch improves with more rounds at the cost of rounds× more
+broadcast+reduce barriers — the standard large-batch-training trade
+(Goyal et al. 2017, arXiv:1706.02677).
 
 R5 (OOM-adaptive batch splitting, BaseSeq2SeqFramework.cs:283-390 TryToSplitBatchFactor
 :432-450): a micro-batch that raises MemoryError is recursively halved and retried —
@@ -45,6 +57,19 @@ def _bucketed_batches(rows: list[tuple[list[int], list[int]]], batch_size: int):
                    np.asarray([c[1] for c in chunk], dtype=np.int64))
 
 
+def _merge_parts(a: tuple, b: tuple) -> tuple:
+    """Commutative+associative combiner for (cost, n_tok, grads|None) triples —
+    the treeReduce kernel (float sums only bit-reproducible in 'collect' mode)."""
+    ga, gb = a[2], b[2]
+    if ga is None:
+        g = gb
+    elif gb is None:
+        g = ga
+    else:
+        g = add_grads(ga, gb)
+    return (a[0] + b[0], a[1] + b[1], g)
+
+
 def _grads_with_oom_split(compute, weights, dims, ids, tgt):
     """R5: recursively halve a micro-batch that cannot be processed (MemoryError),
     mirroring the reference's batchSplitFactor doubling on OOM."""
@@ -69,11 +94,25 @@ def train_bilstm_distributed(
     validate_fn=None,
     save_best_path: str | None = None,
     compute_fn=None,
+    rounds_per_epoch: int = 1,
+    reduce: str = "collect",
 ) -> tuple[BiLSTMTaggerModel, list[dict]]:
     """corpus: (tokens array<string>, labels array<string>) rows — the CoNLL shape
     (sources/conll.py). Returns (best-or-final model, per-epoch history). ``compute_fn``
     is the per-micro-batch loss/grad function (default model/train.loss_and_grads;
-    injectable for the OOM-retry test and alternative backends)."""
+    injectable for the OOM-retry test and alternative backends).
+
+    ``rounds_per_epoch``: optimizer steps per epoch (module docstring: 1 = full-batch
+    GD; >1 re-broadcasts weights each round and steps Adam per round of parallel
+    micro-batches, approaching the reference's per-mini-batch cadence).
+
+    ``reduce``: 'collect' (default) gathers one grads dict per partition to the driver
+    and sums in partition-index order — bit-deterministic, driver memory ~n_partitions
+    × model size (docs/SCALE.md budgets the swap point at ~64 partitions). 'tree' uses
+    treeReduce (O(log n) aggregation depth, driver holds ONE grads dict) for training
+    jobs wider than that budget; float reduce order then depends on task scheduling, so
+    runs are statistically identical but not bitwise (same validation score — pinned in
+    tests/test_training.py)."""
     from pyspark.sql import functions as F
 
     spark = corpus.sparkSession
@@ -104,38 +143,57 @@ def train_bilstm_distributed(
 
     try:
         for epoch in range(epochs):
-            bc = sc.broadcast(weights)
+            cost_e = 0.0
+            ntok_e = 0
+            for rnd in range(rounds_per_epoch):
+                bc = sc.broadcast(weights)
 
-            def part_grads(it, _compute=compute, _dims=dims, _bs=batch_size, _bc=bc):
-                # ONE float64 cast per partition; loss_and_grads skips re-casting
-                w = {k: np.asarray(v, dtype=np.float64) for k, v in _bc.value.items()}
-                total = None
-                cost = 0.0
-                n_tok = 0
-                for ids, tgt in _bucketed_batches(list(it), _bs):
-                    c, g, n = _grads_with_oom_split(_compute, w, _dims, ids, tgt)
-                    cost += c
-                    n_tok += n
-                    total = add_grads(total, g)
-                yield (cost, n_tok, total)  # Spark pickles this once — no manual dumps
+                def part_grads(it, _compute=compute, _dims=dims, _bs=batch_size,
+                               _bc=bc, _rnd=rnd, _R=rounds_per_epoch):
+                    # ONE float64 cast per partition; loss_and_grads skips re-casting
+                    w = {k: np.asarray(v, dtype=np.float64) for k, v in _bc.value.items()}
+                    total = None
+                    cost = 0.0
+                    n_tok = 0
+                    for bi, (ids, tgt) in enumerate(_bucketed_batches(list(it), _bs)):
+                        if bi % _R != _rnd:  # this round's share of the batches
+                            continue
+                        c, g, n = _grads_with_oom_split(_compute, w, _dims, ids, tgt)
+                        cost += c
+                        n_tok += n
+                        total = add_grads(total, g)
+                    yield (cost, n_tok, total)  # Spark pickles this once
 
-            # deterministic reduce order: collect per-partition results, sum in
-            # partition-index order (float sums are order-sensitive)
-            parts = encoded.mapPartitionsWithIndex(
-                lambda i, it: ((i, r) for r in part_grads(it))
-            ).collect()
-            grads = None
-            cost = 0.0
-            n_tok = 0
-            for _i, (c, n, g) in sorted(parts, key=lambda p: p[0]):
-                if g is not None:
-                    grads = add_grads(grads, g)
-                cost += c
-                n_tok += n
-            bc.destroy()
-            if grads is None:
+                if reduce == "tree":
+                    # O(log n) aggregation; driver never holds >1 grads dict. Float
+                    # order follows task scheduling — not bit-reproducible (docstring).
+                    cost, n_tok, grads = encoded.mapPartitions(part_grads).treeReduce(
+                        _merge_parts, depth=2
+                    )
+                else:
+                    # deterministic reduce order: collect per-partition results, sum
+                    # in partition-index order (float sums are order-sensitive)
+                    parts = encoded.mapPartitionsWithIndex(
+                        lambda i, it: ((i, r) for r in part_grads(it))
+                    ).collect()
+                    grads = None
+                    cost = 0.0
+                    n_tok = 0
+                    for _i, (c, n, g) in sorted(parts, key=lambda p: p[0]):
+                        if g is not None:
+                            grads = add_grads(grads, g)
+                        cost += c
+                        n_tok += n
+                bc.destroy()
+                if grads is not None:
+                    # a round can be legitimately empty (fewer batches than rounds in
+                    # every partition) — skip the step, don't advance Adam's counter
+                    opt.step(weights, grads, batch_size=n_tok, lr=lr)
+                cost_e += cost
+                ntok_e += n_tok
+            if ntok_e == 0:
                 raise ValueError("training corpus is empty")
-            opt.step(weights, grads, batch_size=n_tok, lr=lr)
+            cost, n_tok = cost_e, ntok_e
 
             entry = {"epoch": epoch, "nll_per_token": round(cost / max(n_tok, 1), 6),
                      "n_tokens": n_tok}

@@ -45,7 +45,13 @@ _WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
 
 def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
     result = shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError(
+                f"corrupt/truncated protobuf: varint at offset {pos} runs past "
+                f"end of buffer (len {n})"
+            )
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -82,9 +88,21 @@ def _write_len_delimited(out: io.BytesIO, field_no: int, payload: bytes) -> None
 
 def _iter_fields(buf: memoryview):
     """Yield (field_no, wire_type, value) for one message. LEN values come back as
-    memoryview; varints as int; fixed32/64 as raw 4/8 bytes."""
+    memoryview; varints as int; fixed32/64 as raw 4/8 bytes.
+
+    Every LEN/fixed payload is bounds-checked: a truncated or bit-rotted file raises
+    ValueError at read time instead of silently yielding clamped (shortened)
+    memoryviews that would parse into wrong vocab entries or score doubles."""
     pos = 0
     n = len(buf)
+
+    def _need(end: int, what: str) -> None:
+        if end > n:
+            raise ValueError(
+                f"corrupt/truncated protobuf: {what} at offset {pos} needs bytes "
+                f"up to {end} but buffer ends at {n}"
+            )
+
     while pos < n:
         key, pos = _read_varint(buf, pos)
         field_no, wt = key >> 3, key & 7
@@ -92,12 +110,15 @@ def _iter_fields(buf: memoryview):
             v, pos = _read_varint(buf, pos)
         elif wt == _WT_LEN:
             ln, pos = _read_varint(buf, pos)
+            _need(pos + ln, f"LEN payload of field {field_no} ({ln} bytes)")
             v = buf[pos : pos + ln]
             pos += ln
         elif wt == _WT_I32:
+            _need(pos + 4, f"fixed32 of field {field_no}")
             v = bytes(buf[pos : pos + 4])
             pos += 4
         elif wt == _WT_I64:
+            _need(pos + 8, f"fixed64 of field {field_no}")
             v = bytes(buf[pos : pos + 8])
             pos += 8
         else:  # pragma: no cover — groups (wt 3/4) never written by protobuf-net here

@@ -114,6 +114,15 @@ def test_s2s_crf_weights_roundtrip(tmp_path):
     assert loaded.predict_tags(SENTS) == m.predict_tags(SENTS)
 
 
+def test_s2s_truncated_file_fails_loudly():
+    """Corrupt/truncated .s2s bytes raise ValueError at read time — never silently
+    clamped payloads that would parse vocab entries or score doubles to wrong values."""
+    blob = s2s.write_s2s(s2s.from_tagger_model(_pinned()))
+    for cut in (len(blob) - 1, len(blob) - 7, len(blob) // 2, 3):
+        with pytest.raises(ValueError, match="corrupt|truncated"):
+            s2s.read_s2s(blob[:cut])
+
+
 def test_s2s_transformer_requires_hidden_eq_embedding():
     from lingvo_spark_kg.model.transformer import TransformerTaggerModel
 

@@ -155,6 +155,56 @@ def test_training_learns_and_saves_best(spark, tmp_path):
     assert reloaded.predict_tags(sample) == trained.predict_tags(sample)
 
 
+def test_rounds_per_epoch_steps_per_round(spark):
+    """rounds_per_epoch>1 (the reference's per-mini-batch cadence, approached by
+    rounds): still learns, and converges at least as far per epoch as full-batch GD
+    on this task (more optimizer steps on the same data)."""
+    from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
+
+    rows, df = _toy_corpus(spark, n_sents=160)
+    vocab = _vocab_for(rows)
+    m0 = BiLSTMTaggerModel.create_pinned(vocab, TAGS, emb_dim=8, hidden_dim=8, seed=5)
+    _m1, hist_r = train_bilstm_distributed(df.repartition(2), m0, epochs=4, lr=0.05,
+                                           batch_size=16, rounds_per_epoch=4)
+    _m2, hist_1 = train_bilstm_distributed(df.repartition(2), m0, epochs=4, lr=0.05,
+                                           batch_size=16)
+    # same corpus coverage per epoch regardless of round count
+    assert hist_r[0]["n_tokens"] == hist_1[0]["n_tokens"]
+    assert hist_r[-1]["nll_per_token"] < hist_r[0]["nll_per_token"]
+    # 4 Adam steps/epoch beats 1 step/epoch on final NLL for this convex-ish task
+    assert hist_r[-1]["nll_per_token"] < hist_1[-1]["nll_per_token"]
+
+
+def test_tree_reduce_same_validation_score(spark):
+    """reduce='tree' (the >64-partition scale path): treeReduce changes float
+    summation ORDER only — per-epoch NLL agrees to float64 noise and the discrete
+    validation score is identical to the deterministic collect reduce. (Not bitwise:
+    docstring documents why — tree combine order follows task scheduling.)"""
+    from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
+
+    rows, df = _toy_corpus(spark, n_sents=120)
+    vocab = _vocab_for(rows)
+    m0 = BiLSTMTaggerModel.create_pinned(vocab, TAGS, emb_dim=8, hidden_dim=8, seed=5)
+    val_rows, _ = _toy_corpus(spark, n_sents=40, seed=99)
+
+    def validate(model):
+        toks = [t for t, _ in val_rows]
+        gold = [l for _, l in val_rows]
+        pred = model.predict_tags(toks)
+        n_ok = sum(p == g for ps, gs in zip(pred, gold) for p, g in zip(ps, gs))
+        return n_ok / sum(len(g) for g in gold)
+
+    _mt, hist_t = train_bilstm_distributed(df.repartition(4), m0, epochs=6, lr=0.05,
+                                           batch_size=32, validate_fn=validate,
+                                           reduce="tree")
+    _mc, hist_c = train_bilstm_distributed(df.repartition(4), m0, epochs=6, lr=0.05,
+                                           batch_size=32, validate_fn=validate)
+    for a, b in zip(hist_t, hist_c):
+        assert a["n_tokens"] == b["n_tokens"]
+        assert a["nll_per_token"] == pytest.approx(b["nll_per_token"], rel=1e-6)
+    assert hist_t[-1]["val_score"] == hist_c[-1]["val_score"]
+
+
 def test_oom_adaptive_batch_split(spark):
     """R5: a micro-batch raising MemoryError is recursively halved (reference
     TryToSplitBatchFactor semantics) and training completes with the same loss."""
