@@ -408,18 +408,11 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 vocab build: frequency-descending capped token vocabulary with the
     reference's reserved-id layout (ids from START_MEANING_INDEX=3, Vocab.cs:14-27;
-    build CorpusBatch.cs:98-221; cap Options.cs:72)."""
-    from pyspark.sql import Window
+    build CorpusBatch.cs:98-221; cap Options.cs:72). TakeOrdered top-K — no global
+    Window (operators/corpus_ops.build_vocab_df)."""
+    from lingvo_spark_kg.operators.corpus_ops import build_vocab_df
 
-    d = _documents(spark, sf_dir)
-    toks = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 200)
-        .select("token", "cnt", (F.col("rank") + 2).cast("long").alias("vocab_id"))
-    )
+    return build_vocab_df(_documents(spark, sf_dir), cap=200)
 
 
 def _rule_taggings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

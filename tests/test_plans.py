@@ -149,6 +149,24 @@ def test_curation_is_single_scan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_vocab_topk_no_global_window(spark):
+    """VERDICT r2 item 3: the vocab cap must compile to TakeOrderedAndProject
+    (per-partition top-K heaps + driver merge), never a partition-less Window that
+    sorts every distinct token on ONE task."""
+    from lingvo_spark_kg.operators.corpus_ops import _vocab_topk, build_vocab_df
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(_vocab_topk(d, 200, "text"), spark)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    out = build_vocab_df(d, cap=10)
+    rows = out.collect()
+    assert [r["vocab_id"] for r in rows] == list(range(3, 3 + len(rows)))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)  # freq-desc order survives the collect
+
+
 def test_fused_triples_plan_is_narrow(spark, gaz_bc):
     from lingvo_spark_kg.operators.docsgen import generate_docs
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused
