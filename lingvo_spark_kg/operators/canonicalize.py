@@ -141,21 +141,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                 F.col("component").alias("old_component"),
             )
         )
+        # the convergence check rides the SAME job that materializes the iteration
+        # (Dataset.observe → CollectMetrics during localCheckpoint / parquet write):
+        # zero extra actions per iteration, so convergence is now checked EVERY
+        # iteration — previously a separate limit(1).count() job every 2nd one
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_changed_{it}")
+        observed = new_labels.observe(
+            obs,
+            F.sum(F.when(F.col("component") != F.col("old_component"), 1)
+                  .otherwise(0)).alias("n_changed"),
+        )
         if checkpoint_dir and it % checkpoint_every == checkpoint_every - 1:
             # ping-pong so the overwrite never clobbers files the live frame reads
             slot = os.path.join(checkpoint_dir, f"labels_{(it // checkpoint_every) % 2}")
-            new_labels.write.mode("overwrite").parquet(slot)
+            observed.write.mode("overwrite").parquet(slot)
             _write_cc_state(checkpoint_dir, {"iteration": it, "path": slot})
             new_labels = spark.read.parquet(slot)
         else:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = observed.localCheckpoint()
         labels = new_labels.select("v", "component")
-        # convergence check every 2nd iteration: each check is a driver round-trip,
-        # and one extra (idempotent) propagation pass is cheaper than a check
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = new_labels.where(F.col("component") != F.col("old_component")).limit(1).count()
-            if changed == 0:
-                break
+        changed = int(obs.get["n_changed"] or 0)
+        if changed == 0:
+            break
     if changed is None:
         # the loop never ran a convergence check — e.g. resume from a checkpoint
         # written at max_iter-1 right before the original run raised. Verify the
