@@ -242,6 +242,105 @@ def q_tag_bilstm_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tag_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-norm Transformer encoder regimen (M4/M5/M7): same operator as
+    q_tag_bilstm with encoder='transformer' — sinusoidal position embeddings, pad
+    self-attention mask (batch-composition-independent padded decode), final
+    LayerNorm (reference TransformerEncoder.cs:63-89, mask Encoder.cs:91). The
+    golden mirror decodes batch-of-1; the pad mask bounds batch-composition float
+    noise ~400× under the pinned model's minimum argmax margin (golden.py)."""
+    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
+    from lingvo_spark_kg.model.transformer import TransformerTaggerModel
+    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
+    pos_m = TransformerTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16,
+                                                 n_heads=4, depth=2)
+    ner_m = TransformerTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16,
+                                                 n_heads=4, depth=2, seed=43)
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    docs = docs_from_documents_table(spark, sf_dir)
+    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc,
+                                  encoder="transformer")
+    return tagged.select(
+        "doc_id", "span_idx", "sent_idx",
+        F.posexplode(F.arrays_zip("pos_tags", "ner_tags")).alias("tok_idx", "tags"),
+    ).select("doc_id", "span_idx", "sent_idx", "tok_idx",
+             F.col("tags.pos_tags").alias("pos_tag"), F.col("tags.ner_tags").alias("ner_tag"))
+
+
+def q_kg_links_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass entity linking: exact broadcast join + stem-block fuzzy fallback with
+    JVM-side levenshtein scoring (linking.link_mentions_fuzzy) — links inflected
+    surfaces ('с . козлову') the exact key misses."""
+    from lingvo_spark_kg.operators import linking
+
+    triples = _synthetic_triples(spark, sf_dir)
+    return linking.link_mentions_fuzzy(
+        linking.mentions_from_triples(triples), _aliases_df(spark))
+
+
+def q_media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize over opaque payloads (codec stubbed at the declared seam);
+    the raw resized bytes stay out of the oracle row — resized_sha1 is the
+    engine-portable witness of the byte grid."""
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.multimodal import media_payloads, resize_media
+    from lingvo_spark_kg.operators.tokenize import media_spans
+
+    docs = docs_from_documents_table(spark, sf_dir)
+    r = resize_media(media_payloads(media_spans(docs)), width=32, height=32)
+    return r.select("doc_id", "span_idx", "kind", "width", "height", "resized_sha1")
+
+
+def q_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction → unit-norm embedding column (the ANN input
+    shape), exploded to scalar (dim_idx, value) rows for the oracle comparison."""
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.multimodal import media_features, media_payloads
+    from lingvo_spark_kg.operators.tokenize import media_spans
+
+    docs = docs_from_documents_table(spark, sf_dir)
+    f = media_features(media_payloads(media_spans(docs)), dim=16)
+    return f.select("doc_id", "span_idx", "kind",
+                    F.posexplode("embedding").alias("dim_idx", "value"))
+
+
+def q_train_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2-R5 hard signal: a 2-epoch train_bilstm_distributed run on the deterministic
+    train fixture with ONE partition (float reduce order is then deterministic —
+    the documented reason distributed training has no oracle otherwise) emitting the
+    per-epoch (epoch, nll_per_token, n_tokens) table; the golden mirror runs the
+    identical kernels driver-side (golden._train_history_rows)."""
+    import pandas as pd
+
+    from lingvo_spark_kg.fixtures.corpus import TRAIN_FIXTURE_TAGS, train_fixture
+    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
+    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
+
+    rows = train_fixture(sf_dir)
+    vocab = Vocab.build([t for _d, t, _l in rows], cap=2000)
+    m0 = BiLSTMTaggerModel.create_pinned(vocab, list(TRAIN_FIXTURE_TAGS),
+                                         emb_dim=8, hidden_dim=8, seed=5)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [d for d, _, _ in rows],
+        "tokens": [t for _, t, _ in rows],
+        "labels": [l for _, _, l in rows],
+    }))
+    corpus = (df.repartition(1).sortWithinPartitions("doc_id")
+              .select("tokens", "labels"))
+    _m, hist = train_bilstm_distributed(corpus, m0, epochs=2, lr=0.05, batch_size=32)
+    return spark.createDataFrame(pd.DataFrame(hist)).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("nll_per_token").cast("double").alias("nll_per_token"),
+        F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.multimodal import decode_media, media_payloads
@@ -536,8 +635,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "tag_bilstm": q_tag_bilstm,
         "tag_bilstm_crf": q_tag_bilstm_crf,
+        "tag_transformer": q_tag_transformer,
+        "kg_links_fuzzy": q_kg_links_fuzzy,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
+        "media_resized": q_media_resized,
+        "media_embeddings": q_media_embeddings,
+        "train_history": q_train_history,
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "token_count": q_token_count,

@@ -216,6 +216,45 @@ def make_aliases(n_synthetic_entities: int = 5000, seed: int = 42) -> list[dict]
     return rows
 
 
+TRAIN_FIXTURE_TAGS = ("Adjective", "Adverb", "Noun", "Verb")
+
+
+def _suffix_label(token: str) -> str:
+    if token.endswith("ть"):
+        return "Verb"
+    if token.endswith(("ой", "ый", "ий")):
+        return "Adjective"
+    if token.endswith("о"):
+        return "Adverb"
+    return "Noun"
+
+
+def train_fixture(sf_dir: str, n_docs: int = 200, max_tokens: int = 30
+                  ) -> list[tuple[int, list[str], list[str]]]:
+    """Deterministic supervised corpus for the train_history query: the first
+    ``n_docs`` documents of the sf dir, whitespace-tokenized (capped) with
+    suffix-rule labels. ONE definition shared by the Spark query
+    (__spark_entry__.q_train_history) and its golden mirror
+    (golden._train_history_rows) so the two can never drift; rows come back sorted
+    by doc_id — the row order both sides train in."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for did, text in sorted(zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist())):
+        if did >= n_docs or text is None:
+            continue
+        toks = text.strip().lower().split()[:max_tokens]
+        if not toks:
+            continue
+        rows.append((int(did), toks, [_suffix_label(x) for x in toks]))
+    return rows
+
+
 def gazetteer_from_aliases(alias_rows: list[dict]) -> dict[str, str]:
     """normalized surface → entity type, highest-prior wins on conflicts."""
     best: dict[str, tuple[float, str]] = {}

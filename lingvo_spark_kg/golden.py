@@ -34,12 +34,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden's semantics change so stale files regenerate
-GOLDEN_VERSION = 6
+GOLDEN_VERSION = 7
 
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
     "kg_invariant", "kg_mentions", "tag_bilstm", "tag_bilstm_crf", "media_meta",
     "media_frames", "ann_lsh_multi", "ann_ivf",
+    # round 3: Transformer encoder, fuzzy linking, media resize/features, training
+    "tag_transformer", "kg_links_fuzzy", "media_resized", "media_embeddings",
+    "train_history",
 )
 
 
@@ -173,6 +176,64 @@ def _stem_py(norm: str) -> str:
     return stem if len(stem) >= 4 else last
 
 
+def _levenshtein_py(a: str, b: str) -> int:
+    """Unit-cost edit distance by codepoint — Spark's F.levenshtein semantics."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def _links_fuzzy_rows(links_rows: list[tuple], min_sim: float = 0.72) -> list[tuple]:
+    """Mirror of linking.link_mentions_fuzzy: exact-pass rows kept; each unlinked
+    mention retried against the stem block (same _stem semantics), scored
+    1−lev/maxlen, best candidate by the same (link_score, entity_id, entity_type)
+    struct ordering (nulls smallest). Covers the inflected-surface case the exact
+    pass misses ('с . козлову' → the 'козлов' alias stem block)."""
+    from .fixtures.corpus import make_aliases
+
+    by_stem: dict[str, list] = defaultdict(list)
+    for a in make_aliases(seed=42):
+        by_stem[_stem_py(a["alias_norm"])].append(a)
+
+    out: list[tuple] = []
+    for norm, mtype, n, eid, etype, score in links_rows:
+        if eid is not None:
+            out.append((norm, mtype, n, eid, etype, score))
+            continue
+        best_key = None
+        best = (None, None, None)
+        for a in by_stem.get(_stem_py(norm), ()):
+            lev = _levenshtein_py(norm, a["alias_norm"])
+            maxlen = max(len(norm), len(a["alias_norm"]))
+            sim = 1.0 - lev / maxlen
+            s = None
+            if sim >= min_sim:  # Spark: null when sim < min_sim
+                s = _round_like_spark(
+                    sim * a["prior"]
+                    * (1.0 if mtype == a["entity_type"] else 0.25), 6)
+            key = (s is not None, s if s is not None else 0.0,
+                   a["entity_id"], a["entity_type"])
+            if best_key is None or key > best_key:
+                best_key = key
+                best = (s, a["entity_id"], a["entity_type"])
+        s, beid, betype = best
+        if s is None:  # below threshold or no stem match: stays unlinked
+            out.append((norm, mtype, n, None, None, None))
+        else:
+            out.append((norm, mtype, n, beid, betype, s))
+    return out
+
+
 def _canonical_rows(links_rows: list[tuple]) -> list[tuple]:
     """Mirror of canonicalize.canonical_map: vertices, link+block edges, connected
     components by BFS with min-vertex labels:
@@ -294,10 +355,15 @@ def _sentences_rows(sf_dir: str) -> list[tuple]:
     return out
 
 
-def _tagged_token_rows(sf_dir: str, crf: bool) -> list[tuple]:
-    """Mirror of q_tag_bilstm / q_tag_bilstm_crf: per-token (doc_id, span_idx,
-    sent_idx, tok_idx, pos_tag, ner_tag) with batch-of-1 predicts (the Spark operator's
-    equal-length bucketing makes its decode batch-invariant — tests/test_model.py)."""
+def _tagged_token_rows(sf_dir: str, crf: bool, encoder: str = "bilstm") -> list[tuple]:
+    """Mirror of q_tag_bilstm / q_tag_bilstm_crf / q_tag_transformer: per-token
+    (doc_id, span_idx, sent_idx, tok_idx, pos_tag, ner_tag) with batch-of-1 predicts.
+    The BiLSTM operator's equal-length bucketing makes its decode exactly
+    batch-invariant (tests/test_model.py); the Transformer's pad mask makes its padded
+    batches mathematically batch-invariant with float noise ~8e-7 in the logits —
+    400× under the pinned model's minimum argmax margin (3.3e-4 over every distinct
+    corpus sentence), and the oracle comparison at the two fixed sf dirs verifies the
+    tag-level match exhaustively."""
     from .model.bilstm import BiLSTMTaggerModel
     from .model.lexicon import NER_TAGS, POS_TAGS
     from .model.vocab import Vocab
@@ -305,9 +371,17 @@ def _tagged_token_rows(sf_dir: str, crf: bool) -> list[tuple]:
     from .operators.tokenize import _tokenize_text
 
     vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
-    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
-    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
-                                            seed=43)
+    if encoder == "transformer":
+        from .model.transformer import TransformerTaggerModel
+
+        pos_m = TransformerTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16,
+                                                     n_heads=4, depth=2)
+        ner_m = TransformerTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16,
+                                                     n_heads=4, depth=2, seed=43)
+    else:
+        pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
+        ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
+                                                seed=43)
     if crf:
         ner_m = ner_m.with_crf(bio=True)
 
@@ -368,6 +442,96 @@ def _media_meta_rows(sf_dir: str) -> list[tuple]:
             hashlib.sha1(payload).hexdigest(),
             64 + payload[0], 64 + payload[1], 0,
         ))
+    return out
+
+
+def _doc_media_payloads(sf_dir: str):
+    """(doc_id, span_idx, kind, payload) for the documents-table media spans — the
+    shared head of the media_meta / media_resized / media_embeddings mirrors
+    (docs_from_documents_table synthesizes one image span per did%8==0 doc;
+    media_payloads derives payload = unhex(repeat(substr(sha1(media_ref),1,32),4)))."""
+    for did, _text in _documents(sf_dir):
+        if did % 8 != 0:
+            continue
+        media_ref = "media://" + hashlib.sha1(str(did).encode()).hexdigest()
+        payload = bytes.fromhex(hashlib.sha1(media_ref.encode()).hexdigest()[:32] * 4)
+        yield f"doc-{did:08d}", 1, "image", payload
+
+
+def _media_resized_rows(sf_dir: str, width: int = 32, height: int = 32) -> list[tuple]:
+    """Mirror of resize_media(impl='fake'): deterministic width×height byte grid from
+    the payload digest, reported by sha1 (the raw bytes stay out of the oracle row —
+    the digest is the engine-portable witness)."""
+    out = []
+    for doc_id, span_idx, kind, payload in _doc_media_payloads(sf_dir):
+        seed = hashlib.sha1(payload + f":{width}x{height}".encode()).digest()
+        n = width * height
+        resized = (seed * (n // len(seed) + 1))[:n]
+        out.append((doc_id, span_idx, kind, width, height,
+                    hashlib.sha1(resized).hexdigest()))
+    return out
+
+
+def _media_embeddings_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
+    """Mirror of media_features(impl='fake') exploded to (…, dim_idx, value): the
+    operator computes the unit-norm vector in pure Python floats, so the mirror's
+    identical expressions reproduce it bit-for-bit."""
+    import math
+
+    out = []
+    for doc_id, span_idx, kind, payload in _doc_media_payloads(sf_dir):
+        raw: list[float] = []
+        d = payload
+        while len(raw) < dim:
+            d = hashlib.sha1(d).digest()
+            raw.extend(x / 255.0 - 0.5 for x in d)
+        vec = raw[:dim]
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        for i, x in enumerate(vec):
+            out.append((doc_id, span_idx, kind, i, x / norm))
+    return out
+
+
+def _train_history_rows(sf_dir: str, epochs: int = 2, lr: float = 0.05,
+                        batch_size: int = 32) -> list[tuple]:
+    """Mirror of q_train_history: the SAME per-epoch math train_bilstm_distributed
+    runs with one partition and the deterministic collect reduce — shared pure kernels
+    (_bucketed_batches, loss_and_grads, AdamOptimizer), shared corpus derivation
+    (fixtures.corpus.train_fixture), flat driver loop instead of
+    broadcast → mapPartitions → reduce. A green oracle row is therefore a hard check
+    of the distributed training plumbing (R2-R5)."""
+    import numpy as np
+
+    from .fixtures.corpus import TRAIN_FIXTURE_TAGS, train_fixture
+    from .model.bilstm import BiLSTMTaggerModel
+    from .model.train import AdamOptimizer, add_grads, loss_and_grads
+    from .model.vocab import UNK_ID, Vocab
+    from .operators.train_loop import _bucketed_batches
+
+    rows = train_fixture(sf_dir)
+    vocab = Vocab.build([t for _d, t, _l in rows], cap=2000)
+    m = BiLSTMTaggerModel.create_pinned(vocab, list(TRAIN_FIXTURE_TAGS),
+                                        emb_dim=8, hidden_dim=8, seed=5)
+    tag2id = {t: i for i, t in enumerate(m.tgt_tags)}
+    w2i = vocab.word2id
+    enc = [([w2i.get(t, UNK_ID) for t in toks], [tag2id[x] for x in labs])
+           for _d, toks, labs in rows]
+    weights = {k: v.copy() for k, v in m.weights.items()}
+    opt = AdamOptimizer(grad_clip=3.0)
+    out: list[tuple] = []
+    for epoch in range(epochs):
+        # same cast point as train_loop.part_grads: float64 once per round
+        w64 = {k: np.asarray(v, dtype=np.float64) for k, v in weights.items()}
+        grads = None
+        cost = 0.0
+        n_tok = 0
+        for ids, tgt in _bucketed_batches(enc, batch_size):
+            c, g, n = loss_and_grads(w64, 8, 8, 1, ids, tgt)
+            cost += c
+            n_tok += n
+            grads = add_grads(grads, g)
+        opt.step(weights, grads, batch_size=n_tok, lr=lr)
+        out.append((epoch, round(cost / max(n_tok, 1), 6), n_tok))
     return out
 
 
@@ -511,6 +675,16 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
                       ("rank", _I64)],
     "ann_ivf": [("query_id", _I64), ("vec_id", _I64), ("cosine", _F64),
                 ("rank", _I64)],
+    "tag_transformer": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                        ("tok_idx", _I32), ("pos_tag", _S), ("ner_tag", _S)],
+    "kg_links_fuzzy": [("mention_norm", _S), ("mention_type", _S),
+                       ("n_mentions", _I64), ("entity_id", _S), ("entity_type", _S),
+                       ("link_score", _F64)],
+    "media_resized": [("doc_id", _S), ("span_idx", _I32), ("kind", _S),
+                      ("width", _I32), ("height", _I32), ("resized_sha1", _S)],
+    "media_embeddings": [("doc_id", _S), ("span_idx", _I32), ("kind", _S),
+                         ("dim_idx", _I32), ("value", _F64)],
+    "train_history": [("epoch", _I64), ("nll_per_token", _F64), ("n_tokens", _I64)],
 }
 
 
@@ -551,6 +725,16 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _tagged_token_rows(sf_dir, crf=False)
     elif name == "tag_bilstm_crf":
         rows = [(r[0], r[1], r[2], r[3], r[5]) for r in _tagged_token_rows(sf_dir, crf=True)]
+    elif name == "tag_transformer":
+        rows = _tagged_token_rows(sf_dir, crf=False, encoder="transformer")
+    elif name == "kg_links_fuzzy":
+        rows = _links_fuzzy_rows(links())
+    elif name == "media_resized":
+        rows = _media_resized_rows(sf_dir)
+    elif name == "media_embeddings":
+        rows = _media_embeddings_rows(sf_dir)
+    elif name == "train_history":
+        rows = _train_history_rows(sf_dir)
     elif name == "media_meta":
         rows = _media_meta_rows(sf_dir)
     elif name == "media_frames":

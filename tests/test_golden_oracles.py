@@ -75,6 +75,23 @@ def test_round_like_spark_half_up():
     assert golden._round_like_spark(0.1, 1) == 0.1
 
 
+def test_fuzzy_golden_links_an_exact_miss():
+    """VERDICT r3 item 4 'done' criterion: the fuzzy golden must cover a case the
+    exact pass misses — an inflected surface linked only via the stem block."""
+    links = golden.compute("kg_links", SF).to_pylist()
+    fuzzy = golden.compute("kg_links_fuzzy", SF).to_pylist()
+    ex = {(r["mention_norm"], r["mention_type"]): r["entity_id"] for r in links}
+    gained = [r for r in fuzzy
+              if r["entity_id"] is not None
+              and ex[(r["mention_norm"], r["mention_type"])] is None]
+    assert gained, "fuzzy pass linked nothing the exact pass missed"
+    # the canonical inflected case: dative 'с . козлову' → the kozlov entity
+    by_norm = {r["mention_norm"]: r for r in gained}
+    assert "с . козлову" in by_norm
+    assert by_norm["с . козлову"]["entity_id"] == "E000000"
+    assert by_norm["с . козлову"]["link_score"] == pytest.approx(0.909091)
+
+
 def test_invariant_golden_counts():
     import pyarrow as pa
 
