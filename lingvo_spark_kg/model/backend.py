@@ -6,10 +6,17 @@ object with ``predict_tags(list[list[str]]) -> list[list[str]]``. Production map
 (SURVEY.md §1.2/§2.3): export the encoder to ONNX, broadcast the ONNX bytes, and run
 one onnxruntime ``InferenceSession`` per executor — ``OnnxTagBackend`` implements
 exactly that seam (reference architecture being exported: BiEncoder.cs:62-103 /
-TransformerEncoder.cs:63-89; greedy decode SeqLabel.cs:171-173). This sandbox has no
-onnxruntime, so the session construction is injectable (``session_factory``) and the
-default factory raises a clear ImportError — the operator, bundle format, batch shape
-and decode are real and tested either way; the NumPy models are the default backend.
+TransformerEncoder.cs:63-89; greedy decode SeqLabel.cs:171-173).
+
+The whole hop EXECUTES in this sandbox: ``model/onnx_export.py`` serializes the
+BiLSTM/Transformer as a real ONNX ``ModelProto`` (hand-rolled protobuf, no
+dependency) and ``model/onnx_numpy.py`` re-parses and runs the graph with NumPy
+kernels — bit-identical logits to the native forward on the BiLSTM path
+(tests/test_model_io.py::test_onnx_export_bilstm_bit_parity, operator end-to-end in
+test_tag_operator_onnx_end_to_end). This sandbox has no onnxruntime, so the session
+construction is injectable (``session_factory``): ``onnx_numpy.numpy_session_factory``
+here, the default onnxruntime factory (clear ImportError when absent) in production —
+same bundle bytes either way.
 """
 
 from __future__ import annotations
