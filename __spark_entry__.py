@@ -401,6 +401,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS): per-doc k-gram min-hash selection,
+    position-robust near-dup keys (textstats.winnow_fingerprints)."""
+    from lingvo_spark_kg.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(spark, sf_dir), k=7, window=4)
+
+
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.dedup import minhash_bands
 
@@ -647,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "winnow_fp": q_winnow_fp,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
         "simhash": q_simhash,
@@ -833,6 +842,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT substr(fp, 1, 1) AS fp_bucket, count(*) AS n_docs,
                    count(DISTINCT fp) AS n_distinct
             FROM fp GROUP BY 1
+        """,
+        "winnow_fp": """
+            WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(s) >= 7 THEN
+                       [md5(substr(s, i, 7)) FOR i IN range(1, length(s) - 5)]
+                     ELSE [md5(s)] END AS grams
+              FROM t),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(grams) >= 4 THEN
+                       [list_min(grams[j:j+3]) FOR j IN range(1, len(grams) - 2)]
+                     ELSE [list_min(grams)] END) AS fps
+              FROM g)
+            SELECT doc_id, unnest(fps) AS fp FROM w
         """,
         "minhash_bands": "WITH " + _MINHASH_CTE + "SELECT doc_id, band_idx, band_sig FROM bands",
         "neardup_pairs": "WITH " + _MINHASH_CTE + r""",

@@ -118,6 +118,40 @@ def curate_documents(docs: DataFrame, min_quality: float = 0.7) -> DataFrame:
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer, Wilkerson,
+    Aiken 2003 — the MOSS algorithm): hash every character k-gram of the normalized
+    text, keep the minimum hash of each ``window`` of consecutive k-grams, dedup per
+    doc → (doc_id, fp). Guarantee: any substring of length ≥ k+window−1 shared by two
+    documents yields a shared fingerprint, so near-dup detection is a plain equi-join
+    on fp — position-robust, unlike the whole-text hash of ``fingerprint``.
+
+    Implementation is one JVM-side projection of higher-order functions (sequence →
+    transform(md5 ∘ substring) → sliding array_min → array_distinct → explode): no
+    Python, no shuffle until the consumer joins/aggregates. md5 is the gram hash so
+    the DuckDB oracle can mirror the selection exactly; a production deployment would
+    swap in xxhash64 (same winnowing semantics, cheaper hash). Texts shorter than k
+    fall back to one whole-text fingerprint."""
+    s = F.lower(F.trim(F.col(text_col)))
+    d = docs.select("doc_id", s.alias("s"))
+    # guard: Spark's sequence(1, n) with n < 1 produces a DESCENDING sequence, so
+    # the short-text branch must be taken before sequence ever sees it
+    grams = (
+        f"CASE WHEN length(s) >= {k} THEN "
+        f"  transform(sequence(1, length(s) - {k - 1}), i -> md5(substring(s, i, {k}))) "
+        f"ELSE array(md5(s)) END"
+    )
+    d = d.select("doc_id", F.expr(grams).alias("grams"))
+    fps = (
+        f"array_distinct(CASE WHEN size(grams) >= {window} THEN "
+        f"  transform(sequence(1, size(grams) - {window - 1}), "
+        f"            j -> array_min(slice(grams, j, {window}))) "
+        f"ELSE array(array_min(grams)) END)"
+    )
+    return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the lowercase trimmed text (exact content hash)
     plus a 16-bucket locality prefix — the groupBy key for exact dedup and the blocking

@@ -167,6 +167,17 @@ def test_vocab_topk_no_global_window(spark):
     assert cnts == sorted(cnts, reverse=True)  # freq-desc order survives the collect
 
 
+def test_winnow_fingerprints_plan_jvm_side(spark):
+    """Winnowing (k-gram rolling min-hash selection) must stay a single-scan,
+    shuffle-free JVM projection: higher-order functions + explode, no Python eval."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["winnow_fp"](spark, SF), spark)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_fused_triples_plan_is_narrow(spark, gaz_bc):
     from lingvo_spark_kg.operators.docsgen import generate_docs
     from lingvo_spark_kg.operators.triples import docs_to_triples_fused

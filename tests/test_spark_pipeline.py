@@ -245,6 +245,56 @@ def test_ann_multitable_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.95, recalls
 
 
+def test_ann_multitable_arrow_impl_equivalent(spark):
+    """impl='arrow' (packed per-batch matmul bucketing — the cheaper corpus-side
+    kernel at 10^12 docs) returns exactly the HOF path's results on the fixture;
+    the HOF path stays the oracle anchor."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from lingvo_spark_kg.operators.ann import lsh_multitable_topk
+
+    emb = e._embeddings(spark, SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"),
+                                              "embedding")
+    hof = sorted(map(tuple, lsh_multitable_topk(emb, q, dim=64, k=10,
+                                                round_digits=4).collect()))
+    arr = sorted(map(tuple, lsh_multitable_topk(emb, q, dim=64, k=10, round_digits=4,
+                                                impl="arrow").collect()))
+    assert hof == arr and len(hof) == 50
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): documents sharing a substring
+    of length ≥ k+window−1 share ≥1 fingerprint; unrelated documents share none."""
+    import pandas as pd
+    from lingvo_spark_kg.operators.textstats import winnow_fingerprints
+
+    shared = "общий украденный фрагмент текста достаточной длины"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"первый документ начинается так {shared} и кончается иначе",
+            f"{shared} — второй документ с тем же куском в другом месте",
+            # disjoint scripts: any common ≥(k+window−1)-char substring with docs 1/2
+            # (or each other) would legitimately share a fingerprint — that's the
+            # operator's guarantee, so the negative cases must avoid one by content
+            "a fully unrelated latin document with separate words",
+            "0123456789 887766 numeric-only payload 5544332211",
+        ],
+    }))
+    fps = winnow_fingerprints(docs, k=7, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must yield a shared fingerprint"
+    assert not (by_doc[3] & by_doc[1])
+    assert not (by_doc[3] & by_doc[4])
+    # short-text fallback: one whole-text fingerprint
+    tiny = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["абв"]}))
+    assert winnow_fingerprints(tiny).count() == 1
+
+
 def test_ann_ivf_self_match_and_bounded_candidates(spark):
     """IVF sanity: every query's rank-1 hit is itself (cosine 1.0 — its own cell is
     always probed), and probing n_probe of n_centroids cells actually bounds the
