@@ -98,7 +98,10 @@ def link_mentions_fuzzy(mentions: DataFrame, aliases: DataFrame,
     ("козлову" → alias "козлов") that exact keys miss. The fallback joins on
     (entity_type-compatible) stem blocks and scores candidates JVM-side with
     1 − levenshtein/len (no Python), keeping the best above ``min_sim``."""
-    exact = link_mentions(mentions, aliases)
+    # the exact pass feeds TWO consumers (linked passthrough + unlinked retry);
+    # materialize it once so the mention aggregation shuffle doesn't execute twice —
+    # the table is vocabulary-sized (distinct surfaces), not corpus-sized
+    exact = link_mentions(mentions, aliases).localCheckpoint()
     unlinked = exact.where(F.col("entity_id").isNull()).select(
         "mention_norm", "mention_type", "n_mentions"
     )
