@@ -430,19 +430,13 @@ def _media_frames_rows(n_docs: int, interval_ms: int = 5000) -> list[tuple]:
 def _media_meta_rows(sf_dir: str) -> list[tuple]:
     """Mirror of docs_from_documents_table media spans → media_payloads →
     decode_media(impl='fake'): (doc_id, span_idx, kind, n_bytes, sha1, width, height,
-    duration_ms)."""
-    out = []
-    for did, _text in _documents(sf_dir):
-        if did % 8 != 0:
-            continue
-        media_ref = "media://" + hashlib.sha1(str(did).encode()).hexdigest()
-        payload = bytes.fromhex(hashlib.sha1(media_ref.encode()).hexdigest()[:32] * 4)
-        out.append((
-            f"doc-{did:08d}", 1, "image", len(payload),
-            hashlib.sha1(payload).hexdigest(),
-            64 + payload[0], 64 + payload[1], 0,
-        ))
-    return out
+    duration_ms). Payload derivation shared with the resized/embeddings mirrors
+    (_doc_media_payloads) so the three can never desync."""
+    return [
+        (doc_id, span_idx, kind, len(payload), hashlib.sha1(payload).hexdigest(),
+         64 + payload[0], 64 + payload[1], 0)
+        for doc_id, span_idx, kind, payload in _doc_media_payloads(sf_dir)
+    ]
 
 
 def _doc_media_payloads(sf_dir: str):

@@ -112,8 +112,15 @@ def _bucket_rows_arrow(embeddings: DataFrame, dim: int, n_planes: int,
         for b in batches:
             ids = b.column(0)
             emb = b.column(1)
+            if emb.null_count:
+                raise ValueError("embedding column must not contain nulls")
+            # raw offsets + .values (NOT .flatten()) so indexes stay aligned even
+            # when the batch arrives sliced — same invariant as tokenize/tag
+            offs = np.asarray(emb.offsets.to_pylist())
+            if not np.all(np.diff(offs) == dim):
+                raise ValueError(f"embedding rows must all have dim={dim}")
             flat = emb.values.to_numpy(zero_copy_only=False)
-            m = flat.reshape(len(ids), dim)
+            m = flat[offs[0] : offs[-1]].reshape(len(ids), dim)
             bits = (m @ planes) >= 0  # (B, T*P)
             chars = np.where(bits, np.uint8(ord("1")), np.uint8(ord("0")))
             buckets = (np.ascontiguousarray(chars.reshape(-1, n_planes))

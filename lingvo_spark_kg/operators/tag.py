@@ -37,23 +37,20 @@ def _bc_key(bc) -> object:
     and a GC'd handle's id can be recycled by a DIFFERENT broadcast, silently serving a
     stale model. ``Broadcast._path`` is the per-broadcast spill file — unique per
     broadcast and identical for every handle of it within a worker process (executor
-    handles come from the bid-keyed _broadcastRegistry). No silent fallback: a PySpark
-    version whose handles lack ``_path`` fails loudly here rather than degrading to
-    the exact unstable-id behavior this function exists to prevent."""
-    path = getattr(bc, "_path", None)
-    if path is None:
-        raise AttributeError(
-            "Broadcast handle has no _path spill file — this PySpark version/deploy "
-            "mode changed broadcast internals; pick a new stable per-broadcast key "
-            "for the executor model cache (see _bc_key docstring)"
-        )
-    return path
+    handles come from the bid-keyed _broadcastRegistry). A handle without ``_path``
+    (spark.io.encryption.enabled executors decrypt eagerly and never spill) returns
+    None — the caller then rebuilds per task (correct, just uncached) instead of
+    either crashing the job or degrading to the recycled-``id()`` stale-hit hazard
+    this function exists to prevent."""
+    return getattr(bc, "_path", None)
 
 
 def _cached_from_broadcast(bc, build):
     """Rehydrate-once-per-worker helper (bounded FIFO so long-lived workers that see
     many distinct broadcasts don't leak)."""
     key = _bc_key(bc)
+    if key is None:  # no stable per-broadcast key available (encrypted handles)
+        return build(bc.value)
     m = _MODEL_CACHE.get(key)
     if m is None:
         while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
