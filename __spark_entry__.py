@@ -380,7 +380,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tc = token_count(_documents(spark, sf_dir))
     return tc.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-                     "n_chars", "n_bpe_est")
+                     "n_re_tokens", "n_chars", "n_bpe_est")
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +825,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9\s]')) AS n_re_tokens,
                    length(text) AS n_chars,
                    CAST(floor(length(text) / 4) AS BIGINT) AS n_bpe_est
             FROM documents

@@ -61,11 +61,21 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-style pre-tokenizer shape: word runs OR single non-word non-space chars.
+# Explicit character classes (not \w) so Java regex and RE2 (DuckDB oracle) agree
+# on Cyrillic; a real BPE count = this pre-tokenization × per-word merge table.
+_RE_TOKEN_PATTERN = r"[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9\s]"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + a word-char count (BPE-ish proxy: chars/4 rounded)."""
+    """Token counting three ways: whitespace tokens, a BPE-ish regex pre-tokenizer
+    count (word runs + single punctuation, ``_RE_TOKEN_PATTERN``), and the chars/4
+    BPE-budget estimator — the columns a corpus-budgeting pass reads."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_RE_TOKEN_PATTERN)).cast("long")
+        .alias("n_re_tokens"),
         F.length("text").alias("n_chars"),
         F.floor(F.length("text") / 4).cast("long").alias("n_bpe_est"),
     )
