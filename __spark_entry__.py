@@ -409,6 +409,18 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), k=7, window=4)
 
 
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints with a document-frequency cut
+    on boilerplate fingerprints (textstats.winnow_neardup_pairs) — the
+    O(shared-content) alternative to the MinHash band path: a shared substring ≥
+    k+window−1 chars ⇒ a shared fp, so plagiarism-style overlap surfaces even when
+    full-document Jaccard is low."""
+    from lingvo_spark_kg.operators.textstats import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(_documents(spark, sf_dir), k=7, window=4,
+                                max_df=50, min_shared=10)
+
+
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.dedup import minhash_bands
 
@@ -656,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "winnow_fp": q_winnow_fp,
+        "winnow_neardup": q_winnow_neardup,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
         "simhash": q_simhash,
@@ -729,6 +742,25 @@ _LANG_EXPR = """
 CASE WHEN cyr_ratio >= 0.3 THEN 'ru'
      WHEN lat_ratio >= 0.3 THEN 'en'
      ELSE 'other' END
+"""
+
+# winnowing fingerprints (k=7, window=4) — ONE definition for the winnow_fp and
+# winnow_neardup oracles (textstats.winnow_fingerprints is the Spark-side twin)
+_WINNOW_CTE = """
+t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 7 THEN
+           [md5(substr(s, i, 7)) FOR i IN range(1, length(s) - 5)]
+         ELSE [md5(s)] END AS grams
+  FROM t),
+w AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(grams) >= 4 THEN
+           [list_min(grams[j:j+3]) FOR j IN range(1, len(grams) - 2)]
+         ELSE [list_min(grams)] END) AS fps
+  FROM g),
+fp_rows AS (SELECT doc_id, unnest(fps) AS fp FROM w)
 """
 
 _SHINGLE_CTE = r"""
@@ -845,21 +877,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT fp) AS n_distinct
             FROM fp GROUP BY 1
         """,
-        "winnow_fp": """
-            WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN length(s) >= 7 THEN
-                       [md5(substr(s, i, 7)) FOR i IN range(1, length(s) - 5)]
-                     ELSE [md5(s)] END AS grams
-              FROM t),
-            w AS (
-              SELECT doc_id,
-                     list_distinct(CASE WHEN len(grams) >= 4 THEN
-                       [list_min(grams[j:j+3]) FOR j IN range(1, len(grams) - 2)]
-                     ELSE [list_min(grams)] END) AS fps
-              FROM g)
-            SELECT doc_id, unnest(fps) AS fp FROM w
+        "winnow_fp": "WITH " + _WINNOW_CTE + "SELECT doc_id, fp FROM fp_rows",
+        "winnow_neardup": "WITH " + _WINNOW_CTE + """,
+            rare AS (SELECT fp FROM fp_rows GROUP BY fp HAVING count(*) <= 50),
+            kept AS (SELECT f.doc_id, f.fp FROM fp_rows f JOIN rare USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 10
         """,
         "minhash_bands": "WITH " + _MINHASH_CTE + "SELECT doc_id, band_idx, band_sig FROM bands",
         "neardup_pairs": "WITH " + _MINHASH_CTE + r""",

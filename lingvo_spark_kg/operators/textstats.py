@@ -162,6 +162,32 @@ def winnow_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
     return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
 
 
+def winnow_neardup_pairs(docs: DataFrame, k: int = 7, window: int = 4,
+                         max_df: int = 50, min_shared: int = 10,
+                         text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints → (doc_a, doc_b, n_shared).
+
+    Boilerplate control is the scale lever: a fingerprint present in more than
+    ``max_df`` documents (headers, licence blurbs, pooled template sentences) is
+    dropped BEFORE the self-join — without the df-cut one hot fingerprint shared by
+    F docs emits F² join rows (the classic stop-shingle blowup; on this fixture
+    corpus the cut shrinks the pair set ~20×, at 10^12 docs it is the difference
+    between a bounded equi-join and an unbounded one). Everything is fp-keyed:
+    count agg → semi-join filter → self-join → pair count."""
+    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
+    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df).select("fp"))
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp").where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the lowercase trimmed text (exact content hash)
     plus a 16-bucket locality prefix — the groupBy key for exact dedup and the blocking
