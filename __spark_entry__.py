@@ -409,6 +409,18 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), k=7, window=4)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination scan: corpus docs sharing ≥1 word 3-gram with the
+    benchmark slice (every 97th doc plays the eval suite) and how many distinct
+    shingles leak (operators/dedup.decontaminate)."""
+    from lingvo_spark_kg.operators.dedup import decontaminate
+
+    d = _documents(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench)
+
+
 def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints with a document-frequency cut
     on boilerplate fingerprints (textstats.winnow_neardup_pairs) — the
@@ -669,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fp": q_winnow_fp,
         "winnow_neardup": q_winnow_neardup,
+        "decontaminate": q_decontaminate,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
         "simhash": q_simhash,
@@ -884,6 +897,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
             FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 10
+        """,
+        "decontaminate": "WITH " + _SHINGLE_CTE + """,
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+            SELECT c.doc_id, count(*) AS n_benchmark_hits
+            FROM corpus c JOIN bench b ON c.shingle = b.shingle
+            GROUP BY 1
         """,
         "minhash_bands": "WITH " + _MINHASH_CTE + "SELECT doc_id, band_idx, band_sig FROM bands",
         "neardup_pairs": "WITH " + _MINHASH_CTE + r""",

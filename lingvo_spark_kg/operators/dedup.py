@@ -85,6 +85,27 @@ def shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Benchmark decontamination — the train/test-overlap scan every LLM training
+    pipeline runs before a corpus ships (the GPT-3/Llama n-gram filter): a corpus doc
+    is contaminated iff it shares ≥1 word ``shingle_n``-gram with ANY benchmark doc.
+    → (doc_id, n_benchmark_hits) for contaminated corpus docs.
+
+    Scale shape: both sides shingled with the SAME ``shingle_df`` machinery as
+    MinHash (one definition of 'n-gram'), benchmark shingles deduplicated, then ONE
+    shingle-keyed equi-join + per-doc count. The benchmark side is typically small
+    (eval suites), so AQE broadcasts it; a corpus-sized right side degrades to a
+    plain shuffle join — never all-pairs. Hits count DISTINCT shared shingles, so a
+    boilerplate shingle repeated in many benchmark docs counts once."""
+    corpus_sh = shingle_df(docs, shingle_n)
+    bench_sh = shingle_df(benchmark, shingle_n).select("shingle").distinct()
+    return (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_benchmark_hits"))
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
     """(doc_id, hash_idx, minhash) — minhash_i = min over shingles of
     md5(i || ':' || shingle).

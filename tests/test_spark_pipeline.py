@@ -295,6 +295,32 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     assert winnow_fingerprints(tiny).count() == 1
 
 
+def test_decontaminate_flags_ngram_leaks_only(spark):
+    """Decontamination semantics: a corpus doc sharing a word 3-gram with any
+    benchmark doc is flagged with the DISTINCT shared-shingle count; docs with no
+    3-gram overlap (even with shared single words) pass clean."""
+    import pandas as pd
+    from lingvo_spark_kg.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["столица россии это москва и она велика"],
+    }))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "известно что столица россии это крупный город",  # shares 2 шинглов
+            "москва упоминается но без общих триграмм вовсе",  # shared word only
+            "совсем другой текст ни о чем",
+        ],
+    }))
+    hits = {r["doc_id"]: r["n_benchmark_hits"]
+            for r in decontaminate(corpus, bench).collect()}
+    # doc 1 shares exactly one 3-gram with the benchmark ('столица россии это');
+    # docs 2 and 3 share words at most, never a 3-gram — absent from the output
+    assert hits == {1: 1}
+
+
 def test_ann_ivf_self_match_and_bounded_candidates(spark):
     """IVF sanity: every query's rank-1 hit is itself (cosine 1.0 — its own cell is
     always probed), and probing n_probe of n_centroids cells actually bounds the
