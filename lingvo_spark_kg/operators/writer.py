@@ -56,9 +56,25 @@ class ParquetTableWriter:
         if bucket_col is not None:
             writer = writer.partitionBy(bucket_col)
         writer.parquet(self._path(table))
+        # schema sidecar (Iceberg tables carry their schema in the catalog; parquet
+        # dirs must carry it themselves): an EMPTY stage result — a real outcome for
+        # e.g. a corpus slice yielding zero triples — writes no part files, and a
+        # schema-less read of it fails with UNABLE_TO_INFER_SCHEMA
+        with open(os.path.join(self._path(table), "_schema.json"), "w") as f:
+            f.write(df.schema.json())
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self._path(table))
+        import json
+
+        from pyspark.sql.types import StructType
+
+        p = self._path(table)
+        sidecar = os.path.join(p, "_schema.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                schema = StructType.fromJson(json.load(f))
+            return spark.read.schema(schema).parquet(p)
+        return spark.read.parquet(p)  # pre-sidecar table: infer as before
 
     def done(self, spark: SparkSession, table: str) -> bool:
         return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))

@@ -32,6 +32,20 @@ from .operators.triples import docs_to_triples_fused, extract_triples_df
 from .operators.writer import ParquetTableWriter
 
 
+def _pinned_dnn_models() -> tuple:
+    """The deterministic BiLSTM POS+NER pair the driver queries pin (q_tag_bilstm);
+    real deployments pass models loaded with sources.s2s.load_tagger instead."""
+    from .model.bilstm import BiLSTMTaggerModel
+    from .model.lexicon import NER_TAGS, POS_TAGS
+    from .model.vocab import Vocab
+
+    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
+    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
+    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
+                                            seed=43)
+    return pos_m, ner_m
+
+
 @dataclass
 class KgPipeline:
     spark: SparkSession
@@ -40,6 +54,13 @@ class KgPipeline:
     seed: int = 42
     n_buckets: int = 32
     fused: bool = True
+    tagger: str = "lexicon"  # or "dnn": BiLSTM POS+NER models drive the staged path
+    # (north_star: "the DNN tagger ... over the text spans"; forces fused=False)
+    dnn_models: tuple | None = None  # (pos_model, ner_model) tagger models; default =
+    # the pinned pair the driver queries use. Load real ones via sources.s2s.load_tagger
+    dnn_backend: str = "numpy"  # or "onnx": export via model/onnx_export, broadcast the
+    # ONNX bundle, run one session per executor (numpy_session_factory here;
+    # onnxruntime on a production image) — the north-star deployment shape executed
     link_strategy: str = "broadcast"  # or "salted" when the alias dim exceeds broadcast budget
     link_fuzzy: bool = False  # second-pass stem-block linking for inflected mentions
     durable_cc: bool = False  # CC iteration state to reliable storage (cluster runs);
@@ -91,8 +112,32 @@ class KgPipeline:
 
     def _config_fingerprint(self) -> dict:
         return {"n_docs": self.n_docs, "seed": self.seed, "n_buckets": self.n_buckets,
-                "fused": self.fused, "link_strategy": self.link_strategy,
+                "fused": self.fused, "tagger": self.tagger,
+                "dnn_backend": self.dnn_backend,
+                "link_strategy": self.link_strategy,
                 "link_fuzzy": self.link_fuzzy, "external_docs": self.docs_df is not None}
+
+    def _dnn_tagged(self, sentences: DataFrame) -> DataFrame:
+        """The DNN regimen inside the pipeline: broadcast the two tagger models
+        (NumPy bytes, or real exported ONNX bundles when dnn_backend='onnx') and run
+        tag_sentences_bilstm — the north-star shape 'DNN tagger (BiLSTM ... ONNX-
+        exported weights broadcast to executors) over the text spans'."""
+        from .model.backend import onnx_backend
+        from .operators.tag import tag_sentences_bilstm
+
+        pos_m, ner_m = self.dnn_models or _pinned_dnn_models()
+        sc = self.spark.sparkContext
+        if self.dnn_backend == "onnx":
+            from .model.onnx_export import to_onnx_bundle
+            from .model.onnx_numpy import numpy_session_factory
+
+            pos_bc = sc.broadcast(to_onnx_bundle(pos_m))
+            ner_bc = sc.broadcast(to_onnx_bundle(ner_m))
+            loader = onnx_backend(session_factory=numpy_session_factory)
+            return tag_sentences_bilstm(sentences, pos_bc, ner_bc,
+                                        backend_loader=loader)
+        return tag_sentences_bilstm(sentences, sc.broadcast(pos_m.to_bytes()),
+                                    sc.broadcast(ner_m.to_bytes()))
 
     def _check_fingerprint(self, resume: bool) -> None:
         """Resume keys on _SUCCESS markers; guard against silently reusing stages
@@ -114,6 +159,11 @@ class KgPipeline:
     # --- stages ---
     def run(self, resume: bool = True) -> dict[str, int]:
         spark = self.spark
+        if self.tagger == "dnn" and self.fused:
+            # the fused single-pass operator is lexicon-only; the DNN regimen runs
+            # the staged path (its model batching wants whole Arrow batches anyway).
+            # Normalized BEFORE the fingerprint so resume sees the effective config.
+            self.fused = False
         self._check_fingerprint(resume)
         gaz_bc = self.gazetteer_bc()
 
@@ -132,9 +182,13 @@ class KgPipeline:
             )
         else:
             sentences = self._run_stage("sentences", lambda: tokenize_docs(docs), resume)
-            tagged = self._run_stage(
-                "tagged", lambda: tag_sentences_lexicon(sentences, gaz_bc), resume
-            )
+            if self.tagger == "dnn":
+                tagged = self._run_stage("tagged", lambda: self._dnn_tagged(sentences),
+                                         resume)
+            else:
+                tagged = self._run_stage(
+                    "tagged", lambda: tag_sentences_lexicon(sentences, gaz_bc), resume
+                )
             triples = self._run_stage("triples_raw", lambda: extract_triples_df(tagged), resume)
 
         def build_links():

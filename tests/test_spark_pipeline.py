@@ -295,6 +295,32 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     assert winnow_fingerprints(tiny).count() == 1
 
 
+def test_pipeline_dnn_regimen_numpy_onnx_identical(spark, tmp_path):
+    """The north-star deployment shape end-to-end INSIDE the pipeline: staged path
+    with the DNN tagger, once with NumPy-broadcast weights and once with real
+    exported ONNX bundles run through the graph-executor session per executor —
+    identical triples tables (the BiLSTM ONNX path is bit-identical)."""
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    outs = {}
+    all_counts = {}
+    for backend in ("numpy", "onnx"):
+        p = KgPipeline(spark, str(tmp_path / backend), n_docs=200,
+                       tagger="dnn", dnn_backend=backend)
+        all_counts[backend] = p.run(resume=False)
+        rows = spark.read.parquet(p.path("tagged")).select(
+            "doc_id", "span_idx", "sent_idx", "pos_tags", "ner_tags").collect()
+        outs[backend] = sorted((r[0], r[1], r[2], tuple(r[3]), tuple(r[4]))
+                               for r in rows)
+        assert not p.fused  # dnn forces the staged path
+        assert len(outs[backend]) > 0
+    assert outs["numpy"] == outs["onnx"]
+    # every downstream stage count agrees too — incl. a legitimately EMPTY
+    # triples_raw (the pinned random models emit no subj-verb-obj pattern here;
+    # the schema-sidecar writer keeps empty stage tables readable)
+    assert all_counts["numpy"] == all_counts["onnx"]
+
+
 def test_decontaminate_flags_ngram_leaks_only(spark):
     """Decontamination semantics: a corpus doc sharing a word 3-gram with any
     benchmark doc is flagged with the DISTINCT shared-shingle count; docs with no
