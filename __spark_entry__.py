@@ -409,6 +409,16 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), k=7, window=4)
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample at 20% (corpus_ops.hash_sample) — the corpus-mixing
+    primitive: membership is a pure function of (doc_id, seed), so the sample is
+    stable under reruns, repartitioning and corpus growth."""
+    from lingvo_spark_kg.operators.corpus_ops import hash_sample
+
+    d = _documents(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars"))
+    return hash_sample(d, rate=0.2, key="doc_id", seed=42)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination scan: corpus docs sharing ≥1 word 3-gram with the
     benchmark slice (every 97th doc plays the eval suite) and how many distinct
@@ -682,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_neardup": q_winnow_neardup,
         "decontaminate": q_decontaminate,
+        "doc_sample": q_doc_sample,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
         "simhash": q_simhash,
@@ -897,6 +908,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
             FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 10
+        """,
+        "doc_sample": f"""
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+                  < '{format(int(0.2 * 16**8), "08x")}'
         """,
         "decontaminate": "WITH " + _SHINGLE_CTE + """,
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

@@ -27,6 +27,23 @@ def filter_too_long(sentences: DataFrame, max_len: int = 220,
     return sentences.where(F.size(tokens_col) <= max_len)
 
 
+def hash_sample(df: DataFrame, rate: float, key: str = "doc_id",
+                seed: int = 42) -> DataFrame:
+    """Deterministic rate-based sample: keep rows whose md5(key:seed) prefix falls
+    under the rate threshold — the corpus-mixing primitive (sampling each source at
+    its mix weight). Unlike ``df.sample``, membership is a pure function of the key:
+    stable under reruns, repartitioning and incremental appends (a doc keeps its
+    fate when the corpus grows), and exactly mirrorable by any engine with md5
+    (string comparison on the first 8 hex chars ≈ uniform in [0,1) at 2^-32
+    granularity). Different seeds draw independent samples."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    h = F.substring(F.md5(F.concat(F.col(key).cast("string"),
+                                   F.lit(f":{seed}"))), 1, 8)
+    return df.where(h < F.lit(threshold)) if rate < 1.0 else df
+
+
 def train_valid_split(df: DataFrame, valid_fraction: float = 0.1,
                       seed: int = 42, key: str = "doc_id") -> tuple[DataFrame, DataFrame]:
     """Deterministic hash split on (key, seed) (CorpusCorrector's split analog,

@@ -321,6 +321,27 @@ def test_pipeline_dnn_regimen_numpy_onnx_identical(spark, tmp_path):
     assert all_counts["numpy"] == all_counts["onnx"]
 
 
+def test_hash_sample_deterministic_and_key_stable(spark):
+    """hash_sample: the sample is a pure function of (key, seed) — identical under
+    repartitioning, close to the nominal rate, and a doc's fate survives corpus
+    growth (the property df.sample lacks)."""
+    from lingvo_spark_kg.operators.corpus_ops import hash_sample
+
+    d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(d, 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(d.repartition(13), 0.2).collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 5000 < 0.25
+    # growth stability: the first 2000 docs keep their membership exactly
+    small = {r["doc_id"] for r in hash_sample(d.where("doc_id < 2000"), 0.2).collect()}
+    assert small == {x for x in s1 if x < 2000}
+    # independent seeds draw different samples
+    s3 = {r["doc_id"] for r in hash_sample(d, 0.2, seed=7).collect()}
+    assert s3 != s1
+    assert hash_sample(d, 1.0).count() == 5000
+    assert hash_sample(d, 0.0).count() == 0
+
+
 def test_decontaminate_flags_ngram_leaks_only(spark):
     """Decontamination semantics: a corpus doc sharing a word 3-gram with any
     benchmark doc is flagged with the DISTINCT shared-shingle count; docs with no
