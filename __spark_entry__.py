@@ -197,16 +197,12 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned DNN regimen over the corpus (rows-only check; parity gates in tests/)."""
-    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
-    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
-    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
     from lingvo_spark_kg.operators.tokenize import tokenize_docs
 
-    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
-    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
-    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16, seed=43)
+    pos_m, ner_m = pinned_tagger_models()
     pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
     docs = docs_from_documents_table(spark, sf_dir)
@@ -221,17 +217,13 @@ def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tag_bilstm_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star decode shape: BiLSTM emissions + CRF transitions + Viterbi with BIO
     structural masks — NER sequences are well-formed by construction (rows-only)."""
-    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
-    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
-    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
     from lingvo_spark_kg.operators.tokenize import tokenize_docs
 
-    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
-    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
-    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
-                                            seed=43).with_crf(bio=True)
+    pos_m, ner_m = pinned_tagger_models()
+    ner_m = ner_m.with_crf(bio=True)
     pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
     docs = docs_from_documents_table(spark, sf_dir)
@@ -249,18 +241,12 @@ def q_tag_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     LayerNorm (reference TransformerEncoder.cs:63-89, mask Encoder.cs:91). The
     golden mirror decodes batch-of-1; the pad mask bounds batch-composition float
     noise ~400× under the pinned model's minimum argmax margin (golden.py)."""
-    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
-    from lingvo_spark_kg.model.transformer import TransformerTaggerModel
-    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
     from lingvo_spark_kg.operators.tokenize import tokenize_docs
 
-    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
-    pos_m = TransformerTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16,
-                                                 n_heads=4, depth=2)
-    ner_m = TransformerTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16,
-                                                 n_heads=4, depth=2, seed=43)
+    pos_m, ner_m = pinned_tagger_models(encoder="transformer")
     pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
     docs = docs_from_documents_table(spark, sf_dir)
@@ -882,7 +868,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                    len(regexp_extract_all(text,
-                       '[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9\s]')) AS n_re_tokens,
+                       '[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9 \t\n\r\f\x0B]'))
+                     AS n_re_tokens,
                    length(text) AS n_chars,
                    CAST(floor(length(text) / 4) AS BIGINT) AS n_bpe_est
             FROM documents

@@ -51,18 +51,13 @@ def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
     regimen is a measured number, not a guess."""
     from pyspark.sql import functions as F
 
-    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
-    from lingvo_spark_kg.model.lexicon import NER_TAGS, POS_TAGS
-    from lingvo_spark_kg.model.vocab import Vocab
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
     from lingvo_spark_kg.operators.docsgen import generate_docs
     from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
     from lingvo_spark_kg.operators.tokenize import tokenize_docs
     from lingvo_spark_kg.operators.triples import extract_triples_df
 
-    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
-    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
-    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
-                                            seed=43)
+    pos_m, ner_m = pinned_tagger_models()
     pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
     docs = generate_docs(spark, n_docs).persist()

@@ -364,24 +364,11 @@ def _tagged_token_rows(sf_dir: str, crf: bool, encoder: str = "bilstm") -> list[
     400× under the pinned model's minimum argmax margin (3.3e-4 over every distinct
     corpus sentence), and the oracle comparison at the two fixed sf dirs verifies the
     tag-level match exhaustively."""
-    from .model.bilstm import BiLSTMTaggerModel
-    from .model.lexicon import NER_TAGS, POS_TAGS
-    from .model.vocab import Vocab
+    from .model.pinned import pinned_tagger_models
     from .operators.tag import _correct_output_types
     from .operators.tokenize import _tokenize_text
 
-    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
-    if encoder == "transformer":
-        from .model.transformer import TransformerTaggerModel
-
-        pos_m = TransformerTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16,
-                                                     n_heads=4, depth=2)
-        ner_m = TransformerTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16,
-                                                     n_heads=4, depth=2, seed=43)
-    else:
-        pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
-        ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
-                                                seed=43)
+    pos_m, ner_m = pinned_tagger_models(encoder=encoder)
     if crf:
         ner_m = ner_m.with_crf(bio=True)
 

@@ -62,9 +62,11 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 
 # GPT-style pre-tokenizer shape: word runs OR single non-word non-space chars.
-# Explicit character classes (not \w) so Java regex and RE2 (DuckDB oracle) agree
-# on Cyrillic; a real BPE count = this pre-tokenization × per-word merge table.
-_RE_TOKEN_PATTERN = r"[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9\s]"
+# Explicit character classes throughout — no \w (Java vs RE2 disagree on what a word
+# char is) and no \s (Java includes \x0B vertical tab, RE2 does not): every class
+# member is spelled out so the Spark expression and the DuckDB oracle can never
+# disagree. A real BPE count = this pre-tokenization × per-word merge table.
+_RE_TOKEN_PATTERN = r"[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9 \t\n\r\f\x0B]"
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -173,19 +175,27 @@ def winnow_neardup_pairs(docs: DataFrame, k: int = 7, window: int = 4,
     F docs emits F² join rows (the classic stop-shingle blowup; on this fixture
     corpus the cut shrinks the pair set ~20×, at 10^12 docs it is the difference
     between a bounded equi-join and an unbounded one). Everything is fp-keyed:
-    count agg → semi-join filter → self-join → pair count."""
-    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
-    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df).select("fp"))
-    kept = fps.join(rare, "fp")
-    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
-        a.join(b, "fp").where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
-    )
+    count agg → semi-join filter → self-join → pair count. The fingerprint frame
+    (the expensive per-char k-gram md5 scan) feeds two consumers with different
+    physical subtrees, so it is persisted once — same reasoning as
+    dedup.neardup_pairs' shared shingle frame."""
+    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col).persist()
+    try:
+        rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_df).select("fp"))
+        kept = fps.join(rare, "fp")
+        a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+        b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+        out = (
+            a.join(b, "fp").where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+        )
+        out = out.localCheckpoint()  # materialize before releasing the fp cache
+    finally:
+        fps.unpersist()
+    return out
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

@@ -77,7 +77,12 @@ class ParquetTableWriter:
         return spark.read.parquet(p)  # pre-sidecar table: infer as before
 
     def done(self, spark: SparkSession, table: str) -> bool:
-        return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))
+        # BOTH markers: the sidecar lands after Spark's _SUCCESS commit, so a crash
+        # between the two must read as not-done (rebuild) rather than leaving a
+        # "done" table whose empty-read would fail without the schema
+        p = self._path(table)
+        return (os.path.exists(os.path.join(p, "_SUCCESS"))
+                and os.path.exists(os.path.join(p, "_schema.json")))
 
 
 class IcebergTableWriter:

@@ -32,20 +32,6 @@ from .operators.triples import docs_to_triples_fused, extract_triples_df
 from .operators.writer import ParquetTableWriter
 
 
-def _pinned_dnn_models() -> tuple:
-    """The deterministic BiLSTM POS+NER pair the driver queries pin (q_tag_bilstm);
-    real deployments pass models loaded with sources.s2s.load_tagger instead."""
-    from .model.bilstm import BiLSTMTaggerModel
-    from .model.lexicon import NER_TAGS, POS_TAGS
-    from .model.vocab import Vocab
-
-    vocab = Vocab([f"_{s}" for s in "аеиоуыэюя"] + list("абвгдежзиклмнопрстуфхцчшщэюя"))
-    pos_m = BiLSTMTaggerModel.create_pinned(vocab, POS_TAGS, emb_dim=16, hidden_dim=16)
-    ner_m = BiLSTMTaggerModel.create_pinned(vocab, NER_TAGS, emb_dim=16, hidden_dim=16,
-                                            seed=43)
-    return pos_m, ner_m
-
-
 @dataclass
 class KgPipeline:
     spark: SparkSession
@@ -110,10 +96,26 @@ class KgPipeline:
         gaz = gazetteer_from_aliases(self._alias_rows())
         return self.spark.sparkContext.broadcast(gaz)
 
+    # defaults for fingerprint keys added after a workdir was built: a missing key in
+    # an old config.json means "built with the default", so resume stays compatible
+    _FP_DEFAULTS = {"tagger": "lexicon", "dnn_backend": "numpy",
+                    "dnn_models": "pinned"}
+
     def _config_fingerprint(self) -> dict:
+        if self.dnn_models is None:
+            models_fp = "pinned"
+        else:
+            import hashlib
+
+            # digest of the actual weights: resuming a 'tagged' stage built with
+            # DIFFERENT models must fail the guard, not silently reuse it
+            h = hashlib.sha1()
+            for m in self.dnn_models:
+                h.update(m.to_bytes())
+            models_fp = h.hexdigest()[:16]
         return {"n_docs": self.n_docs, "seed": self.seed, "n_buckets": self.n_buckets,
                 "fused": self.fused, "tagger": self.tagger,
-                "dnn_backend": self.dnn_backend,
+                "dnn_backend": self.dnn_backend, "dnn_models": models_fp,
                 "link_strategy": self.link_strategy,
                 "link_fuzzy": self.link_fuzzy, "external_docs": self.docs_df is not None}
 
@@ -123,9 +125,10 @@ class KgPipeline:
         tag_sentences_bilstm — the north-star shape 'DNN tagger (BiLSTM ... ONNX-
         exported weights broadcast to executors) over the text spans'."""
         from .model.backend import onnx_backend
+        from .model.pinned import pinned_tagger_models
         from .operators.tag import tag_sentences_bilstm
 
-        pos_m, ner_m = self.dnn_models or _pinned_dnn_models()
+        pos_m, ner_m = self.dnn_models or pinned_tagger_models()
         sc = self.spark.sparkContext
         if self.dnn_backend == "onnx":
             from .model.onnx_export import to_onnx_bundle
@@ -147,6 +150,7 @@ class KgPipeline:
         if os.path.exists(fp_path):
             with open(fp_path) as f:
                 old = json.load(f)
+            old = {**self._FP_DEFAULTS, **old}  # pre-upgrade workdirs lack new keys
             if resume and old != fp:
                 raise ValueError(
                     f"workdir {self.workdir} holds stages built with a different "
@@ -159,6 +163,11 @@ class KgPipeline:
     # --- stages ---
     def run(self, resume: bool = True) -> dict[str, int]:
         spark = self.spark
+        if self.tagger not in ("lexicon", "dnn"):
+            raise ValueError(f"tagger must be 'lexicon' or 'dnn', got {self.tagger!r}")
+        if self.dnn_backend not in ("numpy", "onnx"):
+            raise ValueError(
+                f"dnn_backend must be 'numpy' or 'onnx', got {self.dnn_backend!r}")
         if self.tagger == "dnn" and self.fused:
             # the fused single-pass operator is lexicon-only; the DNN regimen runs
             # the staged path (its model batching wants whole Arrow batches anyway).

@@ -356,7 +356,7 @@ def test_decontaminate_flags_ngram_leaks_only(spark):
     corpus = spark.createDataFrame(pd.DataFrame({
         "doc_id": [1, 2, 3],
         "text": [
-            "известно что столица россии это крупный город",  # shares 2 шинглов
+            "известно что столица россии это крупный город",  # 1 shared 3-gram
             "москва упоминается но без общих триграмм вовсе",  # shared word only
             "совсем другой текст ни о чем",
         ],
