@@ -395,6 +395,14 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), k=7, window=4)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition filters (textstats.repetition_stats): duplicate
+    word/2-gram fractions + top-2-gram occupancy per doc."""
+    from lingvo_spark_kg.operators.textstats import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir))
+
+
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sample at 20% (corpus_ops.hash_sample) — the corpus-mixing
     primitive: membership is a pure function of (doc_id, seed), so the sample is
@@ -679,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup": q_winnow_neardup,
         "decontaminate": q_decontaminate,
         "doc_sample": q_doc_sample,
+        "repetition": q_repetition,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
         "simhash": q_simhash,
@@ -895,6 +904,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
             FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 10
+        """,
+        "repetition": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) >= 2 THEN
+                       [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                     ELSE [] END AS g
+              FROM w),
+            frac AS (
+              SELECT doc_id, len(w) AS n_words,
+                     round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4)
+                       AS dup_word_frac,
+                     CASE WHEN len(g) > 0 THEN
+                       round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4)
+                     ELSE 0.0 END AS dup_2gram_frac
+              FROM b),
+            grams AS (SELECT doc_id, unnest(g) AS gram FROM b),
+            gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM gc GROUP BY 1)
+            SELECT f.doc_id, f.n_words, f.dup_word_frac, f.dup_2gram_frac,
+                   coalesce(round(t.top_c * 1.0 / t.n_g, 4), 0.0) AS top_2gram_frac
+            FROM frac f LEFT JOIN top t ON f.doc_id = t.doc_id
         """,
         "doc_sample": f"""
             SELECT doc_id, length(text) AS n_chars

@@ -164,6 +164,45 @@ def winnow_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
     return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 — the
+    duplicate-text filters every LLM curation pass applies): per doc the duplicate
+    word fraction, duplicate word-2-gram fraction, and the share of all 2-gram
+    occurrences taken by the single most frequent 2-gram →
+    (doc_id, n_words, dup_word_frac, dup_2gram_frac, top_2gram_frac).
+
+    Distinct-fractions are pure higher-order functions (one projection); the
+    top-2-gram mass deliberately goes through explode → per-(doc, gram) count →
+    per-doc max — two map-side-combinable shuffles — instead of an O(n²)
+    filter-count per document, which would blow up on book-length docs."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select("doc_id", w.alias("w")).select(
+        "doc_id", "w",
+        F.expr("CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+               "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+               "ELSE array() END").alias("g"),
+    )
+    frac = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"), 4)
+        .alias("dup_word_frac"),
+        F.when(F.size("g") > 0,
+               F.round(F.lit(1.0) - F.size(F.array_distinct("g")) / F.size("g"), 4))
+        .otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("g").alias("gram"))
+        .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("n_g"))
+    )
+    return frac.join(top, "doc_id", "left").select(
+        "doc_id", "n_words", "dup_word_frac", "dup_2gram_frac",
+        F.coalesce(F.round(F.col("top_c") / F.col("n_g"), 4), F.lit(0.0))
+        .alias("top_2gram_frac"),
+    )
+
+
 def winnow_neardup_pairs(docs: DataFrame, k: int = 7, window: int = 4,
                          max_df: int = 50, min_shared: int = 10,
                          text_col: str = "text") -> DataFrame:

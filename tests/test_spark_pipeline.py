@@ -321,6 +321,28 @@ def test_pipeline_dnn_regimen_numpy_onnx_identical(spark, tmp_path):
     assert all_counts["numpy"] == all_counts["onnx"]
 
 
+def test_repetition_stats_flags_repeated_text(spark):
+    """Gopher repetition rules: a looping document scores high duplicate fractions
+    and top-2-gram occupancy; diverse text scores near zero; one-word docs don't
+    divide by zero."""
+    import pandas as pd
+    from lingvo_spark_kg.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "спам спам спам спам спам спам спам спам",
+            "каждое слово здесь встречается ровно один раз",
+            "одно",
+        ],
+    }))
+    r = {row["doc_id"]: row for row in repetition_stats(docs).collect()}
+    assert r[1]["dup_word_frac"] > 0.8 and r[1]["dup_2gram_frac"] > 0.8
+    assert r[1]["top_2gram_frac"] == 1.0  # every 2-gram is 'спам спам'
+    assert r[2]["dup_word_frac"] == 0.0 and r[2]["dup_2gram_frac"] == 0.0
+    assert r[3]["n_words"] == 1 and r[3]["top_2gram_frac"] == 0.0
+
+
 def test_hash_sample_deterministic_and_key_stable(spark):
     """hash_sample: the sample is a pure function of (key, seed) — identical under
     repartitioning, close to the nominal rate, and a doc's fate survives corpus
