@@ -234,6 +234,16 @@ def q_tag_bilstm_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/Email extraction over the interleaved corpus with the domain key
+    domain-blocklist curation filters on (textstats.extract_urls, the reference's
+    UrlDetector state machine — T1 applied as a data-ops stage)."""
+    from lingvo_spark_kg.operators.textstats import extract_urls
+    from lingvo_spark_kg.operators.tokenize import text_spans
+
+    return extract_urls(text_spans(_synthetic_docs(spark, sf_dir)))
+
+
 def q_tag_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-norm Transformer encoder regimen (M4/M5/M7): same operator as
     q_tag_bilstm with encoder='transformer' — sinusoidal position embeddings, pad
@@ -669,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_invariant": q_kg_invariant,
         "kg_mentions": q_kg_mentions,
+        "kg_urls": q_kg_urls,
         "tag_bilstm": q_tag_bilstm,
         "tag_bilstm_crf": q_tag_bilstm_crf,
         "tag_transformer": q_tag_transformer,

@@ -34,15 +34,16 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden's semantics change so stale files regenerate
-GOLDEN_VERSION = 7
+GOLDEN_VERSION = 8
 
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
     "kg_invariant", "kg_mentions", "tag_bilstm", "tag_bilstm_crf", "media_meta",
     "media_frames", "ann_lsh_multi", "ann_ivf",
-    # round 3: Transformer encoder, fuzzy linking, media resize/features, training
+    # round 3: Transformer encoder, fuzzy linking, media resize/features, training,
+    # URL/domain extraction
     "tag_transformer", "kg_links_fuzzy", "media_resized", "media_embeddings",
-    "train_history",
+    "train_history", "kg_urls",
 )
 
 
@@ -300,6 +301,28 @@ def _edges_rows(triples_rows: list[tuple], canonical_rows: list[tuple]) -> list[
         docs = {d for d, _c in items}
         out.append((src, pred, dst, n, avg, len(docs), min(docs)))
     return out
+
+
+def _url_rows(n_docs: int) -> list[tuple]:
+    """Mirror of text_spans → textstats.extract_urls: the same pure detector
+    (urldetect.allocate_urls) and domain key (url_domain) over a flat driver loop."""
+    from .urldetect import allocate_urls, url_domain
+
+    memo: dict[str, list] = {}
+    rows: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            text = s["text"]
+            urls = memo.get(text)
+            if urls is None:
+                urls = [(u.type, u.value(text)) for u in allocate_urls(text)]
+                memo[text] = urls
+            for i, (utype, uval) in enumerate(urls):
+                rows.append((doc_id, s["offset"], i, utype, uval,
+                             url_domain(uval, utype)))
+    return rows
 
 
 def _invariant_rows(n_docs: int) -> list[tuple]:
@@ -666,6 +689,8 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     "media_embeddings": [("doc_id", _S), ("span_idx", _I32), ("kind", _S),
                          ("dim_idx", _I32), ("value", _F64)],
     "train_history": [("epoch", _I64), ("nll_per_token", _F64), ("n_tokens", _I64)],
+    "kg_urls": [("doc_id", _S), ("span_idx", _I32), ("url_idx", _I32),
+                ("url_type", _S), ("url_value", _S), ("domain", _S)],
 }
 
 
@@ -716,6 +741,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _media_embeddings_rows(sf_dir)
     elif name == "train_history":
         rows = _train_history_rows(sf_dir)
+    elif name == "kg_urls":
+        rows = _url_rows(n_docs_for(sf_dir))
     elif name == "media_meta":
         rows = _media_meta_rows(sf_dir)
     elif name == "media_frames":

@@ -164,6 +164,58 @@ def winnow_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
     return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
 
 
+def extract_urls(text_spans: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, text) → one row per detected URL/Email span:
+    (doc_id, span_idx, url_idx, url_type, url_value, domain). Runs the reference's
+    URL/Email state machine (urldetect.allocate_urls, UrlDetector.cs) per span in
+    an Arrow batch with a batch-local text memo (duplicate-heavy corpora), plus the
+    domain key domain-blocklist curation aggregates/filters on. No shuffle —
+    narrow mapInArrow; consumers group by ``domain``."""
+    import pyarrow as pa
+
+    from ..urldetect import allocate_urls, url_domain
+
+    def run(batches):
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id")).to_pylist()
+            span_idxs = b.column(b.schema.get_field_index("span_idx")).to_pylist()
+            texts = b.column(b.schema.get_field_index("text")).to_pylist()
+            memo: dict[str, list] = {}
+            cols: dict[str, list] = {k: [] for k in
+                                     ("doc_id", "span_idx", "url_idx", "url_type",
+                                      "url_value", "domain")}
+            for doc_id, span_idx, text in zip(doc_ids, span_idxs, texts):
+                if text is None:
+                    continue
+                spans = memo.get(text)
+                if spans is None:
+                    spans = [(s.type, s.value(text)) for s in allocate_urls(text)]
+                    memo[text] = spans
+                for i, (utype, uval) in enumerate(spans):
+                    cols["doc_id"].append(doc_id)
+                    cols["span_idx"].append(span_idx)
+                    cols["url_idx"].append(i)
+                    cols["url_type"].append(utype)
+                    cols["url_value"].append(uval)
+                    cols["domain"].append(url_domain(uval, utype))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols["doc_id"], pa.string()),
+                 pa.array(cols["span_idx"], pa.int32()),
+                 pa.array(cols["url_idx"], pa.int32()),
+                 pa.array(cols["url_type"], pa.string()),
+                 pa.array(cols["url_value"], pa.string()),
+                 pa.array(cols["domain"], pa.string())],
+                names=["doc_id", "span_idx", "url_idx", "url_type", "url_value",
+                       "domain"],
+            )
+
+    return text_spans.mapInArrow(
+        run,
+        schema="doc_id string, span_idx int, url_idx int, url_type string, "
+               "url_value string, domain string",
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 — the
     duplicate-text filters every LLM curation pass applies): per doc the duplicate

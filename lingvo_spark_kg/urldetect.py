@@ -254,3 +254,19 @@ def allocate_urls(text: str) -> list[UrlSpan]:
     if "." not in text and ":" not in text:
         return []
     return _Detector(text).run()
+
+
+def url_domain(value: str, url_type: str) -> str:
+    """Host part of a detected span — the blocklist/aggregation key of domain-based
+    curation. Email → after the last '@'; Url → strip scheme/userinfo, cut at the
+    first path '/', drop the port; lowercased, trailing dot removed. Pure function
+    shared by the Spark operator and its golden mirror."""
+    v = value.strip()
+    if url_type == "Email":
+        host = v.rsplit("@", 1)[-1]
+    else:
+        host = v.split("://", 1)[1] if "://" in v else v
+        host = host.split("/", 1)[0]
+        host = host.rsplit("@", 1)[-1]
+        host = host.split(":", 1)[0]
+    return host.lower().rstrip(".")
