@@ -918,7 +918,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition": r"""
             WITH w AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w
               FROM documents),
             b AS (
               SELECT doc_id, w,

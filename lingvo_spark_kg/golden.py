@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden's semantics change so stale files regenerate
-GOLDEN_VERSION = 8
+GOLDEN_VERSION = 9
 
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
@@ -317,11 +317,11 @@ def _url_rows(n_docs: int) -> list[tuple]:
             text = s["text"]
             urls = memo.get(text)
             if urls is None:
-                urls = [(u.type, u.value(text)) for u in allocate_urls(text)]
+                urls = [(u.type, u.value(text), url_domain(u.value(text), u.type))
+                        for u in allocate_urls(text)]
                 memo[text] = urls
-            for i, (utype, uval) in enumerate(urls):
-                rows.append((doc_id, s["offset"], i, utype, uval,
-                             url_domain(uval, utype)))
+            for i, (utype, uval, dom) in enumerate(urls):
+                rows.append((doc_id, s["offset"], i, utype, uval, dom))
     return rows
 
 

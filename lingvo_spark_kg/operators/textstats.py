@@ -189,15 +189,17 @@ def extract_urls(text_spans: DataFrame) -> DataFrame:
                     continue
                 spans = memo.get(text)
                 if spans is None:
-                    spans = [(s.type, s.value(text)) for s in allocate_urls(text)]
+                    spans = [(s.type, s.value(text),
+                              url_domain(s.value(text), s.type))
+                             for s in allocate_urls(text)]
                     memo[text] = spans
-                for i, (utype, uval) in enumerate(spans):
+                for i, (utype, uval, dom) in enumerate(spans):
                     cols["doc_id"].append(doc_id)
                     cols["span_idx"].append(span_idx)
                     cols["url_idx"].append(i)
                     cols["url_type"].append(utype)
                     cols["url_value"].append(uval)
-                    cols["domain"].append(url_domain(uval, utype))
+                    cols["domain"].append(dom)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols["doc_id"], pa.string()),
                  pa.array(cols["span_idx"], pa.int32()),
@@ -226,33 +228,42 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Distinct-fractions are pure higher-order functions (one projection); the
     top-2-gram mass deliberately goes through explode → per-(doc, gram) count →
     per-doc max — two map-side-combinable shuffles — instead of an O(n²)
-    filter-count per document, which would blow up on book-length docs."""
-    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    filter-count per document, which would blow up on book-length docs. The
+    split/2-gram projection feeds both consumers, so it is persisted once (the
+    module's established two-consumer pattern). The whitespace split uses an
+    explicit character class (= Java's \\s exactly) so the DuckDB oracle's RE2
+    cannot diverge on \\x0B (the one char the engines' \\s disagree about)."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n\r\f\x0B]+")
     base = docs.select("doc_id", w.alias("w")).select(
         "doc_id", "w",
         F.expr("CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
                "ELSE array() END").alias("g"),
-    )
-    frac = base.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_words"),
-        F.round(F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"), 4)
-        .alias("dup_word_frac"),
-        F.when(F.size("g") > 0,
-               F.round(F.lit(1.0) - F.size(F.array_distinct("g")) / F.size("g"), 4))
-        .otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
-    )
-    top = (
-        base.select("doc_id", F.explode("g").alias("gram"))
-        .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("n_g"))
-    )
-    return frac.join(top, "doc_id", "left").select(
-        "doc_id", "n_words", "dup_word_frac", "dup_2gram_frac",
-        F.coalesce(F.round(F.col("top_c") / F.col("n_g"), 4), F.lit(0.0))
-        .alias("top_2gram_frac"),
-    )
+    ).persist()
+    try:
+        frac = base.select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_words"),
+            F.round(F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"), 4)
+            .alias("dup_word_frac"),
+            F.when(F.size("g") > 0,
+                   F.round(F.lit(1.0) - F.size(F.array_distinct("g")) / F.size("g"), 4))
+            .otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+        )
+        top = (
+            base.select("doc_id", F.explode("g").alias("gram"))
+            .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("n_g"))
+        )
+        out = frac.join(top, "doc_id", "left").select(
+            "doc_id", "n_words", "dup_word_frac", "dup_2gram_frac",
+            F.coalesce(F.round(F.col("top_c") / F.col("n_g"), 4), F.lit(0.0))
+            .alias("top_2gram_frac"),
+        )
+        out = out.localCheckpoint()  # materialize before releasing the cache
+    finally:
+        base.unpersist()
+    return out
 
 
 def winnow_neardup_pairs(docs: DataFrame, k: int = 7, window: int = 4,

@@ -258,15 +258,25 @@ def allocate_urls(text: str) -> list[UrlSpan]:
 
 def url_domain(value: str, url_type: str) -> str:
     """Host part of a detected span — the blocklist/aggregation key of domain-based
-    curation. Email → after the last '@'; Url → strip scheme/userinfo, cut at the
-    first path '/', drop the port; lowercased, trailing dot removed. Pure function
-    shared by the Spark operator and its golden mirror."""
+    curation. Email → after the last '@' (or the '(at)'/'[at]' obfuscations the
+    detector also types as Email); Url → strip scheme/userinfo, cut at the first
+    path separator ('/' or '\\\\' — the detector treats both as path starts), drop
+    the port; 'mailto:' re-dispatches to the Email rule. Lowercased, trailing dot
+    removed. Pure function shared by the Spark operator and its golden mirror."""
     v = value.strip()
+    low = v.lower()
     if url_type == "Email":
-        host = v.rsplit("@", 1)[-1]
+        best, cut = -1, 0
+        for sep in ("@", "(at)", "[at]"):
+            i = low.rfind(sep)
+            if i > best:
+                best, cut = i, i + len(sep)
+        host = v[cut:] if best != -1 else v
     else:
+        if low.startswith("mailto:"):
+            return url_domain(v[len("mailto:"):], "Email")
         host = v.split("://", 1)[1] if "://" in v else v
-        host = host.split("/", 1)[0]
+        host = host.split("/", 1)[0].split("\\", 1)[0]
         host = host.rsplit("@", 1)[-1]
         host = host.split(":", 1)[0]
     return host.lower().rstrip(".")
