@@ -129,6 +129,10 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     )
     timings["simhash"], _ = _time(lambda: e.q_simhash(spark, sf_dir).count())
     timings["winnow_fp"], _ = _time(lambda: e.q_winnow_fp(spark, sf_dir).count())
+    timings["decontaminate"], _ = _time(
+        lambda: e.q_decontaminate(spark, sf_dir).count()
+    )
+    timings["repetition"], _ = _time(lambda: e.q_repetition(spark, sf_dir).count())
     timings["textstats"], _ = _time(
         lambda: e.q_quality(spark, sf_dir).count() + e.q_lang_id(spark, sf_dir).count()
     )
