@@ -113,6 +113,66 @@ def q_kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sentences_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 hard signal: the FULL rule-cascade sentence splitter (sentsplit_full.py —
+    bracket/quote nesting, abbreviation n-grams, three-dots, list markers; reference
+    SentSplitter.cs:254-528, IsEndOfSentTDQMEP :1240-1310) run distributed via
+    tokenize_docs(sent_mode='full') over the SYNTHETIC corpus, whose pool carries the
+    material the cascade branches on (10 of 40 pool sentences split differently from
+    simple mode — golden._sentences_full_rows)."""
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    s = tokenize_docs(_synthetic_docs(spark, sf_dir), sent_mode="full")
+    return s.select(
+        "doc_id", "span_idx", "sent_idx", "sent_start", "sent_len",
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_tag_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 hard signal: BiLSTM tagging of ONLY the >220-token sentences of the
+    synthetic corpus (fixtures.corpus.long_sentence seeds them at ~0.5% of text
+    spans) — the reference chunking semantics (>220 → chunked decode, ≤10%-overflow
+    truncated, SeqLabel.cs:259-311; threshold Options.cs:31) execute inside a
+    driver-oracle row instead of only in boundary unit tests. The length filter is a
+    JVM-side prune BEFORE the DNN operator, so the expensive decode runs on exactly
+    the chunking rows."""
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    pos_m, ner_m = pinned_tagger_models()
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    sents = tokenize_docs(_synthetic_docs(spark, sf_dir))
+    long_sents = sents.where(F.size("tokens") > 220)
+    tagged = tag_sentences_bilstm(long_sents, pos_bc, ner_bc)
+    return tagged.select(
+        "doc_id", "span_idx", "sent_idx",
+        F.posexplode(F.arrays_zip("pos_tags", "ner_tags")).alias("tok_idx", "tags"),
+    ).select("doc_id", "span_idx", "sent_idx", "tok_idx",
+             F.col("tags.pos_tags").alias("pos_tag"), F.col("tags.ner_tags").alias("ner_tag"))
+
+
+def q_result_vm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/T11 hard signal: the reference web-service ResultVM output shape
+    (WebService/Models/VM.cs:22-46) flattened to scalar rows — Word is the ORIGINAL
+    surface (coalesce(orig, value): NUM placeholders and canonicalized punctuation
+    recover their input text, GetOriginalValue Tokenizer.cs:1347-1354), Label the
+    corrected POS tag."""
+    from lingvo_spark_kg.operators.tag import as_result_vm, tag_sentences_lexicon
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    docs = _synthetic_docs(spark, sf_dir)
+    tagged = tag_sentences_lexicon(tokenize_docs(docs), _gaz_bc(spark))
+    vm = as_result_vm(tagged, tag_col="pos_tags")
+    return vm.select(
+        "doc_id", "span_idx", "sent_idx",
+        F.posexplode("tuples").alias("tok_idx", "t"),
+    ).select("doc_id", "span_idx", "sent_idx", "tok_idx",
+             F.col("t.Word").alias("Word"), F.col("t.Label").alias("Label"))
+
+
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators import linking
 
@@ -307,19 +367,25 @@ def q_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_train_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2-R5 hard signal: a 2-epoch train_bilstm_distributed run on the deterministic
+    """R2-R6 hard signal: a 2-epoch train_bilstm_distributed run on the deterministic
     train fixture with ONE partition (float reduce order is then deterministic —
     the documented reason distributed training has no oracle otherwise) emitting the
-    per-epoch (epoch, nll_per_token, n_tokens) table; the golden mirror runs the
-    identical kernels driver-side (golden._train_history_rows)."""
+    per-epoch (epoch, nll_per_token, n_tokens, val_score, is_best) table. The R5/R6
+    periodic-validation seam runs live: validate_fn is macro-F1 on the held-out
+    fixture split (fixtures.corpus.validate_macro_f1; reference best-model tracking
+    BaseSeq2SeqFramework.cs:404-408), is_best marks the best-scoring epoch. The
+    golden mirror runs the identical kernels driver-side
+    (golden._train_history_rows)."""
     import pandas as pd
 
-    from lingvo_spark_kg.fixtures.corpus import TRAIN_FIXTURE_TAGS, train_fixture
+    from lingvo_spark_kg.fixtures.corpus import (TRAIN_FIXTURE_TAGS, train_fixture,
+                                                 valid_fixture, validate_macro_f1)
     from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
     from lingvo_spark_kg.model.vocab import Vocab
     from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
 
     rows = train_fixture(sf_dir)
+    valid = valid_fixture(sf_dir)
     vocab = Vocab.build([t for _d, t, _l in rows], cap=2000)
     m0 = BiLSTMTaggerModel.create_pinned(vocab, list(TRAIN_FIXTURE_TAGS),
                                          emb_dim=8, hidden_dim=8, seed=5)
@@ -330,11 +396,18 @@ def q_train_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     }))
     corpus = (df.repartition(1).sortWithinPartitions("doc_id")
               .select("tokens", "labels"))
-    _m, hist = train_bilstm_distributed(corpus, m0, epochs=2, lr=0.05, batch_size=32)
+    _m, hist = train_bilstm_distributed(
+        corpus, m0, epochs=2, lr=0.05, batch_size=32,
+        validate_fn=lambda cand: validate_macro_f1(cand, valid))
+    best_epoch = max(range(len(hist)), key=lambda e: (hist[e]["val_score"], -e))
+    for h in hist:
+        h["is_best"] = int(h["epoch"] == best_epoch)
     return spark.createDataFrame(pd.DataFrame(hist)).select(
         F.col("epoch").cast("long").alias("epoch"),
         F.col("nll_per_token").cast("double").alias("nll_per_token"),
-        F.col("n_tokens").cast("long").alias("n_tokens"))
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("val_score").cast("double").alias("val_score"),
+        F.col("is_best").cast("long").alias("is_best"))
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,6 +747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
         "kg_sentences": q_kg_sentences,
+        "kg_sentences_full": q_kg_sentences_full,
+        "tag_chunked": q_tag_chunked,
+        "result_vm": q_result_vm,
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,

@@ -44,11 +44,17 @@ def _time(fn) -> tuple[float, int]:
     return round(time.time() - t0, 3), n
 
 
-def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
+def run_dnn_tag(spark, n_docs: int, backend: str = "numpy") -> tuple[float, dict]:
     """DNN-regimen throughput (VERDICT r1 item 3): docs → tokenize → BiLSTM tag (POS +
-    NER NumPy forward passes) → triple templates. Runs on n_docs of the same synthetic
+    NER forward passes) → triple templates. Runs on n_docs of the same synthetic
     corpus; reports docs/s and tokens/s so the 100× story for the tagging-dominated
-    regimen is a measured number, not a guess."""
+    regimen is a measured number, not a guess.
+
+    ``backend``: 'numpy' (native forward) or 'onnx' — the PRODUCTION inference graph:
+    real exported ONNX bundles (model/onnx_export.py) broadcast to executors and run
+    through one graph-executor session per worker (numpy_session_factory in this
+    sandbox; onnxruntime drops into the same seam on a production image). Both are
+    measured per round (VERDICT r3 item 4) so the shipped graph is the benched one."""
     from pyspark.sql import functions as F
 
     from lingvo_spark_kg.model.pinned import pinned_tagger_models
@@ -58,15 +64,25 @@ def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
     from lingvo_spark_kg.operators.triples import extract_triples_df
 
     pos_m, ner_m = pinned_tagger_models()
-    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
-    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    if backend == "onnx":
+        from lingvo_spark_kg.model.backend import onnx_backend
+        from lingvo_spark_kg.model.onnx_export import to_onnx_bundle
+        from lingvo_spark_kg.model.onnx_numpy import numpy_session_factory
+
+        pos_bc = spark.sparkContext.broadcast(to_onnx_bundle(pos_m))
+        ner_bc = spark.sparkContext.broadcast(to_onnx_bundle(ner_m))
+        loader = onnx_backend(session_factory=numpy_session_factory)
+    else:
+        pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+        ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+        loader = None
     docs = generate_docs(spark, n_docs).persist()
     docs.count()
     sents = tokenize_docs(docs)
     # token count from the UN-tagged frame (identical tokens) — counting via `tagged`
     # would re-run both DNN forward passes just for the sum
     n_tokens = sents.select(F.sum(F.size("tokens"))).first()[0]
-    tagged = tag_sentences_bilstm(sents, pos_bc, ner_bc)
+    tagged = tag_sentences_bilstm(sents, pos_bc, ner_bc, backend_loader=loader)
     job = extract_triples_df(tagged).select("doc_id")
     job.count()  # warm-up: python workers + model rehydration are fixed costs,
     # steady-state throughput is the number that scales
@@ -74,7 +90,7 @@ def run_dnn_tag(spark, n_docs: int) -> tuple[float, dict]:
     sec2, _n = _time(job.count)
     sec = min(sec1, sec2)  # best-of-2 steady state (single runs swing 2× with load)
     docs.unpersist()
-    return sec, {"n_docs": n_docs, "n_tokens": int(n_tokens),
+    return sec, {"backend": backend, "n_docs": n_docs, "n_tokens": int(n_tokens),
                  "docs_per_sec": round(n_docs / sec, 1),
                  "tokens_per_sec": round(n_tokens / sec, 1)}
 
@@ -129,6 +145,14 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     )
     timings["simhash"], _ = _time(lambda: e.q_simhash(spark, sf_dir).count())
     timings["winnow_fp"], _ = _time(lambda: e.q_winnow_fp(spark, sf_dir).count())
+    # the production hash swap next to the md5 oracle anchor (same winnowing
+    # semantics — VERDICT r3 item 6; the delta is the md5-per-gram constant)
+    from lingvo_spark_kg.operators.textstats import winnow_fingerprints
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timings["winnow_fp_xxh"], _ = _time(
+        lambda: winnow_fingerprints(docs_tbl, k=7, window=4, hash="xxhash64").count()
+    )
     timings["decontaminate"], _ = _time(
         lambda: e.q_decontaminate(spark, sf_dir).count()
     )
@@ -237,6 +261,10 @@ def main() -> None:
 
     dnn_sec, dnn_meta = run_dnn_tag(spark, max(n_docs // 10, 1000))
     timings["dnn_tag_bilstm"] = dnn_sec
+    # the production inference graph, measured next to the native kernel (both run
+    # the SAME operator; only the broadcast bytes + per-worker loader differ)
+    onnx_sec, onnx_meta = run_dnn_tag(spark, max(n_docs // 10, 1000), backend="onnx")
+    timings["dnn_tag_bilstm_onnx"] = onnx_sec
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -247,6 +275,7 @@ def main() -> None:
         "raw_runs": runs,
         "repeats": repeats,
         "dnn": dnn_meta,
+        "dnn_onnx": onnx_meta,
         "sf": sf,
         "n_docs": n_docs_done,
         "n_triples": n_triples,

@@ -220,11 +220,15 @@ TRAIN_FIXTURE_TAGS = ("Adjective", "Adverb", "Noun", "Verb")
 
 
 def _suffix_label(token: str) -> str:
-    if token.endswith("ть"):
+    """Deterministic suffix rule over BOTH scripts: the driver documents table is
+    Latin-script, so Russian-only suffixes would collapse every label to Noun and
+    make the training fixture single-class (no usable validation signal). The added
+    Latin suffixes split the documents vocabulary into all four classes."""
+    if token.endswith(("ть", "an", "in")):
         return "Verb"
-    if token.endswith(("ой", "ый", "ий")):
+    if token.endswith(("ой", "ый", "ий", "st", "ll")):
         return "Adjective"
-    if token.endswith("о"):
+    if token.endswith(("о", "ow")):
         return "Adverb"
     return "Noun"
 
@@ -253,6 +257,55 @@ def train_fixture(sf_dir: str, n_docs: int = 200, max_tokens: int = 30
             continue
         rows.append((int(did), toks, [_suffix_label(x) for x in toks]))
     return rows
+
+
+def valid_fixture(sf_dir: str, n_docs: int = 40, start: int = 200,
+                  max_tokens: int = 30) -> list[tuple[int, list[str], list[str]]]:
+    """Deterministic held-out split for the training validator (R5/R6): documents
+    [start, start+n_docs) of the sf dir — disjoint from train_fixture's [0, 200) —
+    with the same suffix-rule labels. ONE definition shared by the Spark query and
+    the golden mirror."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for did, text in sorted(zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist())):
+        if did < start or did >= start + n_docs or text is None:
+            continue
+        toks = text.strip().lower().split()[:max_tokens]
+        if not toks:
+            continue
+        rows.append((int(did), toks, [_suffix_label(x) for x in toks]))
+    return rows
+
+
+def validate_macro_f1(model, valid_rows: list[tuple[int, list[str], list[str]]]) -> float:
+    """R6 external-validator callback body (reference ExternalValidator/Program.cs:14-32
+    scoring via MultiLabelsFscoreMetric.cs:40-153): token-level macro P/R/F1 of the
+    model's greedy decode against the suffix-rule labels, averaged over
+    TRAIN_FIXTURE_TAGS. Deterministic (batch-of-1 predicts, pure float ops) so the
+    single-partition training oracle stays float-exact."""
+    n_hyp: dict[str, int] = {}
+    n_ref: dict[str, int] = {}
+    n_both: dict[str, int] = {}
+    for _did, toks, labs in valid_rows:
+        pred = model.predict_tags([toks])[0]
+        for p, r in zip(pred, labs):
+            n_hyp[p] = n_hyp.get(p, 0) + 1
+            n_ref[r] = n_ref.get(r, 0) + 1
+            if p == r:
+                n_both[p] = n_both.get(p, 0) + 1
+    f1s = []
+    for tag in TRAIN_FIXTURE_TAGS:
+        h, r, b = n_hyp.get(tag, 0), n_ref.get(tag, 0), n_both.get(tag, 0)
+        prec = b / h if h else 0.0
+        rec = b / r if r else 0.0
+        f1s.append(2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0)
+    return round(sum(f1s) / len(f1s), 6)
 
 
 def gazetteer_from_aliases(alias_rows: list[dict]) -> dict[str, str]:

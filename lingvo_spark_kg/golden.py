@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden's semantics change so stale files regenerate
-GOLDEN_VERSION = 9
+GOLDEN_VERSION = 11
 
 GOLDEN_QUERIES = (
     "kg_triples", "kg_sentences", "kg_links", "kg_canonical", "kg_edges",
@@ -44,6 +44,9 @@ GOLDEN_QUERIES = (
     # URL/domain extraction
     "tag_transformer", "kg_links_fuzzy", "media_resized", "media_embeddings",
     "train_history", "kg_urls",
+    # round 4: full-cascade sentence splitter, >220-token chunked tagging, ResultVM
+    # output shape (original-surface recovery)
+    "kg_sentences_full", "tag_chunked", "result_vm",
 )
 
 
@@ -378,6 +381,111 @@ def _sentences_rows(sf_dir: str) -> list[tuple]:
     return out
 
 
+def _sentences_full_rows(n_docs: int) -> list[tuple]:
+    """Mirror of tokenize_docs(sent_mode='full') over the SYNTHETIC corpus — the
+    full rule-cascade splitter (sentsplit_full.py; reference SentSplitter.cs:254-528,
+    IsEndOfSentTDQMEP :1240-1310). The synthetic pool carries the material the
+    cascade branches on (abbreviation n-grams '2010г.'/'млн руб.', initials
+    'э.л. джеймс', statute refs 'п.\"в\" ч.3 ст.286', three-dots, quotes): 10 of the
+    40 pool sentences split differently from the simple mode, so this row fails if
+    either splitter's semantics drift."""
+    from .operators.tokenize import _tokenize_text
+
+    out = []
+    memo: dict[str, list] = {}
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            text = s["text"]
+            sents = memo.get(text)
+            if sents is None:
+                sents = _tokenize_text(text, True, "full")
+                memo[text] = sents
+            for sent_idx, start, length, toks in sents:
+                out.append((doc_id, s["offset"], sent_idx, start, length, len(toks)))
+    return out
+
+
+def _result_vm_rows(n_docs: int) -> list[tuple]:
+    """Mirror of tokenize_docs → tag_sentences_lexicon → as_result_vm flattened to
+    scalar rows (operators/tag.py:122; reference ResultVM WebService/Models/VM.cs:22-46):
+    (doc_id, span_idx, sent_idx, tok_idx, Word, Label). Word is the ORIGINAL surface
+    (coalesce(orig, value) — GetOriginalValue analog, T11), Label the corrected POS."""
+    from .operators.tag import _correct_output_types, _words_from_tokens
+    from .operators.tokenize import _tokenize_text
+    from .model.lexicon import pos_tag_word
+
+    memo: dict[str, list] = {}
+    rows: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            text = s["text"]
+            per_text = memo.get(text)
+            if per_text is None:
+                per_text = []
+                for sent_idx, _start, _length, toks in _tokenize_text(text, True):
+                    words = _words_from_tokens(toks)
+                    pos = _correct_output_types(toks, [pos_tag_word(w) for w in words])
+                    per_text.append((sent_idx, [
+                        (t["orig"] if t["orig"] is not None else t["value"], p)
+                        for t, p in zip(toks, pos)
+                    ]))
+                memo[text] = per_text
+            for sent_idx, tuples in per_text:
+                for tok_idx, (word, label) in enumerate(tuples):
+                    rows.append((doc_id, s["offset"], sent_idx, tok_idx, word, label))
+    return rows
+
+
+def _tag_chunked_rows(n_docs: int) -> list[tuple]:
+    """Mirror of q_tag_chunked: BiLSTM tagging restricted to >220-token sentences of
+    the synthetic corpus — the rows where the reference chunking semantics (M13,
+    SeqLabel.cs:259-311: >220 tokens → chunked decode, ≤10%-overflow truncated) fire
+    inside a driver-oracle row. Predicts are memoized per feature sequence (the long
+    sentences repeat across docs at equal lengths); decode is batch-of-1, which the
+    operator's equal-length bucketing makes exactly batch-invariant."""
+    from .model.pinned import pinned_tagger_models
+    from .operators.tag import _correct_output_types
+    from .operators.tokenize import _tokenize_text
+
+    pos_m, ner_m = pinned_tagger_models()
+    sent_memo: dict[str, list] = {}
+    pos_memo: dict[tuple, list] = {}
+    ner_memo: dict[tuple, list] = {}
+    rows: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            text = s["text"]
+            tagged = sent_memo.get(text)
+            if tagged is None:
+                tagged = []
+                for sent_idx, _start, _length, toks in _tokenize_text(text, True):
+                    if len(toks) <= 220:
+                        continue
+                    pk = tuple(t["ending_pos"] for t in toks)
+                    nk = tuple(t["ending_ner"] for t in toks)
+                    pos_raw = pos_memo.get(pk)
+                    if pos_raw is None:
+                        pos_raw = pos_m.predict_tags([list(pk)])[0]
+                        pos_memo[pk] = pos_raw
+                    ner_raw = ner_memo.get(nk)
+                    if ner_raw is None:
+                        ner_raw = ner_m.predict_tags([list(nk)])[0]
+                        ner_memo[nk] = ner_raw
+                    tagged.append((sent_idx, _correct_output_types(toks, pos_raw),
+                                   ner_raw))
+                sent_memo[text] = tagged
+            for sent_idx, pos, nert in tagged:
+                for tok_idx, (p, nr) in enumerate(zip(pos, nert)):
+                    rows.append((doc_id, s["offset"], sent_idx, tok_idx, p, nr))
+    return rows
+
+
 def _tagged_token_rows(sf_dir: str, crf: bool, encoder: str = "bilstm") -> list[tuple]:
     """Mirror of q_tag_bilstm / q_tag_bilstm_crf / q_tag_transformer: per-token
     (doc_id, span_idx, sent_idx, tok_idx, pos_tag, ner_tag) with batch-of-1 predicts.
@@ -506,13 +614,15 @@ def _train_history_rows(sf_dir: str, epochs: int = 2, lr: float = 0.05,
     of the distributed training plumbing (R2-R5)."""
     import numpy as np
 
-    from .fixtures.corpus import TRAIN_FIXTURE_TAGS, train_fixture
+    from .fixtures.corpus import (TRAIN_FIXTURE_TAGS, train_fixture,
+                                  valid_fixture, validate_macro_f1)
     from .model.bilstm import BiLSTMTaggerModel
     from .model.train import AdamOptimizer, add_grads, loss_and_grads
     from .model.vocab import UNK_ID, Vocab
     from .operators.train_loop import _bucketed_batches
 
     rows = train_fixture(sf_dir)
+    valid = valid_fixture(sf_dir)
     vocab = Vocab.build([t for _d, t, _l in rows], cap=2000)
     m = BiLSTMTaggerModel.create_pinned(vocab, list(TRAIN_FIXTURE_TAGS),
                                         emb_dim=8, hidden_dim=8, seed=5)
@@ -523,6 +633,7 @@ def _train_history_rows(sf_dir: str, epochs: int = 2, lr: float = 0.05,
     weights = {k: v.copy() for k, v in m.weights.items()}
     opt = AdamOptimizer(grad_clip=3.0)
     out: list[tuple] = []
+    scores: list[float] = []
     for epoch in range(epochs):
         # same cast point as train_loop.part_grads: float64 once per round
         w64 = {k: np.asarray(v, dtype=np.float64) for k, v in weights.items()}
@@ -535,8 +646,16 @@ def _train_history_rows(sf_dir: str, epochs: int = 2, lr: float = 0.05,
             n_tok += n
             grads = add_grads(grads, g)
         opt.step(weights, grads, batch_size=n_tok, lr=lr)
+        # R5/R6 mirror: validate post-step weights exactly as train_loop does
+        # (validate_fn(cand) with copied weights, train_loop.py:200-210)
+        cand = BiLSTMTaggerModel({k: v.copy() for k, v in weights.items()},
+                                 m.src_vocab, m.tgt_tags, m.emb_dim, m.hidden_dim,
+                                 m.depth, m.max_ending_length)
+        scores.append(validate_macro_f1(cand, valid))
         out.append((epoch, round(cost / max(n_tok, 1), 6), n_tok))
-    return out
+    best_epoch = max(range(epochs), key=lambda e: (scores[e], -e))
+    return [(epoch, nll, n, scores[epoch], int(epoch == best_epoch))
+            for epoch, nll, n in out]
 
 
 def _ann_lsh_multi_rows(sf_dir: str, k: int = 10, n_planes: int = 6, n_tables: int = 16,
@@ -688,9 +807,17 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
                       ("width", _I32), ("height", _I32), ("resized_sha1", _S)],
     "media_embeddings": [("doc_id", _S), ("span_idx", _I32), ("kind", _S),
                          ("dim_idx", _I32), ("value", _F64)],
-    "train_history": [("epoch", _I64), ("nll_per_token", _F64), ("n_tokens", _I64)],
+    "train_history": [("epoch", _I64), ("nll_per_token", _F64), ("n_tokens", _I64),
+                      ("val_score", _F64), ("is_best", _I64)],
     "kg_urls": [("doc_id", _S), ("span_idx", _I32), ("url_idx", _I32),
                 ("url_type", _S), ("url_value", _S), ("domain", _S)],
+    "kg_sentences_full": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                          ("sent_start", _I32), ("sent_len", _I32),
+                          ("n_tokens", _I64)],
+    "tag_chunked": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                    ("tok_idx", _I32), ("pos_tag", _S), ("ner_tag", _S)],
+    "result_vm": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                  ("tok_idx", _I32), ("Word", _S), ("Label", _S)],
 }
 
 
@@ -717,6 +844,12 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
                 for r in triples()]
     elif name == "kg_sentences":
         rows = _sentences_rows(sf_dir)
+    elif name == "kg_sentences_full":
+        rows = _sentences_full_rows(n_docs_for(sf_dir))
+    elif name == "tag_chunked":
+        rows = _tag_chunked_rows(n_docs_for(sf_dir))
+    elif name == "result_vm":
+        rows = _result_vm_rows(n_docs_for(sf_dir))
     elif name == "kg_links":
         rows = links()
     elif name == "kg_canonical":

@@ -74,13 +74,67 @@ def lsh_bucket(df: DataFrame, emb_col: str, dim: int, n_planes: int = 8,
     return df.withColumn("bucket", F.concat(*bits))
 
 
+# reserve hyperplane set for bucket sub-splitting — a table id far outside any
+# multi-table ANN range (0..n_tables), so the reserve planes are independent of
+# every bucketing plane set derived from the same seed
+_SPLIT_TABLE = 1_000_003
+
+
+def split_oversized_buckets(bucketed: DataFrame, dim: int, max_bucket: int,
+                            max_extra_planes: int = 8, seed: int = 42,
+                            emb_col: str = "embedding") -> DataFrame:
+    """Occupancy cut for LSH bucket self-joins: rows whose ``bucket`` holds more than
+    ``max_bucket`` vectors get ceil(log2(cnt/max_bucket)) additional sign bits from a
+    reserve hyperplane set appended to the bucket id — expected occupancy shrinks
+    back to ~max_bucket (capped at 2^max_extra_planes sub-split). The occupancy table
+    has ≤ #distinct buckets rows and is broadcast; under-cap buckets pass through
+    byte-identical (substring length 0)."""
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    xplanes = _hyperplanes(dim, max_extra_planes, seed, table=_SPLIT_TABLE)
+    xbits = F.concat(*[
+        F.when(_dot(F.col(emb_col), F.array(*[F.lit(v) for v in p])) >= 0,
+               "1").otherwise("0")
+        for p in xplanes
+    ])
+    n_extra = F.greatest(
+        F.lit(0),
+        F.least(F.lit(max_extra_planes),
+                F.ceil(F.log2(F.col("__cnt") / F.lit(max_bucket))).cast("int")),
+    )
+    return (
+        bucketed.join(F.broadcast(sizes), "bucket")
+        .withColumn("__xbits", xbits)
+        .withColumn("__extra", n_extra)
+        .withColumn("bucket",
+                    F.expr("concat(bucket, substring(__xbits, 1, __extra))"))
+        .drop("__cnt", "__xbits", "__extra")
+    )
+
+
 def embedding_neardup(embeddings: DataFrame, dim: int, threshold: float = 0.95,
                       n_planes: int = 6, seed: int = 42,
-                      round_digits: int = 4) -> DataFrame:
+                      round_digits: int = 4, max_bucket: int | None = 10_000,
+                      max_extra_planes: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH bucket self-join,
     exact cosine within bucket, keep pairs ≥ threshold. The bucket join bounds the
-    candidate set (never an all-pairs cross join)."""
+    candidate set (never an all-pairs cross join).
+
+    ``max_bucket`` bounds bucket OCCUPANCY — the analog of winnow_neardup_pairs'
+    ``max_df`` boilerplate cut. With fixed planes, expected occupancy is n/2^n_planes,
+    so the in-bucket self-join emits O(n²/2^n_planes) pairs regardless of how few
+    true near-dups exist — unbounded in corpus size. The cut: count per-bucket
+    occupancy (≤2^n_planes rows — always broadcastable), and rows in buckets over
+    ``max_bucket`` get ceil(log2(cnt/max_bucket)) additional sign bits from a reserve
+    plane set appended to their bucket id, shrinking expected occupancy back to
+    ~max_bucket (capped at ``max_extra_planes`` extra bits = 2^8 sub-split). Pairs
+    split across sub-buckets are dropped — the deliberate recall-for-boundedness
+    trade, exactly like the df-cut. The irreducible case: a mass of IDENTICAL
+    vectors shares every sign bit and cannot be sub-split, but such a mass is
+    all-pairs true near-dups — the quadratic output is the answer's size, not a
+    join artifact. max_bucket=None disables the cut (the DuckDB-oracle anchor)."""
     e = lsh_bucket(embeddings, "embedding", dim, n_planes, seed)
+    if max_bucket is not None:
+        e = split_oversized_buckets(e, dim, max_bucket, max_extra_planes, seed)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
     pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))

@@ -51,14 +51,15 @@ def _shingles_of_words(words, n: int = 3):
 
 
 def neardup_pairs(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
-                  shingle_n: int = 3) -> DataFrame:
+                  shingle_n: int = 3, hash: str = "md5") -> DataFrame:
     """End-to-end near-dup: MinHash-LSH candidates + exact Jaccard verify, with the
     shingle frame computed ONCE and persisted across the three consumers (bands,
     intersection join, size agg) — the explode is the expensive part at scale, so it
     must not run three times."""
     sh = shingle_df(docs, shingle_n).persist()
     try:
-        cand = minhash_candidates(docs, n_hashes, rows_per_band, shingle_n, shingles=sh)
+        cand = minhash_candidates(docs, n_hashes, rows_per_band, shingle_n,
+                                  shingles=sh, hash=hash)
         out = ngram_jaccard_pairs(docs, cand, shingle_n, shingles=sh)
         out = out.localCheckpoint()  # materialize before releasing the shingle cache
     finally:
@@ -106,21 +107,33 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, shingle_n: int = 3) -> 
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, hash_idx, minhash) — minhash_i = min over shingles of
-    md5(i || ':' || shingle).
+def _shingle_hash(i: int, mode: str):
+    """Hash function i applied to the shingle column: md5(i || ':' || shingle)
+    (engine-portable 32-char string — the oracle anchor) or xxhash64 with the index
+    as a leading hashed column (one 64-bit non-crypto hash, 4× smaller shuffle key —
+    the production swap). Any uniform hash under a fixed total order is a valid
+    min-hash permutation, so both modes estimate the same Jaccard."""
+    if mode == "xxhash64":
+        return F.xxhash64(F.lit(i), F.col("shingle"))
+    return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
 
-    Computed WIDE: all n_hashes md5s are projected as columns of the one shingle row and
-    min-aggregated per column, then unpivoted. No ×n_hashes row explosion — at 100 TB
-    the explode variant shuffles n_hashes× the shingle volume; this shuffles only the
-    per-doc signature row (and the min-agg partial-combines map-side)."""
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
+                       hash: str = "md5") -> DataFrame:
+    """(doc_id, hash_idx, minhash) — minhash_i = min over shingles of hash_i(shingle)
+    (``_shingle_hash``: 'md5' oracle default / 'xxhash64' production swap; the
+    minhash column is a string or long accordingly).
+
+    Computed WIDE: all n_hashes hashes are projected as columns of the one shingle row
+    and min-aggregated per column, then unpivoted. No ×n_hashes row explosion — at
+    100 TB the explode variant shuffles n_hashes× the shingle volume; this shuffles
+    only the per-doc signature row (and the min-agg partial-combines map-side)."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
     sh = shingle_df(docs, shingle_n)
     wide = sh.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
+        *[_shingle_hash(i, hash).alias(f"h{i}") for i in range(n_hashes)],
     )
     agg = wide.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
@@ -135,30 +148,35 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
-                  shingle_n: int = 3, shingles: DataFrame | None = None) -> DataFrame:
-    """(doc_id, band_idx, band_sig): band signature = md5 of the sorted concatenated
-    minhashes in the band (classic banding: same band_sig ⇒ LSH candidate pair).
+                  shingle_n: int = 3, shingles: DataFrame | None = None,
+                  hash: str = "md5") -> DataFrame:
+    """(doc_id, band_idx, band_sig): band signature = hash of the sorted minhashes in
+    the band (classic banding: same band_sig ⇒ LSH candidate pair) — md5 over the
+    '|'-joined strings, or one xxhash64 over the sorted long array in 'xxhash64' mode.
     Built from the wide signature — per-doc row explodes only into n_bands rows.
     Pass a persisted ``shingles`` frame to share the shingle scan across operators."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
     sh = shingles if shingles is not None else shingle_df(docs, shingle_n)
     wide = sh.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
+        *[_shingle_hash(i, hash).alias(f"h{i}") for i in range(n_hashes)],
     )
     agg = wide.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
     )
     n_bands = n_hashes // rows_per_band
+
+    def band_sig(b: int):
+        sorted_band = F.sort_array(F.array(*[
+            F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]))
+        if hash == "xxhash64":
+            return F.xxhash64(sorted_band)
+        return F.md5(F.concat_ws("|", sorted_band))
+
     bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws("|", F.sort_array(F.array(*[
-                F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)
-            ])))).alias("band_sig"),
-        )
+        F.struct(F.lit(b).alias("band_idx"), band_sig(b).alias("band_sig"))
         for b in range(n_bands)
     ])
     return agg.select("doc_id", F.explode(bands).alias("p")).select(
@@ -167,9 +185,11 @@ def minhash_bands(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
 
 
 def minhash_candidates(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
-                       shingle_n: int = 3, shingles: DataFrame | None = None) -> DataFrame:
+                       shingle_n: int = 3, shingles: DataFrame | None = None,
+                       hash: str = "md5") -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b, n_shared_bands) via self-join on band_sig."""
-    bands = minhash_bands(docs, n_hashes, rows_per_band, shingle_n, shingles=shingles)
+    bands = minhash_bands(docs, n_hashes, rows_per_band, shingle_n, shingles=shingles,
+                          hash=hash)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_sig")
     return (

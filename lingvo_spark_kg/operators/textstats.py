@@ -131,7 +131,7 @@ def curate_documents(docs: DataFrame, min_quality: float = 0.7) -> DataFrame:
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text", hash: str = "md5") -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (Schleimer, Wilkerson,
     Aiken 2003 — the MOSS algorithm): hash every character k-gram of the normalized
     text, keep the minimum hash of each ``window`` of consecutive k-grams, dedup per
@@ -140,19 +140,27 @@ def winnow_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
     on fp — position-robust, unlike the whole-text hash of ``fingerprint``.
 
     Implementation is one JVM-side projection of higher-order functions (sequence →
-    transform(md5 ∘ substring) → sliding array_min → array_distinct → explode): no
-    Python, no shuffle until the consumer joins/aggregates. md5 is the gram hash so
-    the DuckDB oracle can mirror the selection exactly; a production deployment would
-    swap in xxhash64 (same winnowing semantics, cheaper hash). Texts shorter than k
-    fall back to one whole-text fingerprint."""
+    transform(hash ∘ substring) → sliding array_min → array_distinct → explode): no
+    Python, no shuffle until the consumer joins/aggregates.
+
+    ``hash``: 'md5' (default — engine-portable, so the DuckDB oracle mirrors the
+    selection exactly; fp is a 32-char string) or 'xxhash64' (the production hash —
+    one 64-bit non-crypto hash per gram instead of a full MD5 digest + hex encode;
+    fp is a long, which also shrinks the join/shuffle key 4×). Winnowing semantics
+    are identical — any fixed total order over a uniform hash works for the
+    min-in-window selection — and the substring-sharing guarantee holds for both
+    (equivalence on the fixture corpus pinned in tests/test_spark_pipeline.py).
+    Texts shorter than k fall back to one whole-text fingerprint."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
     s = F.lower(F.trim(F.col(text_col)))
     d = docs.select("doc_id", s.alias("s"))
     # guard: Spark's sequence(1, n) with n < 1 produces a DESCENDING sequence, so
     # the short-text branch must be taken before sequence ever sees it
     grams = (
         f"CASE WHEN length(s) >= {k} THEN "
-        f"  transform(sequence(1, length(s) - {k - 1}), i -> md5(substring(s, i, {k}))) "
-        f"ELSE array(md5(s)) END"
+        f"  transform(sequence(1, length(s) - {k - 1}), i -> {hash}(substring(s, i, {k}))) "
+        f"ELSE array({hash}(s)) END"
     )
     d = d.select("doc_id", F.expr(grams).alias("grams"))
     fps = (
@@ -268,7 +276,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def winnow_neardup_pairs(docs: DataFrame, k: int = 7, window: int = 4,
                          max_df: int = 50, min_shared: int = 10,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text", hash: str = "md5") -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints → (doc_a, doc_b, n_shared).
 
     Boilerplate control is the scale lever: a fingerprint present in more than
@@ -281,7 +289,8 @@ def winnow_neardup_pairs(docs: DataFrame, k: int = 7, window: int = 4,
     (the expensive per-char k-gram md5 scan) feeds two consumers with different
     physical subtrees, so it is persisted once — same reasoning as
     dedup.neardup_pairs' shared shingle frame."""
-    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col).persist()
+    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col,
+                              hash=hash).persist()
     try:
         rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
                 .where(F.col("df") <= max_df).select("fp"))

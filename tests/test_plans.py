@@ -115,6 +115,33 @@ def test_link_triples_salted_equivalence(spark):
     assert a == b
 
 
+def test_salted_join_plan_shape(spark):
+    """J2 physical-shape pin (VERDICT r3 #8): with auto-broadcast off (the salted
+    strategy exists precisely for dims OVER broadcast budget), the salted join must
+    (a) not broadcast the dim side, (b) join on (key..., __salt) so one hot fact key
+    hash-distributes over n_salt shuffle partitions, and (c) explode the dim ×n_salt
+    so every salted key finds its dim rows."""
+    from lingvo_spark_kg.operators.linking import salted_join
+
+    triples, links = _small_triples_and_links(spark)
+    dim = links.select(F.col("mention_norm").alias("subj_norm"),
+                       F.col("entity_id").alias("subj_entity_id"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(triples, dim, "subj_norm", "subj_norm", n_salt=4)
+        plan = _plan(out, spark)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # both shuffle exchanges hash-partition on (__salt, key): the hot fact key
+    # spreads over n_salt shuffle partitions instead of landing on one reducer
+    assert re.search(r"hashpartitioning\(__salt#\d+, subj_norm#\d+", plan)
+    # dim side explodes ×n_salt (Generate node running explode of the salt array)
+    assert "Generate" in plan and re.search(r"explode\(\[0,1,2,3\]\)", plan)
+
+
 def test_edges_table_strategy_threaded(spark):
     """build_edges_table exposes the same strategy knob and stays correct on the
     salted path (the avg is integer-exact, so strategies agree bit-for-bit)."""

@@ -1,0 +1,220 @@
+"""Round-4 additions: production hash swap (xxhash64), bounded embedding near-dup
+buckets, chunking material in the fixture corpus, training validator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def _docs_slice(spark, n=300):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .where(F.col("doc_id") < n).select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------- hash swap
+
+
+def test_winnow_hash_equivalence(spark):
+    """xxhash64 winnowing is interchangeable with the md5 oracle anchor: a different
+    hash picks different min-in-window positions, so per-pair n_shared wobbles and
+    pairs AT the min_shared boundary may flip (both selections are valid winnowings,
+    Schleimer et al. 2003 §4) — but every STRONG overlap must be found by both modes,
+    and the two pair sets must agree on the bulk of the fixture's near-dups."""
+    from lingvo_spark_kg.operators.textstats import winnow_neardup_pairs
+
+    d = _docs_slice(spark)
+    md5_pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in
+                 winnow_neardup_pairs(d, k=7, window=4, max_df=50,
+                                      min_shared=10).collect()}
+    xxh_pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in
+                 winnow_neardup_pairs(d, k=7, window=4, max_df=50, min_shared=10,
+                                      hash="xxhash64").collect()}
+    assert md5_pairs, "fixture slice must contain near-dup pairs"
+    strong_md5 = {p for p, n in md5_pairs.items() if n >= 25}
+    strong_xxh = {p for p, n in xxh_pairs.items() if n >= 25}
+    assert strong_md5 and strong_md5 <= set(xxh_pairs)
+    assert strong_xxh <= set(md5_pairs)
+    # bulk agreement: the disagreeing tail is all boundary pairs (n_shared within
+    # a few counts of min_shared on this pool-heavy fixture), so the bar is 0.6
+    inter = len(set(md5_pairs) & set(xxh_pairs))
+    union = len(set(md5_pairs) | set(xxh_pairs))
+    assert inter / union >= 0.6, (inter, union)
+    for p in set(md5_pairs) ^ set(xxh_pairs):  # every flip is near the threshold
+        assert md5_pairs.get(p, xxh_pairs.get(p)) < 25
+
+
+def test_winnow_xxhash_guarantee(spark):
+    """The winnowing guarantee holds in xxhash64 mode too: any shared substring of
+    length ≥ k+window−1 yields a shared fingerprint."""
+    import pandas as pd
+
+    from lingvo_spark_kg.operators.textstats import winnow_fingerprints
+
+    # the negative case must share NO ≥7-char substring with docs 1/2 at all
+    # (coincidental shared k-grams also produce shared fps — that's the guarantee
+    # working, not a false positive), hence the disjoint latin/digit content
+    shared = "общий достаточно длинный фрагмент текста"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"первый документ {shared} хвост один",
+                 f"совсем другое начало {shared} и другое окончание",
+                 "a fully unrelated latin document 0123456789 with separate words"],
+    }))
+    by_doc: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=7, window=4, hash="xxhash64").collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[3] & by_doc[1])
+
+
+def test_winnow_xxhash_fp_is_long(spark):
+    from lingvo_spark_kg.operators.textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(_docs_slice(spark, 20), hash="xxhash64")
+    assert dict(fp.dtypes)["fp"] == "bigint"
+    assert fp.count() > 0
+
+
+def test_minhash_hash_equivalence(spark):
+    """neardup_pairs (LSH candidates + exact-Jaccard verify) emits the same verified
+    pair set under both hash modes on the fixture corpus: candidates may differ at
+    the margin, but the fixture's true near-dups (shared pooled sentences) collide
+    in some band under ANY uniform minhash."""
+    from lingvo_spark_kg.operators.dedup import neardup_pairs
+
+    d = _docs_slice(spark)
+    md5_pairs = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                 neardup_pairs(d).collect()}
+    xxh_pairs = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                 neardup_pairs(d, hash="xxhash64").collect()}
+    assert md5_pairs, "fixture slice must contain near-dup pairs"
+    assert md5_pairs == xxh_pairs
+
+
+def test_minhash_bad_hash_rejected(spark):
+    from lingvo_spark_kg.operators.dedup import minhash_signatures
+    from lingvo_spark_kg.operators.textstats import winnow_fingerprints
+
+    with pytest.raises(ValueError):
+        minhash_signatures(_docs_slice(spark, 5), hash="murmur3")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(_docs_slice(spark, 5), hash="murmur3")
+
+
+# ---------------------------------------------------------------- bounded emb near-dup
+
+
+def _embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+
+def test_split_oversized_buckets_bounds_occupancy(spark):
+    """The occupancy cut: with max_bucket far under the natural bucket size, every
+    oversized bucket is sub-split by reserve-plane bits; under-cap buckets keep their
+    exact 6-bit id. Expected post-split occupancy is ~max_bucket; this fixture's
+    post-split max is pinned ≤ 4×max_bucket (deterministic given seed + corpus)."""
+    from lingvo_spark_kg.operators.ann import lsh_bucket, split_oversized_buckets
+
+    e = lsh_bucket(_embeddings(spark), "embedding", dim=64, n_planes=6)
+    before = {r["bucket"]: r["cnt"] for r in
+              e.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    max_bucket = 8
+    after = {r["bucket"]: r["cnt"] for r in
+             split_oversized_buckets(e, dim=64, max_bucket=max_bucket)
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert max(before.values()) > max_bucket, "fixture must have oversized buckets"
+    assert max(after.values()) < max(before.values())
+    assert max(after.values()) <= 4 * max_bucket
+    # under-cap buckets pass through byte-identical
+    for b, c in before.items():
+        if c <= max_bucket:
+            assert after.get(b) == c
+    # no rows lost, only re-keyed
+    assert sum(after.values()) == sum(before.values())
+
+
+def test_emb_neardup_bounded_is_subset(spark):
+    """Bounded pairs ⊆ unbounded pairs (the cut only drops candidates, never invents
+    them), and on this fixture the high-cosine pairs survive the sub-split."""
+    from lingvo_spark_kg.operators.ann import embedding_neardup
+
+    emb = _embeddings(spark)
+    unbounded = {(r["vec_a"], r["vec_b"]) for r in
+                 embedding_neardup(emb, dim=64, threshold=0.3,
+                                   max_bucket=None).collect()}
+    bounded = {(r["vec_a"], r["vec_b"]) for r in
+               embedding_neardup(emb, dim=64, threshold=0.3,
+                                 max_bucket=8).collect()}
+    assert unbounded, "fixture must contain near-dup pairs"
+    assert bounded <= unbounded
+    # default cap is far above the fixture's bucket sizes → bit-identical results
+    default = {(r["vec_a"], r["vec_b"]) for r in
+               embedding_neardup(emb, dim=64, threshold=0.3).collect()}
+    assert default == unbounded
+
+
+# ---------------------------------------------------------------- chunking fixture
+
+
+def test_synthetic_corpus_has_chunking_sentences():
+    """M13 driver signal precondition: the sf0.001-sized synthetic corpus contains
+    >220-token sentences (fixtures.corpus.long_sentence, ~0.5% of text spans), so the
+    tag_chunked oracle row actually exercises the chunked decode
+    (SeqLabel.cs:259-311)."""
+    from lingvo_spark_kg.fixtures.corpus import make_docs
+    from lingvo_spark_kg.operators.tokenize import _tokenize_text
+
+    n_long = 0
+    for _doc_id, spans in make_docs(1000):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            if len(s["text"]) < 1000:  # long_sentence texts are multi-KB
+                continue
+            for _si, _st, _ln, toks in _tokenize_text(s["text"], True):
+                if len(toks) > 220:
+                    n_long += 1
+    assert n_long >= 5
+
+
+# ---------------------------------------------------------------- training validator
+
+
+def test_validate_macro_f1_perfect_and_deterministic():
+    from lingvo_spark_kg.fixtures.corpus import (TRAIN_FIXTURE_TAGS, valid_fixture,
+                                                 validate_macro_f1)
+
+    rows = valid_fixture(SF_DIR)
+    assert rows, "valid split must be non-empty"
+    assert {t for _d, _t, labs in rows for t in labs} <= set(TRAIN_FIXTURE_TAGS)
+
+    class Oracle:  # a model that answers with the reference labels
+        def __init__(self, rows):
+            self._by_toks = {tuple(t): l for _d, t, l in rows}
+
+        def predict_tags(self, sentences):
+            return [self._by_toks[tuple(s)] for s in sentences]
+
+    assert validate_macro_f1(Oracle(rows), rows) == 1.0
+
+    class Degenerate:  # all-Noun baseline scores strictly below perfect
+        def predict_tags(self, sentences):
+            return [["Noun"] * len(s) for s in sentences]
+
+    s1 = validate_macro_f1(Degenerate(), rows)
+    s2 = validate_macro_f1(Degenerate(), rows)
+    assert s1 == s2
+    assert 0.0 < s1 < 1.0
+
+
+def test_train_valid_splits_disjoint():
+    from lingvo_spark_kg.fixtures.corpus import train_fixture, valid_fixture
+
+    train_ids = {d for d, _t, _l in train_fixture(SF_DIR)}
+    valid_ids = {d for d, _t, _l in valid_fixture(SF_DIR)}
+    assert valid_ids
+    assert not (train_ids & valid_ids)
