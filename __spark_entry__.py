@@ -496,6 +496,37 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(d, rate=0.2, key="doc_id", seed=42)
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the interleaved corpus: URL/Email spans (reference
+    UrlDetector state machine) → placeholder tokens, residual ≥4-digit runs → <NUM>
+    (textstats.redact_pii; shared kernel urldetect.redact_text) — the pre-training
+    redaction pass of a web-corpus pipeline."""
+    from lingvo_spark_kg.operators.textstats import redact_pii
+    from lingvo_spark_kg.operators.tokenize import text_spans
+
+    return redact_pii(text_spans(_synthetic_docs(spark, sf_dir)))
+
+
+# mixing config for the stratified-sample query — module-level so the Spark query
+# and the DuckDB oracle are generated from the ONE dict
+_MIX_RATES = {"ru": 0.5, "en": 0.3, "de": 0.2}
+_MIX_DEFAULT = 0.05
+
+
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified deterministic sampling (corpus_ops.
+    stratified_hash_sample) — each stratum at its own mix weight in one scan;
+    membership is a pure function of (doc_id, seed) so the mix is stable under
+    reruns and corpus growth."""
+    from lingvo_spark_kg.operators.corpus_ops import stratified_hash_sample
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang",
+                                         F.length("text").alias("n_chars"))
+    return stratified_hash_sample(d, rates=_MIX_RATES, group_col="lang",
+                                  key="doc_id", seed=42,
+                                  default_rate=_MIX_DEFAULT)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination scan: corpus docs sharing ≥1 word 3-gram with the
     benchmark slice (every 97th doc plays the eval suite) and how many distinct
@@ -774,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup": q_winnow_neardup,
         "decontaminate": q_decontaminate,
         "doc_sample": q_doc_sample,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "redact_pii": q_redact_pii,
         "repetition": q_repetition,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
@@ -1023,6 +1056,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
                   < '{format(int(0.2 * 16**8), "08x")}'
+        """,
+        "doc_sample_stratified": f"""
+            SELECT doc_id, lang, length(text) AS n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+              CASE {' '.join(f"WHEN lang = '{g}' THEN '{format(min(int(r * 16**8), 16**8 - 1), '08x')}'"
+                             for g, r in sorted(_MIX_RATES.items()))}
+                   ELSE '{format(int(_MIX_DEFAULT * 16**8), "08x")}' END
         """,
         "decontaminate": "WITH " + _SHINGLE_CTE + """,
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

@@ -33,7 +33,10 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# bump when any golden's semantics change so stale files regenerate
+# bump when any EXISTING golden's semantics change so stale files regenerate
+# (adding a NEW query does not need a bump — ensure_goldens fills in missing files
+# incrementally; the bump invalidates every file, which is only right when shared
+# kernels or mirrors changed)
 GOLDEN_VERSION = 11
 
 GOLDEN_QUERIES = (
@@ -45,8 +48,8 @@ GOLDEN_QUERIES = (
     "tag_transformer", "kg_links_fuzzy", "media_resized", "media_embeddings",
     "train_history", "kg_urls",
     # round 4: full-cascade sentence splitter, >220-token chunked tagging, ResultVM
-    # output shape (original-surface recovery)
-    "kg_sentences_full", "tag_chunked", "result_vm",
+    # output shape (original-surface recovery), PII redaction
+    "kg_sentences_full", "tag_chunked", "result_vm", "redact_pii",
 )
 
 
@@ -325,6 +328,26 @@ def _url_rows(n_docs: int) -> list[tuple]:
                 memo[text] = urls
             for i, (utype, uval, dom) in enumerate(urls):
                 rows.append((doc_id, s["offset"], i, utype, uval, dom))
+    return rows
+
+
+def _redact_rows(n_docs: int, min_digits: int = 4) -> list[tuple]:
+    """Mirror of text_spans → textstats.redact_pii: the same pure kernel
+    (urldetect.redact_text) over a flat driver loop."""
+    from .urldetect import redact_text
+
+    memo: dict[str, tuple] = {}
+    rows: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "text" or s["text"] is None:
+                continue
+            text = s["text"]
+            red = memo.get(text)
+            if red is None:
+                red = redact_text(text, min_digits)
+                memo[text] = red
+            rows.append((doc_id, s["offset"], red[0], red[1], red[2], red[3]))
     return rows
 
 
@@ -818,6 +841,8 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
                     ("tok_idx", _I32), ("pos_tag", _S), ("ner_tag", _S)],
     "result_vm": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
                   ("tok_idx", _I32), ("Word", _S), ("Label", _S)],
+    "redact_pii": [("doc_id", _S), ("span_idx", _I32), ("text_redacted", _S),
+                   ("n_urls", _I32), ("n_emails", _I32), ("n_digit_runs", _I32)],
 }
 
 
@@ -850,6 +875,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _tag_chunked_rows(n_docs_for(sf_dir))
     elif name == "result_vm":
         rows = _result_vm_rows(n_docs_for(sf_dir))
+    elif name == "redact_pii":
+        rows = _redact_rows(n_docs_for(sf_dir))
     elif name == "kg_links":
         rows = links()
     elif name == "kg_canonical":
@@ -895,23 +922,34 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
 
 def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
                    names: tuple[str, ...] = GOLDEN_QUERIES, force: bool = False) -> dict[str, str]:
-    """Materialize golden parquet files (idempotent: a manifest pins version + inputs;
-    matching manifests skip recomputation). Returns {query: absolute parquet path}."""
+    """Materialize golden parquet files (idempotent: a manifest pins version + inputs).
+    A version or sf_dir mismatch (or ``force``) recomputes EVERYTHING — shared
+    kernels may have changed; otherwise only files missing on disk are computed
+    (adding a new golden query costs only that query, not a full regeneration —
+    the tag mirrors dominate the full pass). Returns {query: absolute parquet path}."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest_path = out / "manifest.json"
     want = {"version": GOLDEN_VERSION, "sf_dir": os.path.abspath(sf_dir),
             "names": sorted(names)}
     paths = {n: str((out / f"{n}.parquet").resolve()) for n in names}
+    have = None
     if not force and manifest_path.exists():
         try:
             have = json.loads(manifest_path.read_text())
         except (ValueError, OSError):
             have = None
-        if have == want and all(Path(p).exists() for p in paths.values()):
-            return paths
+    if (have is None or have.get("version") != want["version"]
+            or have.get("sf_dir") != want["sf_dir"]):
+        stale = list(names)
+    else:
+        stale = [n for n in names if not Path(paths[n]).exists()]
+    if not stale:
+        if have != want:  # names list changed but every file is current
+            manifest_path.write_text(json.dumps(want, indent=1))
+        return paths
     cache: dict = {}
-    for n in names:
+    for n in stale:
         tbl = compute(n, sf_dir, _cache=cache)
         tmp = out / f".{n}.parquet.tmp"
         pq.write_table(tbl, tmp)

@@ -44,6 +44,34 @@ def hash_sample(df: DataFrame, rate: float, key: str = "doc_id",
     return df.where(h < F.lit(threshold)) if rate < 1.0 else df
 
 
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float], group_col: str,
+                           key: str = "doc_id", seed: int = 42,
+                           default_rate: float = 0.0) -> DataFrame:
+    """Per-group deterministic sampling — the corpus-MIXING primitive: each source /
+    domain / language stratum sampled at its own mix weight in ONE scan. Membership
+    is the same pure md5(key:seed) function as ``hash_sample`` (stable under reruns,
+    repartitioning and incremental appends — a doc keeps its fate when the corpus
+    grows), and the per-group threshold is a CASE column expression over the small
+    ``rates`` dict — no join, no second scan, fully codegen'd. Groups absent from
+    ``rates`` fall back to ``default_rate`` (0.0 = dropped — the allowlist shape a
+    mixing config usually wants)."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+
+    def _thresh(rate: float) -> str:
+        return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+    thresh = F.lit(_thresh(default_rate))
+    for g, r in sorted(rates.items()):
+        thresh = F.when(F.col(group_col) == g, F.lit(_thresh(r))).otherwise(thresh)
+    h = F.substring(F.md5(F.concat(F.col(key).cast("string"),
+                                   F.lit(f":{seed}"))), 1, 8)
+    return df.where(h < thresh)
+
+
 def train_valid_split(df: DataFrame, valid_fraction: float = 0.1,
                       seed: int = 42, key: str = "doc_id") -> tuple[DataFrame, DataFrame]:
     """Deterministic hash split on (key, seed) (CorpusCorrector's split analog,

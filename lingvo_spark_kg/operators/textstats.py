@@ -226,6 +226,58 @@ def extract_urls(text_spans: DataFrame) -> DataFrame:
     )
 
 
+def redact_pii(text_spans: DataFrame, min_digits: int = 4) -> DataFrame:
+    """(doc_id, span_idx, text) → (doc_id, span_idx, text_redacted, n_urls,
+    n_emails, n_digit_runs): PII scrubbing — the pre-training redaction pass every
+    web-corpus pipeline runs. URL/Email spans detected by the reference's state
+    machine (urldetect.allocate_urls) become placeholder tokens; residual digit runs
+    ≥ ``min_digits`` become <NUM> (urldetect.redact_text is the shared pure kernel).
+    Narrow mapInArrow with a batch-local text memo (duplicate-heavy corpora) — no
+    shuffle; the redacted column feeds tokenization directly."""
+    import pyarrow as pa
+
+    from ..urldetect import redact_text
+
+    def run(batches):
+        for b in batches:
+            doc_ids = b.column(b.schema.get_field_index("doc_id")).to_pylist()
+            span_idxs = b.column(b.schema.get_field_index("span_idx")).to_pylist()
+            texts = b.column(b.schema.get_field_index("text")).to_pylist()
+            memo: dict[str, tuple] = {}
+            cols: dict[str, list] = {k: [] for k in
+                                     ("doc_id", "span_idx", "text_redacted",
+                                      "n_urls", "n_emails", "n_digit_runs")}
+            for doc_id, span_idx, text in zip(doc_ids, span_idxs, texts):
+                if text is None:
+                    continue
+                red = memo.get(text)
+                if red is None:
+                    red = redact_text(text, min_digits)
+                    memo[text] = red
+                cols["doc_id"].append(doc_id)
+                cols["span_idx"].append(span_idx)
+                cols["text_redacted"].append(red[0])
+                cols["n_urls"].append(red[1])
+                cols["n_emails"].append(red[2])
+                cols["n_digit_runs"].append(red[3])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols["doc_id"], pa.string()),
+                 pa.array(cols["span_idx"], pa.int32()),
+                 pa.array(cols["text_redacted"], pa.string()),
+                 pa.array(cols["n_urls"], pa.int32()),
+                 pa.array(cols["n_emails"], pa.int32()),
+                 pa.array(cols["n_digit_runs"], pa.int32())],
+                names=["doc_id", "span_idx", "text_redacted", "n_urls",
+                       "n_emails", "n_digit_runs"],
+            )
+
+    return text_spans.mapInArrow(
+        run,
+        schema="doc_id string, span_idx int, text_redacted string, n_urls int, "
+               "n_emails int, n_digit_runs int",
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 — the
     duplicate-text filters every LLM curation pass applies): per doc the duplicate

@@ -280,3 +280,27 @@ def url_domain(value: str, url_type: str) -> str:
         host = host.rsplit("@", 1)[-1]
         host = host.split(":", 1)[0]
     return host.lower().rstrip(".")
+
+
+_PII_PLACEHOLDERS = {URL_TYPE_URL: "<URL>", URL_TYPE_EMAIL: "<EMAIL>"}
+
+
+def redact_text(text: str, min_digits: int = 4) -> tuple[str, int, int, int]:
+    """PII redaction kernel → (redacted_text, n_urls, n_emails, n_digit_runs).
+
+    URL/Email spans come from the reference's detector state machine
+    (``allocate_urls``, UrlDetector.cs) and are replaced right-to-left with
+    placeholder tokens; remaining digit runs of ≥ ``min_digits`` (phone / account /
+    id-number shaped) become ``<NUM>``. Placeholders contain no digits, so the two
+    passes cannot interact. Pure function — ONE definition shared by the Spark
+    operator (textstats.redact_pii) and its golden mirror (golden._redact_rows)."""
+    import re
+
+    spans = allocate_urls(text)
+    n_urls = sum(1 for s in spans if s.type == URL_TYPE_URL)
+    n_emails = sum(1 for s in spans if s.type == URL_TYPE_EMAIL)
+    out = text
+    for s in sorted(spans, key=lambda sp: sp.start, reverse=True):
+        out = out[: s.start] + _PII_PLACEHOLDERS[s.type] + out[s.start + s.length :]
+    out, n_digit_runs = re.subn(r"[0-9]{%d,}" % min_digits, "<NUM>", out)
+    return out, n_urls, n_emails, n_digit_runs

@@ -218,3 +218,79 @@ def test_train_valid_splits_disjoint():
     valid_ids = {d for d, _t, _l in valid_fixture(SF_DIR)}
     assert valid_ids
     assert not (train_ids & valid_ids)
+
+
+# ---------------------------------------------------------------- new data-ops
+
+
+def test_stratified_sample_matches_flat_sample_per_stratum(spark):
+    """Exact property: membership is the same md5(key:seed) function as hash_sample,
+    so within stratum g the stratified sample at rate r equals hash_sample(r)
+    restricted to g — per-group mixing without a second membership definition."""
+    from lingvo_spark_kg.operators.corpus_ops import (hash_sample,
+                                                      stratified_hash_sample)
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    rates = {"en": 0.3, "de": 0.2}
+    strat = stratified_hash_sample(d, rates=rates, group_col="lang", seed=42,
+                                   default_rate=0.05)
+    got = {r["doc_id"]: r["lang"] for r in strat.collect()}
+    for g, rate in rates.items():
+        flat = {r["doc_id"] for r in
+                hash_sample(d.where(F.col("lang") == g), rate, seed=42).collect()}
+        assert flat == {k for k, v in got.items() if v == g}
+    # absent strata fall back to default_rate
+    others = {r["doc_id"] for r in
+              hash_sample(d.where(~F.col("lang").isin(*rates)), 0.05,
+                          seed=42).collect()}
+    assert others == {k for k, v in got.items() if v not in rates}
+    # determinism under repartitioning
+    got2 = {r["doc_id"] for r in
+            stratified_hash_sample(d.repartition(7), rates=rates, group_col="lang",
+                                   seed=42, default_rate=0.05).collect()}
+    assert got2 == set(got)
+
+
+def test_stratified_sample_rejects_bad_rates(spark):
+    from lingvo_spark_kg.operators.corpus_ops import stratified_hash_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    with pytest.raises(ValueError):
+        stratified_hash_sample(d, rates={"en": 1.5}, group_col="lang")
+    with pytest.raises(ValueError):
+        stratified_hash_sample(d, rates={"en": 0.5}, group_col="lang",
+                               default_rate=-0.1)
+
+
+def test_redact_pii_operator_matches_kernel(spark):
+    import pandas as pd
+
+    from lingvo_spark_kg.operators.textstats import redact_pii
+    from lingvo_spark_kg.urldetect import redact_text
+
+    texts = [
+        "Пишите на info@example.ru или заходите на www.example.ru за подробностями.",
+        "zxczxcv https://localhost:7701/ xzxzxzzxzx.",
+        "123-3453-3456-3456 коровы паслись, счёт 1234567890.",
+        "обычное предложение без всякой чувствительной информации.",
+    ]
+    spans = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(len(texts))],
+        "span_idx": [0] * len(texts),
+        "text": texts,
+    }))
+    rows = {r["doc_id"]: r for r in redact_pii(spans).collect()}
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        red, n_u, n_e, n_d = redact_text(t, 4)
+        r = rows[f"d{i}"]
+        assert (r["text_redacted"], r["n_urls"], r["n_emails"],
+                r["n_digit_runs"]) == (red, n_u, n_e, n_d)
+    # redacted text never retains a ≥4-digit run or a detectable URL/Email span
+    import re
+
+    from lingvo_spark_kg.urldetect import allocate_urls
+
+    for r in rows.values():
+        assert not re.search(r"[0-9]{4,}", r["text_redacted"])
+        assert not allocate_urls(r["text_redacted"])
