@@ -210,6 +210,24 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the materialized edges: weighted node degree →
+    log2-bucketed histogram (graph.degree_stats) — the power-law summary a KG
+    curation pass reads before hub cuts."""
+    from lingvo_spark_kg.operators import graph
+
+    return graph.degree_stats(q_kg_edges(spark, sf_dir))
+
+
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget context packing (corpus_ops.pack_contexts): concat-and-chunk
+    assignment of docs to 64-token pretraining contexts in 4 deterministic shards —
+    one window shuffle, every expression engine-portable."""
+    from lingvo_spark_kg.operators.corpus_ops import pack_contexts
+
+    return pack_contexts(_documents(spark, sf_dir), budget=64, n_shards=4)
+
+
 def q_kg_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-row invariant gate (BASELINE.json input_hint) as a query: for every doc,
     the span sequence reconstructed from the pipeline's text/media projections must
@@ -645,13 +663,17 @@ CASE WHEN token LIKE '%ть' OR token LIKE '%ет' THEN 'Verb'
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking (dedup family)."""
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking (dedup family).
+    max_bucket=None pins the unbounded join the DuckDB oracle mirrors — the library
+    default (10k occupancy cut) would silently diverge from the oracle at an sf
+    where a bucket exceeds the cap; the cut's behavior is pinned by property tests
+    instead (tests/test_round4.py)."""
     from lingvo_spark_kg.operators.ann import embedding_neardup
 
     emb = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_neardup(emb, dim=64, threshold=0.3)
+    return embedding_neardup(emb, dim=64, threshold=0.3, max_bucket=None)
 
 
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
+        "kg_degree": q_kg_degree,
+        "pack_contexts": q_pack_contexts,
         "kg_invariant": q_kg_invariant,
         "kg_mentions": q_kg_mentions,
         "kg_urls": q_kg_urls,
@@ -1056,6 +1080,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
                   < '{format(int(0.2 * 16**8), "08x")}'
+        """,
+        "pack_contexts": r"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS shard,
+                     len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, shard, n_tokens,
+                     -- ::BIGINT: DuckDB's window sum(BIGINT) is HUGEINT, which
+                     -- pandas renders as float64 and the dtype-level compare rejects
+                     (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens)::BIGINT AS ctx_offset
+              FROM d)
+            SELECT doc_id, shard, n_tokens, ctx_offset,
+                   CAST(floor(ctx_offset / 64) AS BIGINT) AS ctx_id,
+                   CAST(floor((ctx_offset + n_tokens - 1) / 64) AS BIGINT)
+                     AS ctx_end_id,
+                   CASE WHEN floor(ctx_offset / 64)
+                             <> floor((ctx_offset + n_tokens - 1) / 64)
+                        THEN 1 ELSE 0 END AS straddles
+            FROM o
         """,
         "doc_sample_stratified": f"""
             SELECT doc_id, lang, length(text) AS n_chars

@@ -233,38 +233,15 @@ def _suffix_label(token: str) -> str:
     return "Noun"
 
 
-def train_fixture(sf_dir: str, n_docs: int = 200, max_tokens: int = 30
-                  ) -> list[tuple[int, list[str], list[str]]]:
-    """Deterministic supervised corpus for the train_history query: the first
-    ``n_docs`` documents of the sf dir, whitespace-tokenized (capped) with
+def train_fixture(sf_dir: str, n_docs: int = 200, max_tokens: int = 30,
+                  start: int = 0) -> list[tuple[int, list[str], list[str]]]:
+    """Deterministic supervised corpus for the train_history query: documents
+    [start, start+n_docs) of the sf dir, whitespace-tokenized (capped) with
     suffix-rule labels. ONE definition shared by the Spark query
-    (__spark_entry__.q_train_history) and its golden mirror
-    (golden._train_history_rows) so the two can never drift; rows come back sorted
-    by doc_id — the row order both sides train in."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    rows = []
-    for did, text in sorted(zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist())):
-        if did >= n_docs or text is None:
-            continue
-        toks = text.strip().lower().split()[:max_tokens]
-        if not toks:
-            continue
-        rows.append((int(did), toks, [_suffix_label(x) for x in toks]))
-    return rows
-
-
-def valid_fixture(sf_dir: str, n_docs: int = 40, start: int = 200,
-                  max_tokens: int = 30) -> list[tuple[int, list[str], list[str]]]:
-    """Deterministic held-out split for the training validator (R5/R6): documents
-    [start, start+n_docs) of the sf dir — disjoint from train_fixture's [0, 200) —
-    with the same suffix-rule labels. ONE definition shared by the Spark query and
-    the golden mirror."""
+    (__spark_entry__.q_train_history), its golden mirror
+    (golden._train_history_rows) and the validation split (``valid_fixture``) so
+    none can drift; rows come back sorted by doc_id — the row order both sides
+    train in."""
     import os
 
     import pyarrow.parquet as pq
@@ -281,6 +258,15 @@ def valid_fixture(sf_dir: str, n_docs: int = 40, start: int = 200,
             continue
         rows.append((int(did), toks, [_suffix_label(x) for x in toks]))
     return rows
+
+
+def valid_fixture(sf_dir: str, n_docs: int = 40, start: int = 200,
+                  max_tokens: int = 30) -> list[tuple[int, list[str], list[str]]]:
+    """Deterministic held-out split for the training validator (R5/R6): documents
+    [start, start+n_docs) — disjoint from train_fixture's default [0, 200) — with
+    the same selection/labeling code (delegates to ``train_fixture`` so the two
+    can never drift)."""
+    return train_fixture(sf_dir, n_docs=n_docs, max_tokens=max_tokens, start=start)
 
 
 def validate_macro_f1(model, valid_rows: list[tuple[int, list[str], list[str]]]) -> float:

@@ -49,7 +49,7 @@ GOLDEN_QUERIES = (
     "train_history", "kg_urls",
     # round 4: full-cascade sentence splitter, >220-token chunked tagging, ResultVM
     # output shape (original-surface recovery), PII redaction
-    "kg_sentences_full", "tag_chunked", "result_vm", "redact_pii",
+    "kg_sentences_full", "tag_chunked", "result_vm", "redact_pii", "kg_degree",
 )
 
 
@@ -329,6 +329,21 @@ def _url_rows(n_docs: int) -> list[tuple]:
             for i, (utype, uval, dom) in enumerate(urls):
                 rows.append((doc_id, s["offset"], i, utype, uval, dom))
     return rows
+
+
+def _degree_rows(edges_rows: list[tuple]) -> list[tuple]:
+    """Mirror of graph.degree_stats over the edges mirror: weighted node degree →
+    log2 histogram. Bucket = degree.bit_length()-1 ≡ floor(log2(degree)) exactly for
+    positive ints (the Spark side's floor(log2(double)) is exact for every integer
+    below 2^53): (degree_bucket, n_nodes, max_degree)."""
+    deg: Counter = Counter()
+    for src, _pred, dst, n_occ, _avg, _nd, _ex in edges_rows:
+        deg[src] += n_occ
+        deg[dst] += n_occ
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for _node, d in deg.items():
+        buckets[d.bit_length() - 1].append(d)
+    return [(b, len(ds), max(ds)) for b, ds in buckets.items()]
 
 
 def _redact_rows(n_docs: int, min_digits: int = 4) -> list[tuple]:
@@ -843,6 +858,7 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
                   ("tok_idx", _I32), ("Word", _S), ("Label", _S)],
     "redact_pii": [("doc_id", _S), ("span_idx", _I32), ("text_redacted", _S),
                    ("n_urls", _I32), ("n_emails", _I32), ("n_digit_runs", _I32)],
+    "kg_degree": [("degree_bucket", _I64), ("n_nodes", _I64), ("max_degree", _I64)],
 }
 
 
@@ -883,6 +899,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = canon()
     elif name == "kg_edges":
         rows = _edges_rows(triples(), canon())
+    elif name == "kg_degree":
+        rows = _degree_rows(_edges_rows(triples(), canon()))
     elif name == "kg_invariant":
         rows = _invariant_rows(n_docs_for(sf_dir))
     elif name == "kg_mentions":
@@ -939,13 +957,20 @@ def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
             have = json.loads(manifest_path.read_text())
         except (ValueError, OSError):
             have = None
+        if not isinstance(have, dict):  # valid JSON but not a manifest → stale
+            have = None
+    # the manifest's "names" are the queries KNOWN-CURRENT at its version; a file on
+    # disk that is not listed there may predate the version and must be recomputed
+    # (a subset call after a version bump must not bless the other files)
     if (have is None or have.get("version") != want["version"]
             or have.get("sf_dir") != want["sf_dir"]):
-        stale = list(names)
+        known: set = set()
     else:
-        stale = [n for n in names if not Path(paths[n]).exists()]
+        known = set(have.get("names", []))
+    stale = [n for n in names if n not in known or not Path(paths[n]).exists()]
+    want["names"] = sorted(known | set(names))
     if not stale:
-        if have != want:  # names list changed but every file is current
+        if have != want:
             manifest_path.write_text(json.dumps(want, indent=1))
         return paths
     cache: dict = {}

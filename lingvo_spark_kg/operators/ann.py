@@ -133,17 +133,36 @@ def embedding_neardup(embeddings: DataFrame, dim: int, threshold: float = 0.95,
     all-pairs true near-dups — the quadratic output is the answer's size, not a
     join artifact. max_bucket=None disables the cut (the DuckDB-oracle anchor)."""
     e = lsh_bucket(embeddings, "embedding", dim, n_planes, seed)
-    if max_bucket is not None:
-        e = split_oversized_buckets(e, dim, max_bucket, max_extra_planes, seed)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.select(
-        "vec_a", "vec_b",
-        F.round(_dot(F.col("emb_a"), F.col("emb_b"))
-                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), round_digits).alias("cosine"),
-    )
-    return scored.where(F.col("cosine") >= threshold)
+    split = max_bucket is not None
+    if split:
+        # the post-split frame (occupancy agg + broadcast join + reserve-plane
+        # projection) feeds BOTH self-join sides — persist it once so the sizes
+        # aggregation and the split projection don't execute twice (the module's
+        # established two-consumer pattern; the result is materialized before the
+        # cache is released, as in winnow_neardup_pairs)
+        e = split_oversized_buckets(e, dim, max_bucket, max_extra_planes, seed).persist()
+
+    def pair_frame(frame):
+        a = frame.select(F.col("vec_id").alias("vec_a"),
+                         F.col("embedding").alias("emb_a"), "bucket")
+        b = frame.select(F.col("vec_id").alias("vec_b"),
+                         F.col("embedding").alias("emb_b"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+        scored = pairs.select(
+            "vec_a", "vec_b",
+            F.round(_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                    round_digits).alias("cosine"),
+        )
+        return scored.where(F.col("cosine") >= threshold)
+
+    if not split:  # unbounded path stays lazy — the DuckDB-oracle anchor
+        return pair_frame(e)
+    try:
+        out = pair_frame(e).localCheckpoint()
+    finally:
+        e.unpersist()
+    return out
 
 
 def _bucket_rows_arrow(embeddings: DataFrame, dim: int, n_planes: int,

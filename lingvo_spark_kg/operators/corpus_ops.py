@@ -62,7 +62,12 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float], group_col: st
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
 
     def _thresh(rate: float) -> str:
-        return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+        # rate 1.0 → a sentinel ABOVE every hex prefix ('g' > 'f'): the strict `<`
+        # must keep all rows, matching hash_sample's keep-everything fast path
+        # (clamping to 'ffffffff' would drop the ~2^-32 keys hashing to exactly it)
+        if rate >= 1.0:
+            return "g"
+        return format(int(rate * 16**8), "08x")
 
     thresh = F.lit(_thresh(default_rate))
     for g, r in sorted(rates.items()):
@@ -126,3 +131,40 @@ def length_histogram(sentences: DataFrame, bucket_size: int = 100,
         .agg(F.count(F.lit(1)).alias("n_sentences"))
         .orderBy("len_bucket")
     )
+
+
+def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int = 8,
+                  key: str = "doc_id", n_tokens_col=None) -> DataFrame:
+    """GPT-style context packing — the pretraining sequence-packing primitive:
+    documents are concatenated in a deterministic order and cut into fixed
+    ``budget``-token contexts; each doc row gets its context assignment →
+    (key, shard, n_tokens, ctx_offset, ctx_id, ctx_end_id, straddles).
+
+    Distribution shape: ``n_shards`` independent packing streams (shard =
+    pmod(key, n_shards) — each stream is one window partition, so the running-sum
+    window never becomes a single global sort; at 10^12 docs n_shards is set to
+    O(cores) and each shard packs independently, exactly as parallel pretraining
+    data shards do). Within a shard docs are ordered by key (deterministic under
+    reruns/repartitioning). ``ctx_id`` = floor(offset/budget) of the doc's first
+    token; ``straddles`` marks docs cut by a context boundary (the concat-and-chunk
+    regime: boundaries fall mid-document by design, no padding waste). ONE window
+    shuffle; every expression is engine-portable (SQL oracle in __spark_entry__)."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    nt = n_tokens_col if n_tokens_col is not None else F.size(
+        F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select(F.col(key), F.pmod(F.col(key), F.lit(n_shards)).alias("shard"),
+                    nt.cast("long").alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(key)
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    d = d.select(
+        key, "shard", "n_tokens",
+        offset.alias("ctx_offset"),
+        F.floor(offset / budget).cast("long").alias("ctx_id"),
+        F.floor((offset + F.col("n_tokens") - 1) / budget).cast("long")
+        .alias("ctx_end_id"),
+    )
+    return d.withColumn("straddles",
+                        (F.col("ctx_id") != F.col("ctx_end_id")).cast("int"))

@@ -102,3 +102,24 @@ def write_bucketed(df: DataFrame, path: str, n_buckets: int = N_BUCKETS_DEFAULT)
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Graph-analytics over the materialized edges table: per-node total degree
+    (out + in, weighted by n_occurrences) → log2-bucketed degree histogram
+    (node_type-agnostic; the power-law read a KG curation pass inspects before
+    deciding hub cuts). One explode + one groupBy(node) + one groupBy(bucket) —
+    both map-side combinable; never materializes an adjacency matrix.
+    → (degree_bucket, n_nodes, max_degree)."""
+    ends = edges.select(
+        F.explode(F.array(F.col("src_id"), F.col("dst_id"))).alias("node"),
+        F.col("n_occurrences"),
+    )
+    deg = ends.groupBy("node").agg(F.sum("n_occurrences").alias("degree"))
+    return (
+        deg.select(F.floor(F.log2(F.col("degree").cast("double")))
+                   .cast("long").alias("degree_bucket"), "degree")
+        .groupBy("degree_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+             F.max("degree").cast("long").alias("max_degree"))
+    )

@@ -294,3 +294,52 @@ def test_redact_pii_operator_matches_kernel(spark):
     for r in rows.values():
         assert not re.search(r"[0-9]{4,}", r["text_redacted"])
         assert not allocate_urls(r["text_redacted"])
+
+
+# ---------------------------------------------------------------- review regressions
+
+
+def test_stratified_rate_one_keeps_all_rows(spark):
+    """rate 1.0 must keep EVERY row of the stratum (sentinel threshold above any hex
+    prefix), matching hash_sample's keep-everything fast path."""
+    from lingvo_spark_kg.operators.corpus_ops import stratified_hash_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    n_en = d.where(F.col("lang") == "en").count()
+    got = stratified_hash_sample(d, rates={"en": 1.0}, group_col="lang",
+                                 default_rate=0.0)
+    assert got.count() == n_en
+    assert got.where(F.col("lang") != "en").count() == 0
+
+
+def test_ensure_goldens_subset_call_does_not_bless_stale_files(tmp_path):
+    """A subset-names call after a version change must not mark the OTHER on-disk
+    files as current: the manifest lists only names computed at its version, and a
+    later full call recomputes the rest (golden.py incremental materialization)."""
+    import json
+
+    from lingvo_spark_kg import golden
+
+    out = tmp_path / "g"
+    golden.ensure_goldens(SF_DIR, out, names=("kg_invariant",))
+    man = json.loads((out / "manifest.json").read_text())
+    assert man["names"] == ["kg_invariant"]
+    # simulate a stale pre-version file for another query
+    (out / "kg_urls.parquet").write_bytes(b"not-current")
+    golden.ensure_goldens(SF_DIR, out, names=("kg_invariant", "kg_urls"))
+    man = json.loads((out / "manifest.json").read_text())
+    assert sorted(man["names"]) == ["kg_invariant", "kg_urls"]
+    # the stale bytes were recomputed, not blessed
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out / "kg_urls.parquet").num_rows > 0
+
+
+def test_ensure_goldens_tolerates_corrupt_manifest(tmp_path):
+    from lingvo_spark_kg import golden
+
+    out = tmp_path / "g"
+    golden.ensure_goldens(SF_DIR, out, names=("kg_invariant",))
+    (out / "manifest.json").write_text("[]")  # valid JSON, wrong shape
+    paths = golden.ensure_goldens(SF_DIR, out, names=("kg_invariant",))
+    assert all(__import__("pathlib").Path(p).exists() for p in paths.values())
