@@ -212,3 +212,25 @@ def test_fused_triples_plan_is_narrow(spark, gaz_bc):
     docs = generate_docs(spark, 100)
     plan = _plan(docs_to_triples_fused(docs, gaz_bc), spark)
     assert "Exchange" not in plan  # extraction is shuffle-free
+
+
+def test_pack_contexts_single_window_shuffle(spark):
+    """The packing plan is ONE hash-partitioned window shuffle (shard) over a pure
+    projection — no Python nodes, no second Exchange, codegen on."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["pack_contexts"](spark, SF), spark)
+    # count Exchange NODES (formatted explain prints each node in the tree AND as a
+    # "(n) Exchange" detail header)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(shard" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_degree_stats_partial_aggregated(spark):
+    """Both degree aggregations partial-combine map-side; no global sort."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["kg_degree"](spark, SF), spark)
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "Generate explode" in plan or "Generate" in plan  # the src/dst unpivot

@@ -133,3 +133,33 @@ def test_s2s_wire_roundtrip(weights, dims, vocab, scores):
             p.hidden_dim, p.multi_head_num) == dims
     assert p.src_word2id == vocab and p.tgt_word2id == vocab
     assert p.best_primary_scores == scores
+
+
+@given(TEXT)
+@SETTINGS
+def test_redact_text_no_residual_pii_and_deterministic(text):
+    """Redaction properties on ANY input: no ≥min_digits digit run survives, the
+    URL/Email counts match the detector, and the kernel is deterministic."""
+    import re
+
+    from lingvo_spark_kg.urldetect import allocate_urls, redact_text
+
+    red, n_urls, n_emails, n_runs = redact_text(text, 4)
+    assert (red, n_urls, n_emails, n_runs) == redact_text(text, 4)
+    assert not re.search(r"[0-9]{4,}", red)
+    spans = allocate_urls(text)
+    assert n_urls == sum(1 for s in spans if s.type == "Url")
+    assert n_emails == sum(1 for s in spans if s.type == "Email")
+    assert n_runs >= 0
+
+
+@given(TEXT)
+@SETTINGS
+def test_redact_text_idempotent(text):
+    """A redacted text redacts to itself: placeholders contain no digits and are not
+    detectable as URLs/Emails, so a second pass is the identity."""
+    from lingvo_spark_kg.urldetect import redact_text
+
+    red, _u, _e, _n = redact_text(text, 4)
+    red2, u2, e2, n2 = redact_text(red, 4)
+    assert red2 == red and u2 == 0 and e2 == 0 and n2 == 0
