@@ -141,11 +141,14 @@ def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int = 8,
     (key, shard, n_tokens, ctx_offset, ctx_id, ctx_end_id, straddles).
 
     Distribution shape: ``n_shards`` independent packing streams (shard =
-    pmod(key, n_shards) — each stream is one window partition, so the running-sum
-    window never becomes a single global sort; at 10^12 docs n_shards is set to
-    O(cores) and each shard packs independently, exactly as parallel pretraining
-    data shards do). Within a shard docs are ordered by key (deterministic under
-    reruns/repartitioning). ``ctx_id`` = floor(offset/budget) of the doc's first
+    pmod(key, n_shards)). Each stream is ONE window partition — i.e. one task sorts
+    and cumsums that shard — so n_shards must scale with the CORPUS, not the core
+    count: pick n_shards ≈ corpus_rows / 10^7 (a shard row is just key+count, so
+    10^7 rows ≈ hundreds of MB per task) — at 10^12 docs that is ~10^5 shards, far
+    more parallelism than any cluster's cores, while the packing semantics are
+    unaffected because shards are independent streams exactly like parallel
+    pretraining data shards. Within a shard docs are ordered by key (deterministic
+    under reruns/repartitioning). ``ctx_id`` = floor(offset/budget) of the doc's first
     token; ``straddles`` marks docs cut by a context boundary (the concat-and-chunk
     regime: boundaries fall mid-document by design, no padding waste). ONE window
     shuffle; every expression is engine-portable (SQL oracle in __spark_entry__)."""
