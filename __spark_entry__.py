@@ -1096,10 +1096,10 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT doc_id, shard, n_tokens, ctx_offset,
                    CAST(floor(ctx_offset / 64) AS BIGINT) AS ctx_id,
-                   CAST(floor((ctx_offset + n_tokens - 1) / 64) AS BIGINT)
-                     AS ctx_end_id,
+                   CAST(floor((ctx_offset + greatest(n_tokens - 1, 0)) / 64)
+                        AS BIGINT) AS ctx_end_id,
                    CASE WHEN floor(ctx_offset / 64)
-                             <> floor((ctx_offset + n_tokens - 1) / 64)
+                             <> floor((ctx_offset + greatest(n_tokens - 1, 0)) / 64)
                         THEN 1 ELSE 0 END AS straddles
             FROM o
         """,

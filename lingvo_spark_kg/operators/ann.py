@@ -21,6 +21,21 @@ def _dot(a, b):
                        lambda acc, v: acc + v)
 
 
+def _sign_bit_cols(emb_col, planes) -> list:
+    """One '1'/'0' sign column per hyperplane — THE definition of an LSH bucket bit
+    (>= 0 convention; _bucket_rows_arrow mirrors it in NumPy). Every bucketing site
+    uses this helper so the sign convention can never diverge between them."""
+    return [
+        F.when(_dot(emb_col, F.array(*[F.lit(v) for v in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+
+
+def _sign_bits(emb_col, planes):
+    """Concatenated bucket id string from ``_sign_bit_cols``."""
+    return F.concat(*_sign_bit_cols(emb_col, planes))
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
                               lambda acc, v: acc + v))
@@ -67,11 +82,7 @@ def lsh_bucket(df: DataFrame, emb_col: str, dim: int, n_planes: int = 8,
     """Add ``bucket`` = bit-string of hyperplane-side signs (deterministic seeded
     planes, computed with higher-order functions — no UDF)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bits = [
-        F.when(_dot(F.col(emb_col), F.array(*[F.lit(v) for v in p])) >= 0, "1").otherwise("0")
-        for p in planes
-    ]
-    return df.withColumn("bucket", F.concat(*bits))
+    return df.withColumn("bucket", _sign_bits(F.col(emb_col), planes))
 
 
 # reserve hyperplane set for bucket sub-splitting — a table id far outside any
@@ -91,20 +102,21 @@ def split_oversized_buckets(bucketed: DataFrame, dim: int, max_bucket: int,
     byte-identical (substring length 0)."""
     sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cnt"))
     xplanes = _hyperplanes(dim, max_extra_planes, seed, table=_SPLIT_TABLE)
-    xbits = F.concat(*[
-        F.when(_dot(F.col(emb_col), F.array(*[F.lit(v) for v in p])) >= 0,
-               "1").otherwise("0")
-        for p in xplanes
-    ])
     n_extra = F.greatest(
         F.lit(0),
         F.least(F.lit(max_extra_planes),
                 F.ceil(F.log2(F.col("__cnt") / F.lit(max_bucket))).cast("int")),
     )
+    # reserve-plane dot products are gated behind __extra > 0: in the common case
+    # (few or no oversized buckets) under-cap rows skip all max_extra_planes
+    # hyperplane evaluations instead of computing bits that substring(…, 1, 0)
+    # would discard
+    xbits = F.when(F.col("__extra") > 0,
+                   _sign_bits(F.col(emb_col), xplanes)).otherwise(F.lit(""))
     return (
         bucketed.join(F.broadcast(sizes), "bucket")
-        .withColumn("__xbits", xbits)
         .withColumn("__extra", n_extra)
+        .withColumn("__xbits", xbits)
         .withColumn("bucket",
                     F.expr("concat(bucket, substring(__xbits, 1, __extra))"))
         .drop("__cnt", "__xbits", "__extra")
@@ -134,13 +146,16 @@ def embedding_neardup(embeddings: DataFrame, dim: int, threshold: float = 0.95,
     join artifact. max_bucket=None disables the cut (the DuckDB-oracle anchor)."""
     e = lsh_bucket(embeddings, "embedding", dim, n_planes, seed)
     split = max_bucket is not None
+    e0 = None
     if split:
-        # the post-split frame (occupancy agg + broadcast join + reserve-plane
-        # projection) feeds BOTH self-join sides — persist it once so the sizes
-        # aggregation and the split projection don't execute twice (the module's
-        # established two-consumer pattern; the result is materialized before the
-        # cache is released, as in winnow_neardup_pairs)
-        e = split_oversized_buckets(e, dim, max_bucket, max_extra_planes, seed).persist()
+        # TWO persisted frames, both multi-consumer (the module's established
+        # pattern; results materialize before the caches release, as in
+        # winnow_neardup_pairs): the raw bucketed frame feeds the occupancy agg AND
+        # the split join input (without the cache the n_planes hyperplane dot
+        # products per row run twice), and the post-split frame feeds both
+        # self-join sides
+        e0 = e.persist()
+        e = split_oversized_buckets(e0, dim, max_bucket, max_extra_planes, seed).persist()
 
     def pair_frame(frame):
         a = frame.select(F.col("vec_id").alias("vec_a"),
@@ -162,6 +177,7 @@ def embedding_neardup(embeddings: DataFrame, dim: int, threshold: float = 0.95,
         out = pair_frame(e).localCheckpoint()
     finally:
         e.unpersist()
+        e0.unpersist()
     return out
 
 
@@ -244,17 +260,8 @@ def lsh_multitable_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed, table=t)
         if impl != "arrow":
-            e_bits = [
-                F.when(_dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) >= 0,
-                       "1").otherwise("0")
-                for p in planes
-            ]
-            e_bucket_exprs.append(F.concat(*e_bits))
-        q_bits = [
-            F.when(_dot(F.col("q_emb"), F.array(*[F.lit(v) for v in p])) >= 0,
-                   "1").otherwise("0")
-            for p in planes
-        ]
+            e_bucket_exprs.append(_sign_bits(F.col("embedding"), planes))
+        q_bits = _sign_bit_cols(F.col("q_emb"), planes)
         probes = [F.concat(*q_bits)]
         if probe_hamming1:
             for j in range(n_planes):

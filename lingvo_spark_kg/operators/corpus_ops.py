@@ -74,7 +74,10 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float], group_col: st
         thresh = F.when(F.col(group_col) == g, F.lit(_thresh(r))).otherwise(thresh)
     h = F.substring(F.md5(F.concat(F.col(key).cast("string"),
                                    F.lit(f":{seed}"))), 1, 8)
-    return df.where(h < thresh)
+    # sentinel groups keep every row unconditionally — including NULL-keyed rows,
+    # which hash to NULL and would otherwise fail the strict `<` exactly where
+    # hash_sample's rate-1.0 fast path keeps them
+    return df.where((thresh == "g") | (h < thresh))
 
 
 def train_valid_split(df: DataFrame, valid_fraction: float = 0.1,
@@ -149,9 +152,18 @@ def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int = 8,
     unaffected because shards are independent streams exactly like parallel
     pretraining data shards. Within a shard docs are ordered by key (deterministic
     under reruns/repartitioning). ``ctx_id`` = floor(offset/budget) of the doc's first
-    token; ``straddles`` marks docs cut by a context boundary (the concat-and-chunk
-    regime: boundaries fall mid-document by design, no padding waste). ONE window
-    shuffle; every expression is engine-portable (SQL oracle in __spark_entry__)."""
+    token; ``ctx_end_id`` the context of its LAST token (= ctx_id for zero-token
+    docs, which therefore never straddle); ``straddles`` marks docs cut by a context
+    boundary (the concat-and-chunk regime: boundaries fall mid-document by design,
+    no padding waste). ONE window shuffle; every expression is engine-portable (SQL
+    oracle in __spark_entry__).
+
+    ``key`` must be a UNIQUE row key (doc_id): the cumsum uses an explicit ROWS
+    frame, so duplicate keys still yield consistent per-shard token accounting
+    (offsets are a permutation of the stream), but their relative order — and hence
+    which duplicate straddles a boundary — follows partition order. The default
+    RANGE frame would be outright wrong under ties: every peer row would get the
+    same cumsum, so contexts would overlap."""
     from pyspark.sql import Window
 
     if budget <= 0:
@@ -160,14 +172,15 @@ def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int = 8,
         F.split(F.trim(F.col("text")), r"\s+"))
     d = docs.select(F.col(key), F.pmod(F.col(key), F.lit(n_shards)).alias("shard"),
                     nt.cast("long").alias("n_tokens"))
-    w = Window.partitionBy("shard").orderBy(key)
+    w = (Window.partitionBy("shard").orderBy(key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    last_tok = offset + F.greatest(F.col("n_tokens") - 1, F.lit(0))
     d = d.select(
         key, "shard", "n_tokens",
         offset.alias("ctx_offset"),
         F.floor(offset / budget).cast("long").alias("ctx_id"),
-        F.floor((offset + F.col("n_tokens") - 1) / budget).cast("long")
-        .alias("ctx_end_id"),
+        F.floor(last_tok / budget).cast("long").alias("ctx_end_id"),
     )
     return d.withColumn("straddles",
                         (F.col("ctx_id") != F.col("ctx_end_id")).cast("int"))

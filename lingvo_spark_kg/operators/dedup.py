@@ -118,26 +118,32 @@ def _shingle_hash(i: int, mode: str):
     return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
 
 
+def _minhash_wide_agg(sh: DataFrame, n_hashes: int, hash: str) -> DataFrame:
+    """(doc_id, m0..m{n-1}) wide signature: all n_hashes hashes projected as columns
+    of the one shingle row and min-aggregated per column (map-side combined). THE
+    single definition both ``minhash_signatures`` and ``minhash_bands`` build on —
+    a drift between them would silently desynchronize signatures from bands."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+    wide = sh.select(
+        "doc_id",
+        *[_shingle_hash(i, hash).alias(f"h{i}") for i in range(n_hashes)],
+    )
+    return wide.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
                        hash: str = "md5") -> DataFrame:
     """(doc_id, hash_idx, minhash) — minhash_i = min over shingles of hash_i(shingle)
     (``_shingle_hash``: 'md5' oracle default / 'xxhash64' production swap; the
     minhash column is a string or long accordingly).
 
-    Computed WIDE: all n_hashes hashes are projected as columns of the one shingle row
-    and min-aggregated per column, then unpivoted. No ×n_hashes row explosion — at
-    100 TB the explode variant shuffles n_hashes× the shingle volume; this shuffles
-    only the per-doc signature row (and the min-agg partial-combines map-side)."""
-    if hash not in ("md5", "xxhash64"):
-        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
-    sh = shingle_df(docs, shingle_n)
-    wide = sh.select(
-        "doc_id",
-        *[_shingle_hash(i, hash).alias(f"h{i}") for i in range(n_hashes)],
-    )
-    agg = wide.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
-    )
+    Computed WIDE (``_minhash_wide_agg``), then unpivoted. No ×n_hashes row
+    explosion — at 100 TB the explode variant shuffles n_hashes× the shingle
+    volume; this shuffles only the per-doc signature row."""
+    agg = _minhash_wide_agg(shingle_df(docs, shingle_n), n_hashes, hash)
     pairs = F.array(*[
         F.struct(F.lit(i).alias("hash_idx"), F.col(f"m{i}").alias("minhash"))
         for i in range(n_hashes)
@@ -153,18 +159,11 @@ def minhash_bands(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
     """(doc_id, band_idx, band_sig): band signature = hash of the sorted minhashes in
     the band (classic banding: same band_sig ⇒ LSH candidate pair) — md5 over the
     '|'-joined strings, or one xxhash64 over the sorted long array in 'xxhash64' mode.
-    Built from the wide signature — per-doc row explodes only into n_bands rows.
-    Pass a persisted ``shingles`` frame to share the shingle scan across operators."""
-    if hash not in ("md5", "xxhash64"):
-        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+    Built from the wide signature (``_minhash_wide_agg``) — per-doc row explodes only
+    into n_bands rows. Pass a persisted ``shingles`` frame to share the shingle scan
+    across operators."""
     sh = shingles if shingles is not None else shingle_df(docs, shingle_n)
-    wide = sh.select(
-        "doc_id",
-        *[_shingle_hash(i, hash).alias(f"h{i}") for i in range(n_hashes)],
-    )
-    agg = wide.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
-    )
+    agg = _minhash_wide_agg(sh, n_hashes, hash)
     n_bands = n_hashes // rows_per_band
 
     def band_sig(b: int):

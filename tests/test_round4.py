@@ -343,3 +343,47 @@ def test_ensure_goldens_tolerates_corrupt_manifest(tmp_path):
     (out / "manifest.json").write_text("[]")  # valid JSON, wrong shape
     paths = golden.ensure_goldens(SF_DIR, out, names=("kg_invariant",))
     assert all(__import__("pathlib").Path(p).exists() for p in paths.values())
+
+
+def test_pack_contexts_rows_frame_and_zero_tokens(spark):
+    """ROWS-frame + zero-token regressions: duplicate keys keep per-shard token
+    accounting consistent (offsets are a permutation of the cumsum stream, never
+    RANGE-collapsed onto one value), and zero-token docs never straddle and keep
+    ctx_end_id == ctx_id."""
+    import pandas as pd
+
+    from lingvo_spark_kg.operators.corpus_ops import pack_contexts
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 0, 0, 4, 8],      # three duplicates in shard 0
+        "n_tokens": [50, 30, 20, 0, 10],
+    }))
+    out = pack_contexts(df, budget=64, n_shards=4,
+                        n_tokens_col=F.col("n_tokens")).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        offsets = sorted((r["ctx_offset"], r["n_tokens"]) for r in rows)
+        run = 0
+        for off, n in offsets:  # contiguous, non-overlapping cumsum stream
+            assert off == run
+            run += n
+    for r in out:
+        assert r["ctx_end_id"] >= r["ctx_id"]
+        if r["n_tokens"] == 0:
+            assert r["ctx_end_id"] == r["ctx_id"] and r["straddles"] == 0
+
+
+def test_stratified_rate_one_keeps_null_keys(spark):
+    import pandas as pd
+
+    from lingvo_spark_kg.operators.corpus_ops import stratified_hash_sample
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([1, None, 3], dtype="Int64"),
+        "lang": ["en", "en", "de"],
+    }))
+    got = stratified_hash_sample(df, rates={"en": 1.0}, group_col="lang",
+                                 default_rate=0.0).collect()
+    assert sorted((r["lang"] for r in got)) == ["en", "en"]  # NULL-keyed row kept
