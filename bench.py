@@ -162,6 +162,28 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     )
     timings["ann_topk"], _ = _time(lambda: e.q_ann_topk(spark, sf_dir).count())
 
+    # PII redaction over the documents table (URL/Email state machine + digit-run
+    # masking per row — the heaviest pure-Python text kernel outside the DNN)
+    from lingvo_spark_kg.operators.textstats import redact_pii
+    from pyspark.sql import functions as F
+
+    spans = docs_tbl.select(F.col("doc_id").cast("string").alias("doc_id"),
+                            F.lit(0).cast("int").alias("span_idx"), "text")
+    timings["redact_pii"], _ = _time(lambda: redact_pii(spans).count())
+
+    # multimodal chain: payload synth → resize + feature-extract (Arrow-batched
+    # binary columns; codecs at the stubbed seams, plumbing measured)
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.multimodal import (media_features,
+                                                      media_payloads, resize_media)
+    from lingvo_spark_kg.operators.tokenize import media_spans
+
+    mp = media_payloads(media_spans(docs_from_documents_table(spark, sf_dir)))
+    timings["media_pipeline"], _ = _time(
+        lambda: resize_media(mp, width=32, height=32).count()
+        + media_features(mp, dim=16).count()
+    )
+
     timings["_meta_n_triples"] = meta["n_triples"]
     timings["_meta_n_docs"] = meta["n_docs"]
     return timings
