@@ -17,6 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lingvo_spark_kg.operators.textstats import WS_SPLIT
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
@@ -25,16 +27,18 @@ def _n_docs_for(sf_dir: str) -> int:
     (sf0.001 → 1k, sf0.01 → 10k, sf0.1 → 100k) — matches TESTDATA's t1/t2/bench tiers.
     The interleaved-span `docs` table (BASELINE.json input_hint) does not exist in the
     driver testdata, so the KG queries synthesize it deterministically (seed=42), as the
-    round spec directs; flat-table queries below use the driver parquet directly."""
-    import re
+    round spec directs; flat-table queries below use the driver parquet directly.
+    Delegates to golden.n_docs_for — ONE sizing rule for Spark queries and mirrors
+    (a drift would compare differently-sized corpora)."""
+    from lingvo_spark_kg.golden import n_docs_for
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
-    return max(int(sf * 1_000_000), 100)
+    return n_docs_for(sf_dir)
 
 
 _DOCS_CACHE: dict = {}
 _TRIPLES_CACHE: dict = {}
+_GAZ_CACHE: dict = {}
+_ALIASES_CACHE: dict = {}
 
 
 def _synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,9 +74,18 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gaz_bc(spark: SparkSession):
+    """One gazetteer broadcast per application (same (applicationId)-keyed pattern as
+    _DOCS_CACHE): eight queries consume it — rebuilding the 5k-entity dictionary and
+    shipping a fresh broadcast per call is repeated driver work and leaked broadcast
+    files."""
     from lingvo_spark_kg.fixtures.corpus import gazetteer_from_aliases, make_aliases
 
-    return spark.sparkContext.broadcast(gazetteer_from_aliases(make_aliases(seed=42)))
+    key = spark.sparkContext.applicationId
+    bc = _GAZ_CACHE.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(gazetteer_from_aliases(make_aliases(seed=42)))
+        _GAZ_CACHE[key] = bc
+    return bc
 
 
 def _aliases_df(spark: SparkSession) -> DataFrame:
@@ -81,8 +94,13 @@ def _aliases_df(spark: SparkSession) -> DataFrame:
     from lingvo_spark_kg.fixtures.corpus import make_aliases
     from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
 
-    return spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)),
-                                 schema=ALIASES_SCHEMA)
+    key = spark.sparkContext.applicationId
+    df = _ALIASES_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)),
+                                   schema=ALIASES_SCHEMA)
+        _ALIASES_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------- flagship
@@ -191,15 +209,11 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full graph materialization: triples → links → canonical map → aggregated,
     bucketed edges table (S11 + J5)."""
-    import pandas as _pd
     from lingvo_spark_kg.operators import canonicalize, graph, linking
-    from lingvo_spark_kg.operators.schemas import ALIASES_SCHEMA
-    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
-    from lingvo_spark_kg.fixtures.corpus import make_aliases
 
     triples = _synthetic_triples(spark, sf_dir)
-    aliases = spark.createDataFrame(_pd.DataFrame(make_aliases(seed=42)), schema=ALIASES_SCHEMA)
-    links = linking.link_mentions(linking.mentions_from_triples(triples), aliases)
+    links = linking.link_mentions(linking.mentions_from_triples(triples),
+                                  _aliases_df(spark))
     canon = canonicalize.canonical_map(links).localCheckpoint()
     linked = linking.link_triples(triples, links)
     # bucket is a storage-layout column (hash-partitioned writer detail), not query
@@ -531,6 +545,15 @@ _MIX_RATES = {"ru": 0.5, "en": 0.3, "de": 0.2}
 _MIX_DEFAULT = 0.05
 
 
+def _mix_thresh(rate: float) -> str:
+    """The oracle's threshold string — same formula as corpus_ops._thresh, including
+    the rate-1.0 'g' sentinel (keeps every row, even NULL-keyed, exactly like the
+    Spark operator; clamping to 'ffffffff' would silently diverge)."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
+
+
 def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stratified deterministic sampling (corpus_ops.
     stratified_hash_sample) — each stratum at its own mix weight in one scan;
@@ -692,7 +715,7 @@ def _rule_taggings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     d = _documents(spark, sf_dir)
     toks = d.select(
         "doc_id", F.lit(0).alias("sent_key"),
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok_idx", "token"),
+        F.posexplode(F.split(F.trim(F.col("text")), WS_SPLIT)).alias("tok_idx", "token"),
     )
     hyp = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_HYP_RULE).alias("label"))
     ref = toks.select("doc_id", "sent_key", "tok_idx", F.expr(_REF_RULE).alias("label"))
@@ -726,10 +749,12 @@ def q_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_len_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 analog: token-length histogram bucketed by //100 (Corpus.cs:246-268)."""
+    """A3 analog: token-length histogram bucketed by //10 (the reference buckets
+    sentence lengths by //100, Corpus.cs:246-268; //10 is the deliberate scale-down
+    for the fixture's ~30-token docs — the oracle pins 10)."""
     d = _documents(spark, sf_dir)
     return (
-        d.select((F.floor(F.size(F.split(F.trim(F.col("text")), r"\s+")) / 10))
+        d.select((F.floor(F.size(F.split(F.trim(F.col("text")), WS_SPLIT)) / 10))
                  .cast("long").alias("len_bucket"))
         .groupBy("len_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -740,7 +765,7 @@ def q_words_in_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 analog: WordsInDictRatio per doc against the corpus top-500 vocabulary
     (SeqLabel.cs:194-216; vocab build R1, CorpusBatch.cs:98-221 freq-desc capped)."""
     d = _documents(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), WS_SPLIT)).alias("token"))
     vocab = (
         toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token")).limit(500)
@@ -878,7 +903,7 @@ _DOC_FEATURES_CTE = r"""
 f AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS n_tokens,
          round(CASE WHEN length(text) > 0 THEN
            length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
            ELSE 0.0 END, 4) AS digit_ratio,
@@ -928,7 +953,7 @@ fp_rows AS (SELECT doc_id, unnest(fps) AS fp FROM w)
 
 _SHINGLE_CTE = r"""
 words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w FROM documents
 ),
 sh0 AS (
   SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -1019,7 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id,
-                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS n_tokens,
                    len(regexp_extract_all(text,
                        '[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9 \t\n\r\f\x0B]'))
                      AS n_re_tokens,
@@ -1084,7 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_contexts": r"""
             WITH d AS (
               SELECT doc_id, doc_id % 4 AS shard,
-                     len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+                     len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'))::BIGINT AS n_tokens
               FROM documents),
             o AS (
               SELECT doc_id, shard, n_tokens,
@@ -1106,10 +1131,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": f"""
             SELECT doc_id, lang, length(text) AS n_chars
             FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
-              CASE {' '.join(f"WHEN lang = '{g}' THEN '{format(min(int(r * 16**8), 16**8 - 1), '08x')}'"
+            WHERE CASE {' '.join(f"WHEN lang = '{g}' THEN '{_mix_thresh(r)}'"
+                                 for g, r in sorted(_MIX_RATES.items()))}
+                       ELSE '{_mix_thresh(_MIX_DEFAULT)}' END = 'g'
+               OR substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+              CASE {' '.join(f"WHEN lang = '{g}' THEN '{_mix_thresh(r)}'"
                              for g, r in sorted(_MIX_RATES.items()))}
-                   ELSE '{format(int(_MIX_DEFAULT * 16**8), "08x")}' END
+                   ELSE '{_mix_thresh(_MIX_DEFAULT)}' END
         """,
         "decontaminate": "WITH " + _SHINGLE_CTE + """,
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
@@ -1181,14 +1209,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
         """,
         "len_distribution": r"""
-            SELECT CAST(floor(len(string_split_regex(trim(text), '\s+')) / 10) AS BIGINT)
+            SELECT CAST(floor(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) / 10) AS BIGINT)
                      AS len_bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
         "words_in_dict": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+              SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS token
               FROM documents),
             vocab AS (
               SELECT token, 1 AS in_dict FROM (
@@ -1237,7 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": _emb_neardup_oracle(),
         "vocab_build": r"""
             WITH toks AS (
-              SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+              SELECT unnest(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS token
               FROM documents),
             counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
             ranked AS (
@@ -1261,8 +1289,8 @@ def oracle_sql() -> dict[str, str]:
 _PRF_SQL = rf"""
             WITH toks AS (
               SELECT doc_id, 0 AS sent_key,
-                     unnest(string_split_regex(trim(text), '\s+')) AS token,
-                     generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS tok_idx
+                     unnest(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS token,
+                     generate_subscripts(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), 1) - 1 AS tok_idx
               FROM documents),
             hyp AS (SELECT doc_id, sent_key, tok_idx, {_HYP_RULE} AS label FROM toks),
             ref AS (SELECT doc_id, sent_key, tok_idx, {_REF_RULE} AS label FROM toks),

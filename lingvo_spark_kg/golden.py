@@ -880,6 +880,11 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
             cache["canon"] = _canonical_rows(links())
         return cache["canon"]
 
+    def edges():
+        if "edges" not in cache:
+            cache["edges"] = _edges_rows(triples(), canon())
+        return cache["edges"]
+
     if name == "kg_triples":
         rows = [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[10])
                 for r in triples()]
@@ -898,9 +903,9 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
     elif name == "kg_canonical":
         rows = canon()
     elif name == "kg_edges":
-        rows = _edges_rows(triples(), canon())
+        rows = edges()
     elif name == "kg_degree":
-        rows = _degree_rows(_edges_rows(triples(), canon()))
+        rows = _degree_rows(edges())
     elif name == "kg_invariant":
         rows = _invariant_rows(n_docs_for(sf_dir))
     elif name == "kg_mentions":
@@ -976,7 +981,10 @@ def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
     cache: dict = {}
     for n in stale:
         tbl = compute(n, sf_dir, _cache=cache)
-        tmp = out / f".{n}.parquet.tmp"
+        # pid-suffixed tmp: two concurrent regenerations (driver gate + local check)
+        # must not interleave writes into one tmp file — each renames its own
+        # complete file into place atomically
+        tmp = out / f".{n}.parquet.{os.getpid()}.tmp"
         pq.write_table(tbl, tmp)
         tmp.replace(out / f"{n}.parquet")
     manifest_path.write_text(json.dumps(want, indent=1))

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import WS_SPLIT
+
 
 def _shingles_of_words(words, n: int = 3):
     """Word n-gram shingles from a MATERIALIZED words-array column, built with
@@ -79,7 +81,7 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 def shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
     # two-stage projection: words materialized ONCE, then shingled — see _shingles_of_words
     words = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__words"))
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT).alias("__words"))
     return words.select(
         "doc_id",
         F.explode(F.array_distinct(_shingles_of_words(F.col("__words"), n))).alias("shingle"),

@@ -89,7 +89,10 @@ def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("offset"),
     )
     return d.select(
-        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("doc_id"),
+        # format_string, NOT lpad: lpad TRUNCATES ids longer than 8 digits (a
+        # doc_id ≥ 10^8 would collide with doc_id % 10^8 and diverge from the
+        # golden mirrors' f"doc-{did:08d}"), while %08d pads without truncating
+        F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"),
         F.when(F.col("doc_id") % 8 == 0, F.array(text_span, media_span))
         .otherwise(F.array(text_span))
         .alias("spans"),

@@ -12,6 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Java \s ≡ [ \t\n\x0B\f\r] exactly; RE2 (DuckDB) \s EXCLUDES \x0B. Spelling the
+# class out makes the Spark expression and every DuckDB oracle agree on ALL inputs
+# (not just \x0B-free testdata) — ONE definition for every whitespace split.
+WS_SPLIT = "[ \t\n\r\f\x0B]+"
+
 CYRILLIC_CLASS = "[а-яА-ЯёЁ]"
 LATIN_CLASS = "[a-zA-Z]"
 DIGIT_CLASS = "[0-9]"
@@ -75,7 +80,7 @@ def token_count(docs: DataFrame) -> DataFrame:
     BPE-budget estimator — the columns a corpus-budgeting pass reads."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), WS_SPLIT)).alias("n_tokens"),
         F.regexp_count(F.col("text"), F.lit(_RE_TOKEN_PATTERN)).cast("long")
         .alias("n_re_tokens"),
         F.length("text").alias("n_chars"),
@@ -88,7 +93,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     feats = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), WS_SPLIT)).alias("n_tokens"),
         F.round(_ratio(DIGIT_CLASS), 4).alias("digit_ratio"),
         _punct_ratio().alias("punct_ratio"),
     )
@@ -114,7 +119,7 @@ def curate_documents(docs: DataFrame, min_quality: float = 0.7) -> DataFrame:
 
     feats = docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), WS_SPLIT)).cast("long").alias("n_tokens"),
         _lang_pred_expr(F.round(_ratio(CYRILLIC_CLASS), 4),
                         F.round(_ratio(LATIN_CLASS), 4)).alias("lang_pred"),
         _quality_expr(F.length("text"), F.round(_ratio(DIGIT_CLASS), 4),
@@ -293,7 +298,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     module's established two-consumer pattern). The whitespace split uses an
     explicit character class (= Java's \\s exactly) so the DuckDB oracle's RE2
     cannot diverge on \\x0B (the one char the engines' \\s disagree about)."""
-    w = F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n\r\f\x0B]+")
+    w = F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)
     base = docs.select("doc_id", w.alias("w")).select(
         "doc_id", "w",
         F.expr("CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
