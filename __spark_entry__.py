@@ -17,7 +17,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lingvo_spark_kg.operators.textstats import WS_SPLIT
+# engine-portable whitespace class (Java \s includes \x0B, RE2's does not) — same
+# literal as lingvo_spark_kg.operators.textstats.WS_SPLIT, inlined here because this
+# module keeps package imports inside functions (the driver may import it before the
+# repo root is on sys.path); tests pin the two stay equal
+WS_SPLIT = "[ \t\n\r\f\x0B]+"
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 

@@ -387,3 +387,12 @@ def test_stratified_rate_one_keeps_null_keys(spark):
     got = stratified_hash_sample(df, rates={"en": 1.0}, group_col="lang",
                                  default_rate=0.0).collect()
     assert sorted((r["lang"] for r in got)) == ["en", "en"]  # NULL-keyed row kept
+
+
+def test_entry_ws_split_matches_textstats():
+    """__spark_entry__ inlines WS_SPLIT (its package imports stay inside functions
+    for path-independent driver import) — the two copies must be identical."""
+    import __spark_entry__ as e
+    from lingvo_spark_kg.operators.textstats import WS_SPLIT
+
+    assert e.WS_SPLIT == WS_SPLIT
