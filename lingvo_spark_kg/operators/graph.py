@@ -93,17 +93,6 @@ def tag_distribution(tagged: DataFrame) -> DataFrame:
     )
 
 
-def write_bucketed(df: DataFrame, path: str, n_buckets: int = N_BUCKETS_DEFAULT) -> None:
-    """Parquet layout partitioned by bucket (Iceberg bucket-transform stand-in)."""
-    (
-        df.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-
-
 def degree_stats(edges: DataFrame) -> DataFrame:
     """Graph-analytics over the materialized edges table: per-node total degree
     (out + in, weighted by n_occurrences) → log2-bucketed degree histogram

@@ -57,6 +57,16 @@ def stream_docs_to_triples(spark: SparkSession, input_dir: str, output_dir: str,
     )
 
 
+def read_streamed_triples(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read the streaming sink back in the BATCH triples_raw shape: partition
+    discovery adds an int ``batch_id`` column (the per-micro-batch directory key)
+    that ``docs_to_triples_fused`` output does not have, so a raw
+    ``spark.read.parquet(output_dir)`` is NOT schema-compatible with the batch
+    table — this helper drops the partition column so the two paths union/compare
+    cleanly (tests/test_streaming_conll.py uses it for the streamed≡batch check)."""
+    return spark.read.parquet(output_dir).drop("batch_id")
+
+
 MENTION_COUNTS_SCHEMA = T.StructType([
     T.StructField("mention_norm", T.StringType()),
     T.StructField("mention_type", T.StringType()),

@@ -35,6 +35,8 @@ class TableWriter(Protocol):
 
     def done(self, spark: SparkSession, table: str) -> bool: ...
 
+    def invalidate(self, spark: SparkSession, table: str) -> None: ...
+
 
 class ParquetTableWriter:
     """Directory-per-table parquet layout under ``root``."""
@@ -84,11 +86,27 @@ class ParquetTableWriter:
         return (os.path.exists(os.path.join(p, "_SUCCESS"))
                 and os.path.exists(os.path.join(p, "_schema.json")))
 
+    def invalidate(self, spark: SparkSession, table: str) -> None:
+        """Mark the table not-done (the pipeline's config-change guard calls this so
+        a rebuild that crashes partway can never resume onto stale-config stages).
+        Removing the markers is enough — the data files are overwritten on rebuild."""
+        p = self._path(table)
+        for marker in ("_SUCCESS", "_schema.json"):
+            mp = os.path.join(p, marker)
+            if os.path.exists(mp):
+                os.remove(mp)
+
 
 class IcebergTableWriter:
     """Iceberg catalog tables (production lake). Requires a configured catalog —
     e.g. ``spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog`` — and the
-    Iceberg runtime on the classpath; constructor fails fast otherwise."""
+    Iceberg runtime on the classpath; constructor fails fast otherwise.
+
+    IMPORTANT: ``done()`` keys on the CATALOG, while the pipeline's config-change
+    guard lives in its workdir — so every pipeline instance must get its OWN
+    ``namespace``. Two pipelines sharing a namespace would silently cross-resume
+    each other's tables (a fresh workdir has no config.json to catch the mismatch)
+    and concurrent runs would clobber each other's createOrReplace."""
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str = "kg"):
         try:
@@ -119,3 +137,6 @@ class IcebergTableWriter:
 
     def done(self, spark: SparkSession, table: str) -> bool:
         return spark.catalog.tableExists(self._full(table))
+
+    def invalidate(self, spark: SparkSession, table: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {self._full(table)}")

@@ -52,6 +52,10 @@ class KgPipeline:
     durable_cc: bool = False  # CC iteration state to reliable storage (cluster runs);
     # local-mode default stays localCheckpoint — see canonicalize.connected_components
     docs_df: DataFrame | None = None  # override the generated corpus with a real table
+    docs_fingerprint: str | None = None  # identifier of the EXTERNAL corpus for the
+    # resume guard (snapshot id / path / content digest). The schema is always
+    # fingerprinted; the content identity of a DataFrame can't be, so pass this when
+    # resuming over workdirs built from different external corpora must be caught.
     writer: object | None = None  # TableWriter; default ParquetTableWriter(workdir) —
     # pass IcebergTableWriter(spark, catalog) on a lake (operators/writer.py)
     timings: dict[str, float] = field(default_factory=dict)
@@ -93,8 +97,15 @@ class KgPipeline:
                                           schema=ALIASES_SCHEMA)
 
     def gazetteer_bc(self):
-        gaz = gazetteer_from_aliases(self._alias_rows())
-        return self.spark.sparkContext.broadcast(gaz)
+        """One broadcast per pipeline object, built LAZILY at the first consuming
+        stage — a fully-resumed run (and the dnn path, whose tagged stage never
+        reads it) skips the dictionary build + broadcast entirely."""
+        bc = getattr(self, "_gaz_bc_cache", None)
+        if bc is None:
+            bc = self.spark.sparkContext.broadcast(
+                gazetteer_from_aliases(self._alias_rows()))
+            self._gaz_bc_cache = bc
+        return bc
 
     # defaults for fingerprint keys added after a workdir was built: a missing key in
     # an old config.json means "built with the default", so resume stays compatible
@@ -113,11 +124,19 @@ class KgPipeline:
             for m in self.dnn_models:
                 h.update(m.to_bytes())
             models_fp = h.hexdigest()[:16]
+        if self.docs_df is None:
+            docs_fp = False
+        else:
+            # content identity of a DataFrame is not derivable without an action, so
+            # the guard uses the schema plus the caller-supplied docs_fingerprint;
+            # without one, two different external corpora with the same schema are
+            # indistinguishable to resume (documented at the field)
+            docs_fp = [self.docs_df.schema.json(), self.docs_fingerprint]
         return {"n_docs": self.n_docs, "seed": self.seed, "n_buckets": self.n_buckets,
                 "fused": self.fused, "tagger": self.tagger,
                 "dnn_backend": self.dnn_backend, "dnn_models": models_fp,
                 "link_strategy": self.link_strategy,
-                "link_fuzzy": self.link_fuzzy, "external_docs": self.docs_df is not None}
+                "link_fuzzy": self.link_fuzzy, "external_docs": docs_fp}
 
     def _dnn_tagged(self, sentences: DataFrame) -> DataFrame:
         """The DNN regimen inside the pipeline: broadcast the two tagger models
@@ -142,20 +161,32 @@ class KgPipeline:
         return tag_sentences_bilstm(sentences, sc.broadcast(pos_m.to_bytes()),
                                     sc.broadcast(ner_m.to_bytes()))
 
+    # every stage _run_stage can write — the invalidation set for a config change
+    STAGES = ("docs", "media_spans", "sentences", "tagged", "triples_raw", "links",
+              "canonical_map", "linked_triples", "nodes", "edges", "metrics")
+
     def _check_fingerprint(self, resume: bool) -> None:
         """Resume keys on _SUCCESS markers; guard against silently reusing stages
-        built with a DIFFERENT config over the same workdir."""
+        built with a DIFFERENT config over the same workdir. When a resume=False run
+        CHANGES the config, every existing stage marker is invalidated FIRST: the new
+        config.json lands before the rebuild starts, so a crash partway through must
+        not leave old-config stages that a later resume=True would trust."""
         fp_path = os.path.join(self.workdir, "config.json")
         fp = self._config_fingerprint()
         if os.path.exists(fp_path):
             with open(fp_path) as f:
                 old = json.load(f)
             old = {**self._FP_DEFAULTS, **old}  # pre-upgrade workdirs lack new keys
-            if resume and old != fp:
-                raise ValueError(
-                    f"workdir {self.workdir} holds stages built with a different "
-                    f"config ({old} != {fp}); run with resume=False or a fresh workdir"
-                )
+            if old != fp:
+                if resume:
+                    raise ValueError(
+                        f"workdir {self.workdir} holds stages built with a different "
+                        f"config ({old} != {fp}); run with resume=False or a fresh "
+                        "workdir"
+                    )
+                w = self._writer()
+                for stage in self.STAGES:
+                    w.invalidate(self.spark, stage)
         os.makedirs(self.workdir, exist_ok=True)
         with open(fp_path, "w") as f:
             json.dump(fp, f)
@@ -174,7 +205,6 @@ class KgPipeline:
             # Normalized BEFORE the fingerprint so resume sees the effective config.
             self.fused = False
         self._check_fingerprint(resume)
-        gaz_bc = self.gazetteer_bc()
 
         docs = self._run_stage(
             "docs",
@@ -187,7 +217,8 @@ class KgPipeline:
 
         if self.fused:
             triples = self._run_stage(
-                "triples_raw", lambda: docs_to_triples_fused(docs, gaz_bc), resume
+                "triples_raw",
+                lambda: docs_to_triples_fused(docs, self.gazetteer_bc()), resume
             )
         else:
             sentences = self._run_stage("sentences", lambda: tokenize_docs(docs), resume)
@@ -196,7 +227,9 @@ class KgPipeline:
                                          resume)
             else:
                 tagged = self._run_stage(
-                    "tagged", lambda: tag_sentences_lexicon(sentences, gaz_bc), resume
+                    "tagged",
+                    lambda: tag_sentences_lexicon(sentences, self.gazetteer_bc()),
+                    resume
                 )
             triples = self._run_stage("triples_raw", lambda: extract_triples_df(tagged), resume)
 

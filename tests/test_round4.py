@@ -396,3 +396,44 @@ def test_entry_ws_split_matches_textstats():
     from lingvo_spark_kg.operators.textstats import WS_SPLIT
 
     assert e.WS_SPLIT == WS_SPLIT
+
+
+def test_config_change_invalidates_stale_stage_markers(spark, tmp_path):
+    """A resume=False run with a CHANGED config must clear every existing stage
+    marker up front — otherwise a crash mid-rebuild leaves old-config stages that a
+    later resume=True silently trusts (pipeline._check_fingerprint)."""
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path / "wd")
+    p1 = KgPipeline(spark, wd, n_docs=60, seed=1)
+    p1.run(resume=False)
+    w = p1._writer()
+    done_before = [s for s in KgPipeline.STAGES if w.done(spark, s)]
+    assert "docs" in done_before and "edges" in done_before
+
+    p2 = KgPipeline(spark, wd, n_docs=60, seed=2)
+    p2._check_fingerprint(resume=False)  # the guard alone — simulates a crash
+    # before any stage rebuilds
+    w2 = p2._writer()
+    assert not any(w2.done(spark, s) for s in KgPipeline.STAGES)
+    # a subsequent resume=True run under the new config rebuilds everything
+    counts = KgPipeline(spark, wd, n_docs=60, seed=2).run(resume=True)
+    assert counts["docs"] == 60
+
+
+def test_external_docs_schema_in_fingerprint(spark, tmp_path):
+    """Resuming a workdir built from an external corpus with a DIFFERENT declared
+    identity must fail the guard (docs_fingerprint threads into config.json)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path / "wd")
+    ext = generate_docs(spark, 40)
+    KgPipeline(spark, wd, n_docs=40, docs_df=ext,
+               docs_fingerprint="corpus-A").run(resume=False)
+    with _pytest.raises(ValueError, match="different"):
+        KgPipeline(spark, wd, n_docs=40, docs_df=ext,
+                   docs_fingerprint="corpus-B").run(resume=True)

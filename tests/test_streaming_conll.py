@@ -5,7 +5,8 @@ import os
 from pyspark.sql import functions as F
 
 from lingvo_spark_kg.operators.docsgen import generate_docs
-from lingvo_spark_kg.operators.streaming import stream_docs_to_triples
+from lingvo_spark_kg.operators.streaming import (read_streamed_triples,
+                                                 stream_docs_to_triples)
 from lingvo_spark_kg.operators.triples import docs_to_triples_fused
 from lingvo_spark_kg.sources.conll import exploded_tokens, read_conll, write_conll_fixture
 
@@ -25,7 +26,7 @@ def test_streaming_matches_batch(spark, gaz_bc, tmp_path_factory):
     q2.awaitTermination(120)
 
     keys = ["doc_id", "span_idx", "sent_idx", "subj", "pred", "obj"]
-    streamed = sorted(tuple(r) for r in spark.read.parquet(out_dir).select(keys).collect())
+    streamed = sorted(tuple(r) for r in read_streamed_triples(spark, out_dir).select(keys).collect())
     batch = sorted(tuple(r) for r in docs_to_triples_fused(docs, gaz_bc).select(keys).collect())
     assert streamed == batch  # multiplicity-preserving: no drift between the two paths
     assert len(streamed) > 0
