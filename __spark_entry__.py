@@ -550,12 +550,13 @@ _MIX_DEFAULT = 0.05
 
 
 def _mix_thresh(rate: float) -> str:
-    """The oracle's threshold string — same formula as corpus_ops._thresh, including
-    the rate-1.0 'g' sentinel (keeps every row, even NULL-keyed, exactly like the
-    Spark operator; clamping to 'ffffffff' would silently diverge)."""
-    if rate >= 1.0:
-        return "g"
-    return format(int(rate * 16**8), "08x")
+    """The oracle's threshold string — delegates to the ONE module-level formula the
+    Spark operator uses (corpus_ops.hash_sample_threshold, including the rate-1.0 'g'
+    sentinel that keeps every row, even NULL-keyed), so oracle and operator cannot
+    silently drift. Package import stays function-local (module docstring)."""
+    from lingvo_spark_kg.operators.corpus_ops import hash_sample_threshold
+
+    return hash_sample_threshold(rate)
 
 
 def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

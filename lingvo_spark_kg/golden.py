@@ -333,9 +333,10 @@ def _url_rows(n_docs: int) -> list[tuple]:
 
 def _degree_rows(edges_rows: list[tuple]) -> list[tuple]:
     """Mirror of graph.degree_stats over the edges mirror: weighted node degree →
-    log2 histogram. Bucket = degree.bit_length()-1 ≡ floor(log2(degree)) exactly for
-    positive ints (the Spark side's floor(log2(double)) is exact for every integer
-    below 2^53): (degree_bucket, n_nodes, max_degree)."""
+    log2 histogram. Bucket = degree.bit_length()-1, and the Spark side computes the
+    same quantity from the binary representation (length(bin(degree))-1), so both are
+    integer-exact for every positive BIGINT degree — no double-log2 rounding edge:
+    (degree_bucket, n_nodes, max_degree)."""
     deg: Counter = Counter()
     for src, _pred, dst, n_occ, _avg, _nd, _ex in edges_rows:
         deg[src] += n_occ
@@ -976,7 +977,7 @@ def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
     want["names"] = sorted(known | set(names))
     if not stale:
         if have != want:
-            manifest_path.write_text(json.dumps(want, indent=1))
+            _write_manifest(manifest_path, want)
         return paths
     cache: dict = {}
     for n in stale:
@@ -987,5 +988,15 @@ def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
         tmp = out / f".{n}.parquet.{os.getpid()}.tmp"
         pq.write_table(tbl, tmp)
         tmp.replace(out / f"{n}.parquet")
-    manifest_path.write_text(json.dumps(want, indent=1))
+    _write_manifest(manifest_path, want)
     return paths
+
+
+def _write_manifest(manifest_path: Path, want: dict) -> None:
+    """Same pid-suffixed tmp + atomic rename as the parquet files: an in-place
+    write_text can expose a torn manifest to a concurrent reader, and two concurrent
+    regenerations can interleave so the last writer drops 'names' entries the other
+    just computed (self-healing, but wasted recompute)."""
+    tmp = manifest_path.with_name(f".manifest.json.{os.getpid()}.tmp")
+    tmp.write_text(json.dumps(want, indent=1))
+    tmp.replace(manifest_path)

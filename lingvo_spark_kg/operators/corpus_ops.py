@@ -46,6 +46,19 @@ def hash_sample(df: DataFrame, rate: float, key: str = "doc_id",
     return df.where(h < F.lit(threshold)) if rate < 1.0 else df
 
 
+def hash_sample_threshold(rate: float) -> str:
+    """The md5-prefix threshold string for a sampling rate — THE single copy of the
+    formula (hash_sample / stratified_hash_sample / the DuckDB oracle generators in
+    __spark_entry__ all delegate here, so the two engines cannot drift).
+
+    rate 1.0 → a sentinel ABOVE every hex prefix ('g' > 'f'): the strict `<` must
+    keep all rows, matching hash_sample's keep-everything fast path (clamping to
+    'ffffffff' would drop the ~2^-32 keys hashing to exactly it)."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
+
+
 def stratified_hash_sample(df: DataFrame, rates: dict[str, float], group_col: str,
                            key: str = "doc_id", seed: int = 42,
                            default_rate: float = 0.0) -> DataFrame:
@@ -63,17 +76,10 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float], group_col: st
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
 
-    def _thresh(rate: float) -> str:
-        # rate 1.0 → a sentinel ABOVE every hex prefix ('g' > 'f'): the strict `<`
-        # must keep all rows, matching hash_sample's keep-everything fast path
-        # (clamping to 'ffffffff' would drop the ~2^-32 keys hashing to exactly it)
-        if rate >= 1.0:
-            return "g"
-        return format(int(rate * 16**8), "08x")
-
-    thresh = F.lit(_thresh(default_rate))
+    thresh = F.lit(hash_sample_threshold(default_rate))
     for g, r in sorted(rates.items()):
-        thresh = F.when(F.col(group_col) == g, F.lit(_thresh(r))).otherwise(thresh)
+        thresh = F.when(F.col(group_col) == g,
+                        F.lit(hash_sample_threshold(r))).otherwise(thresh)
     h = F.substring(F.md5(F.concat(F.col(key).cast("string"),
                                    F.lit(f":{seed}"))), 1, 8)
     # sentinel groups keep every row unconditionally — including NULL-keyed rows,
@@ -138,22 +144,32 @@ def length_histogram(sentences: DataFrame, bucket_size: int = 100,
     )
 
 
-def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int = 8,
+ROWS_PER_PACK_SHARD = 10_000_000  # auto-shard sizing: one shard task sorts+cumsums
+# this many (key, count) rows ≈ hundreds of MB — the documented "shards scale with
+# the corpus" rule, enforced by code when n_shards=None
+
+
+def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int | None = 8,
                   key: str = "doc_id", n_tokens_col=None) -> DataFrame:
     """GPT-style context packing — the pretraining sequence-packing primitive:
     documents are concatenated in a deterministic order and cut into fixed
     ``budget``-token contexts; each doc row gets its context assignment →
     (key, shard, n_tokens, ctx_offset, ctx_id, ctx_end_id, straddles).
 
-    Distribution shape: ``n_shards`` independent packing streams (shard =
-    pmod(key, n_shards)). Each stream is ONE window partition — i.e. one task sorts
-    and cumsums that shard — so n_shards must scale with the CORPUS, not the core
-    count: pick n_shards ≈ corpus_rows / 10^7 (a shard row is just key+count, so
-    10^7 rows ≈ hundreds of MB per task) — at 10^12 docs that is ~10^5 shards, far
-    more parallelism than any cluster's cores, while the packing semantics are
-    unaffected because shards are independent streams exactly like parallel
-    pretraining data shards. Within a shard docs are ordered by key (deterministic
-    under reruns/repartitioning). ``ctx_id`` = floor(offset/budget) of the doc's first
+    Distribution shape: ``n_shards`` independent packing streams. For an integral
+    ``key`` the shard is pmod(key, n_shards); for a string key (the 'doc-00000042'
+    shape most operators use) it is the engine-portable md5-prefix hash
+    pmod(conv(md5(key)[1:15], 16, 10), n_shards) — any other column type raises
+    TypeError driver-side rather than Spark's silent cast-to-null. Each stream is
+    ONE window partition — i.e. one task sorts and cumsums that shard — so n_shards
+    must scale with the CORPUS, not the core count. ``n_shards=None`` enforces that
+    rule by deriving it from a cheap count(): ceil(corpus_rows / ROWS_PER_PACK_SHARD)
+    (a shard row is just key+count, so 10^7 rows ≈ hundreds of MB per task) — at
+    10^12 docs that is ~10^5 shards, far more parallelism than any cluster's cores,
+    while the packing semantics are unaffected because shards are independent
+    streams exactly like parallel pretraining data shards. Within a shard docs are
+    ordered by key (deterministic under reruns/repartitioning).
+    ``ctx_id`` = floor(offset/budget) of the doc's first
     token; ``ctx_end_id`` the context of its LAST token (= ctx_id for zero-token
     docs, which therefore never straddle); ``straddles`` marks docs cut by a context
     boundary (the concat-and-chunk regime: boundaries fall mid-document by design,
@@ -167,12 +183,31 @@ def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int = 8,
     RANGE frame would be outright wrong under ties: every peer row would get the
     same cumsum, so contexts would overlap."""
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    key_type = docs.schema[key].dataType
+    if not isinstance(key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                                 T.StringType)):
+        raise TypeError(
+            f"pack_contexts key {key!r} must be an integral or string column, got "
+            f"{key_type.simpleString()} (other types would shard via Spark's silent "
+            "cast-to-null)")
+    if n_shards is None:
+        # cheap metadata-ish count (parquet row-count scan), once per call — the
+        # shard count then scales with the corpus by construction
+        n_shards = max(1, -(-docs.count() // ROWS_PER_PACK_SHARD))
+    if isinstance(key_type, T.StringType):
+        # engine-portable 60-bit md5 prefix (DuckDB mirror: md5 + from-hex), NOT
+        # F.hash/xxhash64 — those have no cross-engine twin for the oracle
+        shard = F.pmod(F.conv(F.substring(F.md5(F.col(key)), 1, 15), 16, 10)
+                       .cast("long"), F.lit(n_shards))
+    else:
+        shard = F.pmod(F.col(key), F.lit(n_shards))
     nt = n_tokens_col if n_tokens_col is not None else F.size(
         F.split(F.trim(F.col("text")), WS_SPLIT))
-    d = docs.select(F.col(key), F.pmod(F.col(key), F.lit(n_shards)).alias("shard"),
+    d = docs.select(F.col(key), shard.alias("shard"),
                     nt.cast("long").alias("n_tokens"))
     w = (Window.partitionBy("shard").orderBy(key)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

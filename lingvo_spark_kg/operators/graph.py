@@ -105,8 +105,12 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         F.col("n_occurrences"),
     )
     deg = ends.groupBy("node").agg(F.sum("n_occurrences").alias("degree"))
+    # bucket from the binary representation (length(bin(d))-1 ≡ floor(log2(d)) for
+    # every positive BIGINT) — floor(log2(double)) rounds UP to k for degrees of the
+    # form 2^k - d once k ≳ 49, which would disagree with the integer-exact mirror
+    # (golden._degree_rows uses bit_length()-1)
     return (
-        deg.select(F.floor(F.log2(F.col("degree").cast("double")))
+        deg.select((F.length(F.bin(F.col("degree"))) - 1)
                    .cast("long").alias("degree_bucket"), "degree")
         .groupBy("degree_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),

@@ -1,6 +1,8 @@
 """Local stand-in for the driver's correctness gate: run every queries() entry on
 Spark and its oracle_sql() on DuckDB over the same parquet, compare row count +
-column names + order-insensitive values. Usage: python tools/check_oracles.py [sf_dir]
+column names + order-insensitive values.
+Usage: python tools/check_oracles.py [sf_dir] [name1,name2,...]
+(the optional second arg restricts the run to those queries — fast local iteration)
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import os
 
     # golden oracles (read_parquet tables) must be built for the SAME sf as the
@@ -43,6 +45,12 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -87,4 +95,5 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+                  set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None))
