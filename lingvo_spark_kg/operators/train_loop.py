@@ -58,8 +58,11 @@ def _bucketed_batches(rows: list[tuple[list[int], list[int]]], batch_size: int):
 
 
 def _merge_parts(a: tuple, b: tuple) -> tuple:
-    """Commutative+associative combiner for (cost, n_tok, grads|None) triples —
-    the treeReduce kernel (float sums only bit-reproducible in 'collect' mode)."""
+    """Combiner for (cost, n_tok, grads|None) triples. Elementwise float ADDITION is
+    IEEE-commutative, so a single merge is order-safe; it is the GROUPING of merges
+    (associativity) that float addition lacks — which is why both reduce modes pin
+    the grouping to the same balanced tree (_pairwise_fold) instead of trusting
+    arrival order."""
     ga, gb = a[2], b[2]
     if ga is None:
         g = gb
@@ -68,6 +71,29 @@ def _merge_parts(a: tuple, b: tuple) -> tuple:
     else:
         g = add_grads(ga, gb)
     return (a[0] + b[0], a[1] + b[1], g)
+
+
+_TREE_BLOCK = 32  # power of two — aligned blocks keep the distributed fold's first
+# log2(block) rounds block-local, bit-identical to the pure driver-side fold
+
+
+def _pairwise_fold(items: list[tuple]) -> tuple:
+    """THE gradient summation tree — a balanced adjacent-pair fold over partials in
+    partition-index order (round 1 merges (0,1),(2,3),…; an odd last element carries).
+    Both reduce modes use it, so 'collect' and 'tree' produce BIT-IDENTICAL sums:
+    merged element j at round r always covers leaves [j·2^r, (j+1)·2^r), so an
+    aligned power-of-two block can fold its leaves locally (on an executor) and the
+    driver continues the same tree over the block roots — the grouping never depends
+    on task scheduling (tests/test_training.py pins the bitwise equality)."""
+    if not items:
+        return (0.0, 0, None)
+    while len(items) > 1:
+        nxt = [_merge_parts(items[i], items[i + 1])
+               for i in range(0, len(items) - 1, 2)]
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
 
 
 def _grads_with_oom_split(compute, weights, dims, ids, tgt):
@@ -95,7 +121,8 @@ def train_bilstm_distributed(
     save_best_path: str | None = None,
     compute_fn=None,
     rounds_per_epoch: int = 1,
-    reduce: str = "collect",
+    reduce: str = "auto",
+    tree_threshold: int = 64,
 ) -> tuple[BiLSTMTaggerModel, list[dict]]:
     """corpus: (tokens array<string>, labels array<string>) rows — the CoNLL shape
     (sources/conll.py). Returns (best-or-final model, per-epoch history). ``compute_fn``
@@ -106,13 +133,15 @@ def train_bilstm_distributed(
     GD; >1 re-broadcasts weights each round and steps Adam per round of parallel
     micro-batches, approaching the reference's per-mini-batch cadence).
 
-    ``reduce``: 'collect' (default) gathers one grads dict per partition to the driver
-    and sums in partition-index order — bit-deterministic, driver memory ~n_partitions
-    × model size (docs/SCALE.md budgets the swap point at ~64 partitions). 'tree' uses
-    treeReduce (O(log n) aggregation depth, driver holds ONE grads dict) for training
-    jobs wider than that budget; float reduce order then depends on task scheduling, so
-    runs are statistically identical but not bitwise (same validation score — pinned in
-    tests/test_training.py)."""
+    ``reduce``: 'collect' gathers one grads dict per partition to the driver (driver
+    memory ~n_partitions × model size — the bound the reference hits too when its
+    device count grows, MultiProcessorNetworkWrapper.cs:84-103 sums all device grads
+    on the default device); 'tree' folds aligned 32-partition blocks executor-side
+    first, so the driver holds only ~n_partitions/32 partials. Both modes sum along
+    the SAME balanced partition-index tree (_pairwise_fold), so they are
+    bit-identical — pinned in tests/test_training.py. 'auto' (default) picks 'tree'
+    above ``tree_threshold`` partitions (docs/SCALE.md driver-memory budget) and
+    'collect' below it."""
     from pyspark.sql import functions as F
 
     spark = corpus.sparkSession
@@ -134,6 +163,11 @@ def train_bilstm_distributed(
         lambda r: ([w2i.get(t, UNK_ID) for t in r["tokens"]],
                    [tag2id[lb] for lb in r["labels"]])
     ).cache()
+
+    if reduce == "auto":
+        reduce = "tree" if encoded.getNumPartitions() > tree_threshold else "collect"
+    if reduce not in ("collect", "tree"):
+        raise ValueError(f"reduce must be 'auto', 'collect' or 'tree', got {reduce!r}")
 
     weights = {k: v.copy() for k, v in model.weights.items()}
     opt = AdamOptimizer(grad_clip=grad_clip)
@@ -164,26 +198,30 @@ def train_bilstm_distributed(
                         total = add_grads(total, g)
                     yield (cost, n_tok, total)  # Spark pickles this once
 
+                indexed = encoded.mapPartitionsWithIndex(
+                    lambda i, it: ((i, r) for r in part_grads(it))
+                )
                 if reduce == "tree":
-                    # O(log n) aggregation; driver never holds >1 grads dict. Float
-                    # order follows task scheduling — not bit-reproducible (docstring).
-                    cost, n_tok, grads = encoded.mapPartitions(part_grads).treeReduce(
-                        _merge_parts, depth=2
+                    # executor-side fold of aligned 32-partition blocks (each block
+                    # computes the corresponding SUBTREE of the balanced fold), then
+                    # the driver continues the same tree over the ≤n/32 block roots —
+                    # deterministic grouping, bit-identical to 'collect'
+                    n_parts = encoded.getNumPartitions()
+                    blocks = (
+                        indexed.map(lambda kv: (kv[0] // _TREE_BLOCK, kv))
+                        .groupByKey(numPartitions=max(1, n_parts // _TREE_BLOCK))
+                        .mapValues(lambda vals: _pairwise_fold(
+                            [r for _i, r in sorted(vals, key=lambda x: x[0])]))
+                        .collect()
                     )
+                    roots = [r for _b, r in sorted(blocks, key=lambda kv: kv[0])]
+                    cost, n_tok, grads = _pairwise_fold(roots)
                 else:
-                    # deterministic reduce order: collect per-partition results, sum
-                    # in partition-index order (float sums are order-sensitive)
-                    parts = encoded.mapPartitionsWithIndex(
-                        lambda i, it: ((i, r) for r in part_grads(it))
-                    ).collect()
-                    grads = None
-                    cost = 0.0
-                    n_tok = 0
-                    for _i, (c, n, g) in sorted(parts, key=lambda p: p[0]):
-                        if g is not None:
-                            grads = add_grads(grads, g)
-                        cost += c
-                        n_tok += n
+                    # driver-side fold of all partials along the same tree (driver
+                    # holds n_partitions dicts at the collect — the documented bound)
+                    parts = indexed.collect()
+                    cost, n_tok, grads = _pairwise_fold(
+                        [r for _i, r in sorted(parts, key=lambda p: p[0])])
                 bc.destroy()
                 if grads is not None:
                     # a round can be legitimately empty (fewer batches than rounds in

@@ -175,11 +175,14 @@ def test_rounds_per_epoch_steps_per_round(spark):
     assert hist_r[-1]["nll_per_token"] < hist_1[-1]["nll_per_token"]
 
 
-def test_tree_reduce_same_validation_score(spark):
-    """reduce='tree' (the >64-partition scale path): treeReduce changes float
-    summation ORDER only — per-epoch NLL agrees to float64 noise and the discrete
-    validation score is identical to the deterministic collect reduce. (Not bitwise:
-    docstring documents why — tree combine order follows task scheduling.)"""
+def test_tree_reduce_bitwise_equals_collect(spark):
+    """reduce='tree' (the >tree_threshold-partition scale path) must be BIT-IDENTICAL
+    to 'collect': both modes sum gradients along the same balanced partition-index
+    tree (_pairwise_fold — executor block subtrees + driver continuation vs pure
+    driver fold), so the grouping never depends on task scheduling. This run
+    exercises the distributed groupByKey path; the multi-block subtree identity is
+    pinned by test_pairwise_fold_block_subtrees_match_full_fold below."""
+    from lingvo_spark_kg.operators import train_loop
     from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
 
     rows, df = _toy_corpus(spark, n_sents=120)
@@ -194,15 +197,34 @@ def test_tree_reduce_same_validation_score(spark):
         n_ok = sum(p == g for ps, gs in zip(pred, gold) for p, g in zip(ps, gs))
         return n_ok / sum(len(g) for g in gold)
 
-    _mt, hist_t = train_bilstm_distributed(df.repartition(4), m0, epochs=6, lr=0.05,
-                                           batch_size=32, validate_fn=validate,
-                                           reduce="tree")
-    _mc, hist_c = train_bilstm_distributed(df.repartition(4), m0, epochs=6, lr=0.05,
-                                           batch_size=32, validate_fn=validate)
-    for a, b in zip(hist_t, hist_c):
-        assert a["n_tokens"] == b["n_tokens"]
-        assert a["nll_per_token"] == pytest.approx(b["nll_per_token"], rel=1e-6)
-    assert hist_t[-1]["val_score"] == hist_c[-1]["val_score"]
+    mt, hist_t = train_bilstm_distributed(df.repartition(6), m0, epochs=4, lr=0.05,
+                                          batch_size=32, validate_fn=validate,
+                                          reduce="tree")
+    mc, hist_c = train_bilstm_distributed(df.repartition(6), m0, epochs=4, lr=0.05,
+                                          batch_size=32, validate_fn=validate)
+    assert hist_t == hist_c  # exact: nll, n_tokens, val_score per epoch
+    for k, v in mc.weights.items():
+        assert np.array_equal(np.asarray(mt.weights[k]), np.asarray(v)), k
+
+
+def test_pairwise_fold_block_subtrees_match_full_fold():
+    """The identity the tree mode rests on: folding aligned power-of-two blocks
+    locally and continuing the fold over block roots equals the full fold — for
+    every leaf count around the block boundary (float grouping is the whole point,
+    so use values where grouping changes the last ulp)."""
+    from lingvo_spark_kg.operators.train_loop import _TREE_BLOCK, _pairwise_fold
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, _TREE_BLOCK - 1, _TREE_BLOCK, _TREE_BLOCK + 1,
+              2 * _TREE_BLOCK + 5):
+        leaves = [(float(rng.standard_normal()), 1,
+                   {"w": rng.standard_normal(4)}) for _ in range(n)]
+        full = _pairwise_fold(list(leaves))
+        roots = [_pairwise_fold(leaves[b:b + _TREE_BLOCK])
+                 for b in range(0, n, _TREE_BLOCK)]
+        blocked = _pairwise_fold(roots)
+        assert blocked[0] == full[0] and blocked[1] == full[1]
+        assert np.array_equal(blocked[2]["w"], full[2]["w"]), n
 
 
 def test_oom_adaptive_batch_split(spark):
