@@ -330,6 +330,34 @@ def q_tag_bilstm_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tag_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9/M11 hard signal: the reference's probability output shape — per token the
+    FULL sorted [(class, prob)] list (softmax over the classifier head,
+    SeqLabel.cs:175-218) + per-sentence WordsInDictRatio (SeqLabel.cs:194-216) from
+    the pinned POS model, flattened to scalar rows. The operator's batch-1 kernel is
+    shared with the golden mirror, so the floats are bit-identical by construction
+    (golden._tag_probs_rows)."""
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.tag import tag_sentences_probs
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    pos_m, _ner_m = pinned_tagger_models()
+    bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    docs = docs_from_documents_table(spark, sf_dir)
+    pr = tag_sentences_probs(tokenize_docs(docs), bc)
+    tok = pr.select(
+        "doc_id", "span_idx", "sent_idx", "words_in_dict_ratio",
+        F.posexplode("probs").alias("tok_idx", "ranked"),
+    )
+    return tok.select(
+        "doc_id", "span_idx", "sent_idx", "tok_idx",
+        F.posexplode("ranked").alias("rank", "lp"), "words_in_dict_ratio",
+    ).select("doc_id", "span_idx", "sent_idx", "tok_idx", "rank",
+             F.col("lp.label").alias("label"), F.col("lp.prob").alias("prob"),
+             "words_in_dict_ratio")
+
+
 def q_kg_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/Email extraction over the interleaved corpus with the domain key
     domain-blocklist curation filters on (textstats.extract_urls, the reference's
@@ -843,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_urls": q_kg_urls,
         "tag_bilstm": q_tag_bilstm,
         "tag_bilstm_crf": q_tag_bilstm_crf,
+        "tag_probs": q_tag_probs,
         "tag_transformer": q_tag_transformer,
         "kg_links_fuzzy": q_kg_links_fuzzy,
         "media_meta": q_media_meta,

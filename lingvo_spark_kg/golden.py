@@ -50,6 +50,9 @@ GOLDEN_QUERIES = (
     # round 4: full-cascade sentence splitter, >220-token chunked tagging, ResultVM
     # output shape (original-surface recovery), PII redaction
     "kg_sentences_full", "tag_chunked", "result_vm", "redact_pii", "kg_degree",
+    # round 5: per-class probability output (M9/M11 — the last model output shape
+    # without a hard driver row)
+    "tag_probs",
 )
 
 
@@ -563,6 +566,43 @@ def _tagged_token_rows(sf_dir: str, crf: bool, encoder: str = "bilstm") -> list[
     return out
 
 
+def _tag_probs_rows(sf_dir: str) -> list[tuple]:
+    """Mirror of tokenize_docs → tag_sentences_probs flattened to scalar rows
+    (operators/tag.py; reference SeqLabel.cs:175-218): per token the full sorted
+    [(class, prob)] list from the pinned POS model's batch-1 predict_probs, plus the
+    per-sentence WordsInDictRatio (SeqLabel.cs:194-216). The operator calls the SAME
+    kernel batch-1, so the floats are bit-identical by construction:
+    (doc_id, span_idx, sent_idx, tok_idx, rank, label, prob, words_in_dict_ratio)."""
+    from .model.pinned import pinned_tagger_models
+    from .operators.tokenize import _tokenize_text
+
+    pos_m, _ner_m = pinned_tagger_models()
+    text_memo: dict[str, list] = {}
+    feat_memo: dict[tuple, tuple] = {}
+    rows: list[tuple] = []
+    for did, text in _documents(sf_dir):
+        if text is None:
+            continue
+        per = text_memo.get(text)
+        if per is None:
+            per = []
+            for sent_idx, _start, _length, toks in _tokenize_text(text, True):
+                key = tuple(t["ending_pos"] for t in toks)
+                res = feat_memo.get(key)
+                if res is None:
+                    res = pos_m.predict_probs(list(key))
+                    feat_memo[key] = res
+                per.append((sent_idx, res))
+            text_memo[text] = per
+        doc_id = f"doc-{did:08d}"
+        for sent_idx, (per_tok, ratio) in per:
+            for tok_idx, ranked in enumerate(per_tok):
+                for rank, (label, prob) in enumerate(ranked):
+                    rows.append((doc_id, 0, sent_idx, tok_idx, rank, label, prob,
+                                 ratio))
+    return rows
+
+
 def _media_frames_rows(n_docs: int, interval_ms: int = 5000) -> list[tuple]:
     """Mirror of media_spans → media_payloads → decode_media(fake) → sample_frames
     over the synthetic corpus: (doc_id, span_idx, frame_idx, t_ms, frame_sha1)."""
@@ -860,6 +900,9 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     "redact_pii": [("doc_id", _S), ("span_idx", _I32), ("text_redacted", _S),
                    ("n_urls", _I32), ("n_emails", _I32), ("n_digit_runs", _I32)],
     "kg_degree": [("degree_bucket", _I64), ("n_nodes", _I64), ("max_degree", _I64)],
+    "tag_probs": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
+                  ("tok_idx", _I32), ("rank", _I32), ("label", _S), ("prob", _F64),
+                  ("words_in_dict_ratio", _F64)],
 }
 
 
@@ -899,6 +942,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _result_vm_rows(n_docs_for(sf_dir))
     elif name == "redact_pii":
         rows = _redact_rows(n_docs_for(sf_dir))
+    elif name == "tag_probs":
+        rows = _tag_probs_rows(sf_dir)
     elif name == "kg_links":
         rows = links()
     elif name == "kg_canonical":

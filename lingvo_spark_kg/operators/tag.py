@@ -166,6 +166,68 @@ def tag_sentences_lexicon(sentences: DataFrame, gazetteer_bc) -> DataFrame:
     return sentences.mapInArrow(run, schema=TAGGED_SCHEMA)
 
 
+_PROBS_PA_TYPE = pa.list_(pa.list_(pa.struct([("label", pa.string()),
+                                              ("prob", pa.float64())])))
+
+
+def _probs_schema():
+    from pyspark.sql import types as T
+
+    from .schemas import SENTENCES_SCHEMA
+
+    return T.StructType(SENTENCES_SCHEMA.fields + [
+        T.StructField("probs", T.ArrayType(T.ArrayType(T.StructType([
+            T.StructField("label", T.StringType()),
+            T.StructField("prob", T.DoubleType()),
+        ])))),
+        T.StructField("words_in_dict_ratio", T.DoubleType()),
+    ])
+
+
+def tag_sentences_probs(sentences: DataFrame, model_bc, feature: str = "ending_pos",
+                        backend_loader=None, encoder: str = "bilstm") -> DataFrame:
+    """M9/M11: the reference's probability output shape, distributed — per token the
+    FULL sorted [(class, prob)] list (softmax over the classifier head, SeqLabel.cs
+    :175-218) plus the per-sentence WordsInDictRatio (share of tokens found in the
+    source vocab, SeqLabel.cs:194-216), as two extra columns on the sentences frame.
+
+    The decode is the model's batch-1 ``predict_probs`` path (the reference computes
+    probabilities only on its single-sentence API), memoized per distinct feature
+    sequence within the partition — web corpora are duplicate-heavy, and the batch-1
+    kernel is deterministic, so memoization changes cost, not results. The backend
+    must expose ``predict_probs`` (the NumPy models do; the ONNX executor seam only
+    carries argmax decode — documented production-activation gap)."""
+    if backend_loader is None:
+        from ..model.backend import numpy_backend
+
+        backend_loader = numpy_backend(encoder)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        model = _cached_from_broadcast(model_bc, backend_loader)
+        memo: dict[tuple, tuple] = {}
+        for b in batches:
+            offs, f = _token_fields(b, (feature,))
+            feats = f[feature]
+            probs_col, ratio_col = [], []
+            for row in range(b.num_rows):
+                key = tuple(feats[offs[row]:offs[row + 1]])
+                res = memo.get(key)
+                if res is None:
+                    per_tok, ratio = model.predict_probs(list(key))
+                    res = ([[{"label": c, "prob": p} for c, p in ranked]
+                            for ranked in per_tok], ratio)
+                    memo[key] = res
+                probs_col.append(res[0])
+                ratio_col.append(res[1])
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(probs_col, _PROBS_PA_TYPE),
+                                   pa.array(ratio_col, pa.float64())],
+                names=list(b.schema.names) + ["probs", "words_in_dict_ratio"],
+            )
+
+    return sentences.mapInArrow(run, schema=_probs_schema())
+
+
 def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
                          encoder: str = "bilstm", backend_loader=None) -> DataFrame:
     """DNN regimen: two tagging passes in one UDF — POS model over ending_pos features

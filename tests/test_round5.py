@@ -59,6 +59,36 @@ def test_pack_contexts_rejects_non_integral_non_string_key(spark):
         pack_contexts(df, budget=16, n_shards=2, n_tokens_col=F.col("n_tokens"))
 
 
+def test_tag_probs_operator_invariants(spark):
+    """M9/M11 operator: per token the class list covers ALL model classes exactly
+    once, sorted by (-prob, class), probabilities sum to 1 (softmax), and
+    words_in_dict_ratio is the in-vocab share of the sentence's feature tokens."""
+    from lingvo_spark_kg.model.lexicon import POS_TAGS
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.tag import tag_sentences_probs
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    pos_m, _ = pinned_tagger_models()
+    bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    docs = docs_from_documents_table(spark, SF_DIR).limit(5)
+    rows = tag_sentences_probs(tokenize_docs(docs), bc).collect()
+    assert rows
+    w2i = pos_m.src_vocab.word2id
+    for r in rows:
+        feats = [t["ending_pos"] for t in r["tokens"]]
+        assert len(r["probs"]) == len(feats)
+        for ranked in r["probs"]:
+            labels = [lp["label"] for lp in ranked]
+            assert sorted(labels) == sorted(POS_TAGS)
+            probs = [lp["prob"] for lp in ranked]
+            assert probs == sorted(probs, reverse=True)
+            assert abs(sum(probs) - 1.0) < 1e-4  # rounded to 6 digits per class
+        if feats:
+            expect = round(sum(1 for t in feats if t in w2i) / len(feats), 6)
+            assert r["words_in_dict_ratio"] == expect
+
+
 def test_pack_contexts_auto_shards_scale_with_corpus(spark, monkeypatch):
     """n_shards=None derives the shard count from the corpus size (the 'shards scale
     with the corpus, not the cores' rule enforced by code, not docstring)."""
