@@ -812,6 +812,32 @@ def q_words_in_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _goldens_dir(sf_dir: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".goldens",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def q_conll_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hard signal: the CoNLL corpus source + reshape (sources/conll.py read_conll
+    → exploded_tokens; reference Corpus.cs:451-565 / ConvertTrainFile2SeqLabelFormat
+    :528-553) over a deterministic fixture file. The DuckDB oracle reshapes the SAME
+    raw line table in pure SQL (no golden mirror of the parse logic), so sentence
+    segmentation, token/label split and per-sentence ordering are checked
+    engine-against-engine."""
+    from lingvo_spark_kg.golden import ensure_conll_fixture
+    from lingvo_spark_kg.sources.conll import exploded_tokens, read_conll
+
+    conll_path, _lines = ensure_conll_fixture(sf_dir, _goldens_dir(sf_dir))
+    t = exploded_tokens(read_conll(spark, conll_path))
+    return t.select(F.col("sent_key").cast("long").alias("sent_id"),
+                    F.col("tok_idx").cast("long").alias("tok_idx"),
+                    "token", "label")
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window/sort operator demo over the events stream table: per-user ordered
     reassembly (the DataFrame form of the reference's ordered merge after parallel
@@ -907,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "event_windowed_agg": q_event_windowed_agg,
         "curated_docs": q_curated_docs,
+        "conll_sentences": q_conll_sentences,
     }
 
 
@@ -923,12 +950,33 @@ def _golden_oracles() -> dict[str, str]:
     from lingvo_spark_kg import golden
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".goldens",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    out_dir = _goldens_dir(sf_dir)
     paths = golden.ensure_goldens(sf_dir, out_dir)
-    return {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
+    out = {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
+    # S2: not a golden mirror — a pure-SQL reshape of the shared raw CoNLL line
+    # table (sentence segments from the running blank-line count, tab split,
+    # per-segment token positions), checked engine-against-engine
+    _conll, lines_pq = golden.ensure_conll_fixture(sf_dir, out_dir)
+    out["conll_sentences"] = f"""
+        WITH l AS (SELECT line_no, line FROM read_parquet('{lines_pq}')),
+        seg AS (
+          SELECT line_no, line,
+                 coalesce(sum(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)
+                   OVER (ORDER BY line_no
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS seg_id
+          FROM l),
+        tok AS (
+          SELECT seg_id, line_no,
+                 split_part(line, chr(9), 1) AS token,
+                 split_part(line, chr(9), 2) AS label
+          FROM seg WHERE trim(line) <> '')
+        SELECT dense_rank() OVER (ORDER BY seg_id) - 1 AS sent_id,
+               row_number() OVER (PARTITION BY seg_id ORDER BY line_no) - 1 AS tok_idx,
+               token, label
+        FROM tok
+    """
+    return out
 
 
 # Shared document-feature CTE: the ONE copy of the ratio regexes and thresholds that

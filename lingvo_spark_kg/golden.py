@@ -1037,6 +1037,35 @@ def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
     return paths
 
 
+def ensure_conll_fixture(sf_dir: str, out_dir: str | os.PathLike) -> tuple[str, str]:
+    """Deterministic CoNLL corpus fixture for the S2 driver oracle: writes BOTH the
+    .conll file (the Spark query's read_conll input) and its raw line table as
+    parquet (the DuckDB oracle reshapes it in pure SQL — no golden mirror of the
+    parse logic). One generated line list feeds both artifacts, so the two engines
+    can never read different content. Sized with the corpus tier
+    (max(200, n_docs/50) sentences). Returns (conll_path, lines_parquet_path)."""
+    from .sources.conll import conll_fixture_lines
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    conll = out / "conll_fixture.conll"
+    lines_pq = out / "conll_lines.parquet"
+    if not (conll.exists() and lines_pq.exists()):
+        lines = conll_fixture_lines(
+            n_sentences=max(200, n_docs_for(sf_dir) // 50), seed=42)
+        tmp = out / f".conll_fixture.{os.getpid()}.tmp"
+        tmp.write_text("\n".join(lines) + "\n", encoding="utf-8")
+        tmp.replace(conll)
+        tbl = pa.Table.from_arrays(
+            [pa.array(range(len(lines)), type=pa.int64()),
+             pa.array(lines, type=pa.string())],
+            names=["line_no", "line"])
+        tmp2 = out / f".conll_lines.parquet.{os.getpid()}.tmp"
+        pq.write_table(tbl, tmp2)
+        tmp2.replace(lines_pq)
+    return str(conll.resolve()), str(lines_pq.resolve())
+
+
 def _write_manifest(manifest_path: Path, want: dict) -> None:
     """Same pid-suffixed tmp + atomic rename as the parquet files: an in-place
     write_text can expose a torn manifest to a concurrent reader, and two concurrent

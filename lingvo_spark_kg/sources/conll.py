@@ -93,10 +93,12 @@ def exploded_tokens(conll: DataFrame) -> DataFrame:
                     F.col("tl.tokens").alias("token"), F.col("tl.labels").alias("label"))
 
 
-def write_conll_fixture(path: str, n_sentences: int = 200, seed: int = 42) -> str:
-    """FIXTURES.md §5: ~n_sentences pool sentences with deterministic golden labels
-    (the lexicon regimen), CoNLL format. The single-node analog of the reference's
-    CorpusCorrector fixture generation (ModelBuilding/.../CorpusCorrector/Program.cs)."""
+def conll_fixture_lines(n_sentences: int = 200, seed: int = 42) -> list[str]:
+    """The deterministic CoNLL fixture as a list of lines (no trailing newlines):
+    token<TAB>label lines with one '' element per sentence separator — the SINGLE
+    source both ``write_conll_fixture`` (the .conll file Spark reads) and the
+    golden line-table parquet (the DuckDB oracle's input) derive from, so the two
+    engines reshape byte-identical content."""
     import numpy as np
 
     from ..fixtures.corpus import SENTENCE_POOL, gazetteer_from_aliases, make_aliases
@@ -105,12 +107,22 @@ def write_conll_fixture(path: str, n_sentences: int = 200, seed: int = 42) -> st
 
     ner = LexiconNer(gazetteer_from_aliases(make_aliases(seed=seed)))
     rng = np.random.default_rng([seed, 555])
+    lines: list[str] = []
+    for _ in range(n_sentences):
+        text = SENTENCE_POOL[int(rng.integers(0, len(SENTENCE_POOL)))]
+        for _sent, words in run_simple_sents_allocate(text):
+            pos, _nert = tag_sentence(words, ner)
+            lines.extend(f"{w.value}\t{p}" for w, p in zip(words, pos))
+            lines.append("")
+    return lines
+
+
+def write_conll_fixture(path: str, n_sentences: int = 200, seed: int = 42) -> str:
+    """FIXTURES.md §5: ~n_sentences pool sentences with deterministic golden labels
+    (the lexicon regimen), CoNLL format. The single-node analog of the reference's
+    CorpusCorrector fixture generation (ModelBuilding/.../CorpusCorrector/Program.cs)."""
+    lines = conll_fixture_lines(n_sentences, seed)
     with open(path, "w", encoding="utf-8") as f:
-        for _ in range(n_sentences):
-            text = SENTENCE_POOL[int(rng.integers(0, len(SENTENCE_POOL)))]
-            for sent, words in run_simple_sents_allocate(text):
-                pos, _nert = tag_sentence(words, ner)
-                for w, p in zip(words, pos):
-                    f.write(f"{w.value}\t{p}\n")
-                f.write("\n")
+        if lines:
+            f.write("\n".join(lines) + "\n")
     return path
