@@ -7,6 +7,14 @@ Default: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 full passes (raw runs included under "raw_runs") — single runs on this host swing
 2-4× with ambient load; plus one DNN-regimen tagging throughput entry ("dnn").
 
+One-shot sections next to the medians (each its own JSON key, excluded from
+``value`` so the headline total stays comparable round-over-round): ``skew`` (plain
+vs salted join wall clock on a 60%-hub-key fixture), ``ann`` (recall@10 per ANN
+variant vs brute force + hof-vs-arrow bucket kernel at 100k vectors), ``pipelines``
+(full 9-stage checkpointed runs at 10× the bench corpus — lexicon, DNN-numpy and
+DNN-ONNX regimens with per-stage timings; the DNN pair is the TRAINED demo artifact,
+model/demo.py). ``SPARK_GRAFT_BENCH_PIPELINE_DOCS=0`` skips the pipeline runs.
+
 ``python bench.py --scaling`` additionally runs the flagship docs→triples job at two
 parallelism levels (local[4] then local[16]; ``--saturated`` uses 8/32) on the SAME
 input and reports throughputs plus scaling efficiency — the sandbox proxy for the
@@ -189,6 +197,124 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     return timings
 
 
+def run_skew_join(spark) -> dict:
+    """J2 measured evidence (VERDICT r4 item 6): the same Zipf-head dim join run as a
+    plain shuffle join vs linking.salted_join, broadcast disabled — the salted
+    variant splits the hub key's reduce task ×n_salt, so its wall clock drops by
+    roughly the hub share. 16M fact rows, one key carrying 60% of them (the
+    head-entity shape entity linking hits, SURVEY §4.2-3); interleaved best-of-2 per
+    strategy so host drift hits both equally. Results are identical by construction
+    (salted_join equivalence is pinned in tests/test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    from lingvo_spark_kg.operators.linking import dim_join
+
+    n_facts = 16_000_000
+    facts = spark.range(n_facts).select(
+        F.when(F.pmod("id", 10) < 6, F.lit("hub"))
+        .otherwise(F.concat(F.lit("k"), F.pmod("id", 100_000).cast("string")))
+        .alias("k"),
+        F.col("id").alias("payload")).persist()
+    facts.count()
+    dim = spark.range(100_001).select(
+        F.when(F.col("id") == 100_000, F.lit("hub"))
+        .otherwise(F.concat(F.lit("k"), F.col("id").cast("string"))).alias("k"),
+        (F.col("id") * 7).alias("entity")).persist()
+    dim.count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    best = {"auto": float("inf"), "salted": float("inf")}
+    try:
+        for strat in ("auto", "salted", "auto", "salted"):
+            out = dim_join(facts, dim, ["k"], strategy=strat)
+            sec, _ = _time(
+                lambda o=out: o.agg({"entity": "sum"}).collect() and 0)
+            best[strat] = min(best[strat], sec)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        facts.unpersist()
+        dim.unpersist()
+    return {"n_facts": n_facts, "hub_share": 0.6, "n_salt": 16,
+            "plain_sec": best["auto"], "salted_sec": best["salted"],
+            "speedup": round(best["auto"] / best["salted"], 2)}
+
+
+def run_ann_quality(spark, sf_dir: str) -> dict:
+    """ANN section (VERDICT r4 item 7): recall@10 of each approximate variant vs the
+    brute-force oracle at the bench tier, recorded per round (the ≥0.95 multi-table
+    gate lives in tests; this records the actual numbers), plus the corpus-side
+    bucket-kernel comparison (impl='hof' JVM higher-order funcs vs 'arrow' packed
+    matmul) at 100k synthetic vectors — the scale where the kernel choice matters."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from lingvo_spark_kg.operators.ann import lsh_multitable_topk
+
+    def topk_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    brute = topk_sets(e.q_ann_topk(spark, sf_dir))
+    recall = {}
+    for name, fn in (("lsh", e.q_ann_lsh), ("lsh_multi", e.q_ann_lsh_multi),
+                     ("ivf", e.q_ann_ivf)):
+        approx = topk_sets(fn(spark, sf_dir))
+        recall[name] = round(
+            sum(len(approx.get(q, set()) & s) / len(s) for q, s in brute.items())
+            / len(brute), 4)
+
+    emb = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(1000 + i) - 0.5 for i in range(64)]).alias("embedding"),
+    ).persist()
+    emb.count()
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"),
+                                              "embedding")
+    best = {"hof": float("inf"), "arrow": float("inf")}
+    for impl in ("hof", "arrow", "hof", "arrow"):
+        job = lsh_multitable_topk(emb, q, dim=64, k=10, n_tables=4, impl=impl)
+        sec, _ = _time(job.count)
+        best[impl] = min(best[impl], sec)
+    emb.unpersist()
+    return {"recall_at_10": recall,
+            "bucket_kernel_100k": {"hof_sec": best["hof"],
+                                   "arrow_sec": best["arrow"],
+                                   "arrow_speedup": round(best["hof"] / best["arrow"], 2)}}
+
+
+def run_pipeline(spark, n_docs: int, tagger: str, dnn_backend: str = "numpy") -> dict:
+    """Full 9-stage checkpointed pipeline (docs → … → nodes/edges/metrics), fresh
+    workdir, one pass — the end-to-end number the per-operator timings above cannot
+    give. The DNN regimens run the TRAINED demo models (model/demo.py), which
+    reproduce the lexicon regimen on this corpus, so links/CC/graph stages carry the
+    same non-trivial volume under every tagger."""
+    import shutil
+    import tempfile
+
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = tempfile.mkdtemp(prefix=f"bench_pipe_{tagger}_{dnn_backend}_")
+    try:
+        kw = {}
+        if tagger == "dnn":
+            from lingvo_spark_kg.model.demo import demo_tagger_models
+
+            kw["dnn_models"] = demo_tagger_models()
+        p = KgPipeline(spark, wd, n_docs=n_docs, tagger=tagger,
+                       dnn_backend=dnn_backend, **kw)
+        t0 = time.time()
+        counts = p.run(resume=False)
+        total = round(time.time() - t0, 3)
+        return {"n_docs": n_docs, "tagger": tagger, "dnn_backend": dnn_backend,
+                "total_sec": total, "stages": dict(p.timings),
+                "n_triples": counts.get("triples_raw"),
+                "n_edges": counts.get("edges")}
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> dict:
     """Same flagship job (docs→triples fused) at two parallelism levels (N and 4N
     cores — the sandbox proxy for N vs 4N executors).
@@ -288,6 +414,23 @@ def main() -> None:
     onnx_sec, onnx_meta = run_dnn_tag(spark, max(n_docs // 10, 1000), backend="onnx")
     timings["dnn_tag_bilstm_onnx"] = onnx_sec
 
+    # one-shot sections (not in the per-repeat medians, and kept OUT of "value" so
+    # the headline total stays comparable round-over-round): measured skew-join win,
+    # ANN recall + bucket-kernel comparison, and the full 9-stage pipeline runs
+    skew = run_skew_join(spark)
+    ann = run_ann_quality(spark, sf_dir)
+    pipelines: dict[str, dict] = {}
+    pipe_docs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_DOCS",
+                                   str(n_docs * 10)))
+    if pipe_docs > 0:
+        label = (f"{pipe_docs // 1_000_000}m" if pipe_docs % 1_000_000 == 0
+                 else f"{pipe_docs // 1000}k")
+        pipelines[f"pipeline_lexicon_{label}"] = run_pipeline(
+            spark, pipe_docs, "lexicon")
+        pipelines[f"pipeline_dnn_{label}"] = run_pipeline(spark, pipe_docs, "dnn")
+        pipelines[f"pipeline_dnn_onnx_{label}"] = run_pipeline(
+            spark, pipe_docs, "dnn", "onnx")
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_and_dataops_total",
@@ -298,6 +441,9 @@ def main() -> None:
         "repeats": repeats,
         "dnn": dnn_meta,
         "dnn_onnx": onnx_meta,
+        "skew": skew,
+        "ann": ann,
+        "pipelines": pipelines,
         "sf": sf,
         "n_docs": n_docs_done,
         "n_triples": n_triples,

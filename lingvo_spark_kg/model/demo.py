@@ -1,0 +1,163 @@
+"""Demo tagger models: BiLSTMs TRAINED (deterministically) to reproduce the lexicon
+regimen on the synthetic corpus — the DNN pair the end-to-end pipeline benchmarks run.
+
+The pinned models (model/pinned.py) anchor the tag_* driver oracles but are
+random-seeded: on the demo corpus they emit no Verb POS and no coherent NER spans, so
+a pipeline run with them produces ZERO triples — every downstream stage (links, CC,
+graph) would be trivially empty and the measurement hollow. The reference ships
+TRAINED models for exactly this reason (its demo downloads published .s2s artifacts,
+Lingvo.PosTagger.WebService/Startup/Program.cs:36-99); the sandbox has no published
+binaries, so this module trains the equivalent demo artifact from the repo's own
+deterministic corpus:
+
+  * corpus: the distinct sentence feature sequences of ``make_docs(DEMO_TRAIN_DOCS)``
+    (pool-sentence concatenations + the >220-token chunking sentences), split into
+    exactly the chunk inputs the decode driver presents (backend.
+    bucketed_chunked_predict semantics, SeqLabel.cs:259-311);
+  * targets: the lexicon regimen — ``pos_tag_word`` per word (POS) and the gazetteer
+    ``LexiconNer.tag`` BIO spans (NER);
+  * training: full-batch GD with the gradcheck-verified BPTT kernel (model/train.py),
+    fixed seed/epochs/lr — a pure function, so the cached artifact regenerates
+    bit-identically (tools/make_demo_models.py).
+
+Trained this way the DNN regimen reproduces the rule regimen on held-out corpus
+sentences (token agreement pinned at 1.0 in tests/test_round5.py), which makes the
+full DNN pipeline's edge/degree tables comparable against the SAME golden mirrors the
+lexicon pipeline is checked against — the round-5 oracle-consistency evidence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DEMO_EMB_DIM = 32
+DEMO_HIDDEN_DIM = 32
+DEMO_SEED_POS = 7
+DEMO_SEED_NER = 8
+DEMO_EPOCHS = 40
+DEMO_LR = 0.1
+DEMO_TRAIN_DOCS = 1500
+DEMO_VERSION = 1  # bump when corpus/targets/hyperparameters change
+
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "demo_weights.npz")
+_MEM: dict = {}
+
+
+def _chunk_examples(feats: list[str], tags: list[str], max_len: int = 220):
+    """Split one sentence into the exact inputs the decode driver will present
+    (backend.bucketed_chunked_predict): ≤max_len whole; overflow ≤10% → one
+    truncated chunk (the padded tail gets no model prediction, so no example);
+    else contiguous max_len chunks including the short final one."""
+    n = len(feats)
+    if n <= max_len:
+        yield feats, tags
+    elif n - max_len <= max_len * 0.1:
+        yield feats[:max_len], tags[:max_len]
+    else:
+        for off in range(0, n, max_len):
+            yield feats[off:off + max_len], tags[off:off + max_len]
+
+
+def demo_training_examples() -> tuple[list, list]:
+    """→ (pos_examples, ner_examples), each a list of (features, tags) chunk pairs
+    over the distinct sentences of the deterministic corpus."""
+    from ..fixtures.corpus import gazetteer_from_aliases, make_aliases, make_docs
+    from ..operators.tag import _words_from_tokens
+    from ..operators.tokenize import _tokenize_text
+    from .lexicon import LexiconNer, pos_tag_word
+
+    ner = LexiconNer(gazetteer_from_aliases(make_aliases(seed=42)))
+    pos_seen: dict[tuple, list] = {}
+    ner_seen: dict[tuple, list] = {}
+    text_memo: set = set()
+    for _did, spans in make_docs(DEMO_TRAIN_DOCS):
+        for s in spans:
+            if s["kind"] != "text" or not s["text"] or s["text"] in text_memo:
+                continue
+            text_memo.add(s["text"])
+            for _si, _st, _ln, toks in _tokenize_text(s["text"], True):
+                words = _words_from_tokens(toks)
+                pf = [t["ending_pos"] for t in toks]
+                nf = [t["ending_ner"] for t in toks]
+                pk, nk = tuple(pf), tuple(nf)
+                if pk not in pos_seen:
+                    pos_seen[pk] = [pos_tag_word(w) for w in words]
+                if nk not in ner_seen:
+                    ner_seen[nk] = ner.tag(words)
+    pos_ex = [ex for k, t in pos_seen.items() for ex in _chunk_examples(list(k), t)]
+    ner_ex = [ex for k, t in ner_seen.items() for ex in _chunk_examples(list(k), t)]
+    return pos_ex, ner_ex
+
+
+def _train_one(examples: list, tags: list[str], seed: int):
+    from ..operators.train_loop import _bucketed_batches
+    from .bilstm import BiLSTMTaggerModel
+    from .train import AdamOptimizer, add_grads, loss_and_grads
+    from .vocab import UNK_ID, Vocab
+
+    vocab = Vocab.build([f for f, _ in examples], cap=5000)
+    tag2id = {t: i for i, t in enumerate(tags)}
+    w2i = vocab.word2id
+    enc = [([w2i.get(x, UNK_ID) for x in f], [tag2id[t] for t in ts])
+           for f, ts in examples]
+    m = BiLSTMTaggerModel.create_pinned(vocab, tags, emb_dim=DEMO_EMB_DIM,
+                                        hidden_dim=DEMO_HIDDEN_DIM, seed=seed)
+    weights = {k: v.copy() for k, v in m.weights.items()}
+    opt = AdamOptimizer(grad_clip=3.0)
+    for _epoch in range(DEMO_EPOCHS):
+        w64 = {k: np.asarray(v, dtype=np.float64) for k, v in weights.items()}
+        grads = None
+        ntok = 0
+        for ids, tgt in _bucketed_batches(enc, 64):
+            _c, g, n = loss_and_grads(w64, DEMO_EMB_DIM, DEMO_HIDDEN_DIM, 1, ids, tgt)
+            ntok += n
+            grads = add_grads(grads, g)
+        opt.step(weights, grads, batch_size=ntok, lr=DEMO_LR)
+    return BiLSTMTaggerModel(weights, m.src_vocab, m.tgt_tags, DEMO_EMB_DIM,
+                             DEMO_HIDDEN_DIM, m.depth, m.max_ending_length)
+
+
+def train_demo_models() -> tuple:
+    """Train the (pos, ner) demo pair from scratch — ~5-8 min of NumPy BPTT; use
+    ``demo_tagger_models()`` for the cached artifact."""
+    from .lexicon import NER_TAGS, POS_TAGS
+
+    pos_ex, ner_ex = demo_training_examples()
+    pos_m = _train_one(pos_ex, POS_TAGS, DEMO_SEED_POS)
+    ner_m = _train_one(ner_ex, NER_TAGS, DEMO_SEED_NER)
+    return pos_m, ner_m
+
+
+def save_demo_models(pos_m, ner_m, path: str = _CACHE_PATH) -> str:
+    buf_pos = np.frombuffer(pos_m.to_bytes(), dtype=np.uint8)
+    buf_ner = np.frombuffer(ner_m.to_bytes(), dtype=np.uint8)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, pos=buf_pos, ner=buf_ner,
+                            version=np.int64(DEMO_VERSION))
+    os.replace(tmp, path)
+    return path
+
+
+def demo_tagger_models() -> tuple:
+    """→ the cached trained (pos, ner) demo pair; trains + caches on a miss (a
+    version mismatch retrains — the artifact is a pure function of this module)."""
+    m = _MEM.get("models")
+    if m is not None:
+        return m
+    from .bilstm import BiLSTMTaggerModel
+
+    if os.path.exists(_CACHE_PATH):
+        with np.load(_CACHE_PATH) as z:
+            if int(z["version"]) == DEMO_VERSION:
+                m = (BiLSTMTaggerModel.from_bytes(z["pos"].tobytes()),
+                     BiLSTMTaggerModel.from_bytes(z["ner"].tobytes()))
+                _MEM["models"] = m
+                return m
+    m = train_demo_models()
+    save_demo_models(*m)
+    _MEM["models"] = m
+    return m
