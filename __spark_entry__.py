@@ -228,6 +228,37 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_edges_dnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL graph materialization driven by the DNN regimen instead of the
+    lexicon: tokenize → BiLSTM POS+NER (the TRAINED demo pair, model/demo.py —
+    reproduces the lexicon regimen, held-out agreement 1.0) → triple templates →
+    linking → CC → edge aggregation. Its oracle is the SAME golden kg_edges parquet
+    the lexicon path is checked against, so a green row proves the DNN end-to-end
+    path — model broadcast, chunked decode, output-type correction, every downstream
+    join/agg — lands on bit-identical edges (the north-star regimen,
+    pos_tagger_ru_settings.json:10-75)."""
+    from lingvo_spark_kg.model.demo import demo_tagger_models
+    from lingvo_spark_kg.operators import canonicalize, graph, linking
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+    from lingvo_spark_kg.operators.triples import extract_triples_df
+
+    pos_m, ner_m = demo_tagger_models()
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    sents = tokenize_docs(_synthetic_docs(spark, sf_dir))
+    triples = extract_triples_df(
+        tag_sentences_bilstm(sents, pos_bc, ner_bc)).localCheckpoint()
+    links = linking.link_mentions(linking.mentions_from_triples(triples),
+                                  _aliases_df(spark))
+    canon = canonicalize.canonical_map(links).localCheckpoint()
+    linked = linking.link_triples(triples, links)
+    return graph.build_edges_table(linked, canon).select(
+        "src_id", "pred", "dst_id", "n_occurrences", "avg_confidence",
+        "n_docs", "example_doc_id",
+    )
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized edges: weighted node degree →
     log2-bucketed histogram (graph.degree_stats) — the power-law summary a KG
@@ -890,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
+        "kg_edges_dnn": q_kg_edges_dnn,
         "kg_degree": q_kg_degree,
         "pack_contexts": q_pack_contexts,
         "kg_invariant": q_kg_invariant,
@@ -953,6 +985,10 @@ def _golden_oracles() -> dict[str, str]:
     out_dir = _goldens_dir(sf_dir)
     paths = golden.ensure_goldens(sf_dir, out_dir)
     out = {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
+    # the DNN-regimen edges query is checked against the SAME golden the lexicon
+    # path uses — the trained demo models reproduce the lexicon regimen, so a green
+    # row is cross-regimen end-to-end equality, not a second mirror
+    out["kg_edges_dnn"] = out["kg_edges"]
     # S2: not a golden mirror — a pure-SQL reshape of the shared raw CoNLL line
     # table (sentence segments from the running blank-line count, tab split,
     # per-segment token positions), checked engine-against-engine
