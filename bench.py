@@ -300,13 +300,8 @@ def run_pipeline(spark, n_docs: int, tagger: str, dnn_backend: str = "numpy") ->
 
     wd = tempfile.mkdtemp(prefix=f"bench_pipe_{tagger}_{dnn_backend}_")
     try:
-        kw = {}
-        if tagger == "dnn":
-            from lingvo_spark_kg.model.demo import demo_tagger_models
-
-            kw["dnn_models"] = demo_tagger_models()
         p = KgPipeline(spark, wd, n_docs=n_docs, tagger=tagger,
-                       dnn_backend=dnn_backend, **kw)
+                       dnn_backend=dnn_backend)
         t0 = time.time()
         counts = p.run(resume=False)
         total = round(time.time() - t0, 3)

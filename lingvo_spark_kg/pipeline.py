@@ -43,7 +43,9 @@ class KgPipeline:
     tagger: str = "lexicon"  # or "dnn": BiLSTM POS+NER models drive the staged path
     # (north_star: "the DNN tagger ... over the text spans"; forces fused=False)
     dnn_models: tuple | None = None  # (pos_model, ner_model) tagger models; default =
-    # the pinned pair the driver queries use. Load real ones via sources.s2s.load_tagger
+    # the TRAINED demo pair (model/demo.py — reproduces the lexicon regimen, so the
+    # graph stages carry real volume; the pinned random pair would emit zero triples).
+    # Load real production models via sources.s2s.load_tagger
     dnn_backend: str = "numpy"  # or "onnx": export via model/onnx_export, broadcast the
     # ONNX bundle, run one session per executor (numpy_session_factory here;
     # onnxruntime on a production image) — the north-star deployment shape executed
@@ -114,7 +116,11 @@ class KgPipeline:
 
     def _config_fingerprint(self) -> dict:
         if self.dnn_models is None:
-            models_fp = "pinned"
+            # the default demo pair is itself versioned — a retrained artifact must
+            # invalidate resumed 'tagged' stages exactly like different weights
+            from .model.demo import DEMO_VERSION
+
+            models_fp = f"demo-v{DEMO_VERSION}"
         else:
             import hashlib
 
@@ -144,10 +150,10 @@ class KgPipeline:
         tag_sentences_bilstm — the north-star shape 'DNN tagger (BiLSTM ... ONNX-
         exported weights broadcast to executors) over the text spans'."""
         from .model.backend import onnx_backend
-        from .model.pinned import pinned_tagger_models
+        from .model.demo import demo_tagger_models
         from .operators.tag import tag_sentences_bilstm
 
-        pos_m, ner_m = self.dnn_models or pinned_tagger_models()
+        pos_m, ner_m = self.dnn_models or demo_tagger_models()
         sc = self.spark.sparkContext
         if self.dnn_backend == "onnx":
             from .model.onnx_export import to_onnx_bundle

@@ -130,11 +130,10 @@ def test_dnn_pipeline_edges_match_lexicon_mirror(spark, tmp_path):
     aggregation all agree end-to-end across the two regimens and the two execution
     models (distributed vs flat driver loop)."""
     from lingvo_spark_kg import golden
-    from lingvo_spark_kg.model.demo import demo_tagger_models
     from lingvo_spark_kg.pipeline import KgPipeline
 
-    p = KgPipeline(spark, str(tmp_path / "wd"), n_docs=250, tagger="dnn",
-                   dnn_models=demo_tagger_models())
+    # no dnn_models arg — this also covers the pipeline's default (the demo pair)
+    p = KgPipeline(spark, str(tmp_path / "wd"), n_docs=250, tagger="dnn")
     counts = p.run(resume=False)
     assert counts["triples_raw"] > 100  # non-trivial volume through every stage
     got = sorted(

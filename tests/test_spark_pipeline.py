@@ -300,13 +300,17 @@ def test_pipeline_dnn_regimen_numpy_onnx_identical(spark, tmp_path):
     with the DNN tagger, once with NumPy-broadcast weights and once with real
     exported ONNX bundles run through the graph-executor session per executor —
     identical triples tables (the BiLSTM ONNX path is bit-identical)."""
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
     from lingvo_spark_kg.pipeline import KgPipeline
 
     outs = {}
     all_counts = {}
     for backend in ("numpy", "onnx"):
+        # pinned models EXPLICITLY (the pipeline default is the trained demo pair):
+        # their zero-triple output keeps the empty-stage-table readability coverage
         p = KgPipeline(spark, str(tmp_path / backend), n_docs=200,
-                       tagger="dnn", dnn_backend=backend)
+                       tagger="dnn", dnn_backend=backend,
+                       dnn_models=pinned_tagger_models())
         all_counts[backend] = p.run(resume=False)
         rows = spark.read.parquet(p.path("tagged")).select(
             "doc_id", "span_idx", "sent_idx", "pos_tags", "ner_tags").collect()
