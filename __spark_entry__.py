@@ -1222,7 +1222,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
-                  < '{format(int(0.2 * 16**8), "08x")}'
+                  < '{_mix_thresh(0.2)}'
         """,
         "pack_contexts": r"""
             WITH d AS (

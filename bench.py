@@ -421,8 +421,12 @@ def main() -> None:
     pipe_docs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_DOCS",
                                    str(n_docs * 10)))
     if pipe_docs > 0:
-        label = (f"{pipe_docs // 1_000_000}m" if pipe_docs % 1_000_000 == 0
-                 else f"{pipe_docs // 1000}k")
+        if pipe_docs % 1_000_000 == 0:
+            label = f"{pipe_docs // 1_000_000}m"
+        elif pipe_docs >= 1000 and pipe_docs % 1000 == 0:
+            label = f"{pipe_docs // 1000}k"
+        else:
+            label = str(pipe_docs)
         pipelines[f"pipeline_lexicon_{label}"] = run_pipeline(
             spark, pipe_docs, "lexicon")
         pipelines[f"pipeline_dnn_{label}"] = run_pipeline(spark, pipe_docs, "dnn")

@@ -1037,6 +1037,13 @@ def ensure_goldens(sf_dir: str, out_dir: str | os.PathLike,
     return paths
 
 
+# bump when conll_fixture_lines' generation (pool, seed, labels, tier sizing)
+# changes, so committed fixture files regenerate instead of staying silently stale
+# (the existence-only check would keep old content green forever — both engines
+# read the same file, so the drift would never surface in the oracle)
+CONLL_FIXTURE_VERSION = 1
+
+
 def ensure_conll_fixture(sf_dir: str, out_dir: str | os.PathLike) -> tuple[str, str]:
     """Deterministic CoNLL corpus fixture for the S2 driver oracle: writes BOTH the
     .conll file (the Spark query's read_conll input) and its raw line table as
@@ -1050,9 +1057,17 @@ def ensure_conll_fixture(sf_dir: str, out_dir: str | os.PathLike) -> tuple[str, 
     out.mkdir(parents=True, exist_ok=True)
     conll = out / "conll_fixture.conll"
     lines_pq = out / "conll_lines.parquet"
-    if not (conll.exists() and lines_pq.exists()):
-        lines = conll_fixture_lines(
-            n_sentences=max(200, n_docs_for(sf_dir) // 50), seed=42)
+    ver_path = out / "conll_manifest.json"
+    want = {"version": CONLL_FIXTURE_VERSION,
+            "n_sentences": max(200, n_docs_for(sf_dir) // 50)}
+    have = None
+    if ver_path.exists():
+        try:
+            have = json.loads(ver_path.read_text())
+        except (ValueError, OSError):
+            have = None
+    if have != want or not (conll.exists() and lines_pq.exists()):
+        lines = conll_fixture_lines(n_sentences=want["n_sentences"], seed=42)
         tmp = out / f".conll_fixture.{os.getpid()}.tmp"
         tmp.write_text("\n".join(lines) + "\n", encoding="utf-8")
         tmp.replace(conll)
@@ -1063,6 +1078,7 @@ def ensure_conll_fixture(sf_dir: str, out_dir: str | os.PathLike) -> tuple[str, 
         tmp2 = out / f".conll_lines.parquet.{os.getpid()}.tmp"
         pq.write_table(tbl, tmp2)
         tmp2.replace(lines_pq)
+        _write_manifest(ver_path, want)
     return str(conll.resolve()), str(lines_pq.resolve())
 
 

@@ -50,6 +50,19 @@ def onnx_backend(session_factory: Callable | None = None) -> Callable[[bytes], I
     return lambda blob: OnnxTagBackend.from_bytes(blob, session_factory=session_factory)
 
 
+def long_sentence_chunk_bounds(n: int, max_len: int = 220) -> list[tuple[int, int]]:
+    """THE chunk policy for an n-token (> max_len) sentence — single copy
+    (SeqLabel.cs:259-311): overflow ≤10% of max_len → ONE truncated chunk
+    [0, max_len) (the tail [max_len, n) gets no model prediction; the decode driver
+    pads it with the last tag); otherwise contiguous max_len chunks covering every
+    token. The demo-model trainer (model/demo.py) builds its training examples from
+    these same bounds, so 'train on exactly the inputs the decoder presents' holds
+    by construction."""
+    if n - max_len <= max_len * 0.1:
+        return [(0, max_len)]
+    return [(off, min(off + max_len, n)) for off in range(0, n, max_len)]
+
+
 def bucketed_chunked_predict(sentences: list[list[str]], predict_batch,
                              max_sent_length: int = 220,
                              bucket_by_length: bool = True) -> list[list[str]]:
@@ -87,13 +100,11 @@ def bucketed_chunked_predict(sentences: list[list[str]], predict_batch,
     for k in long_idx:
         s = sentences[k]
         n = len(s)
-        if n - max_sent_length <= max_sent_length * 0.1:
-            tags = predict_batch([s[:max_sent_length]])[0]
-            tags = tags + [tags[-1]] * (n - max_sent_length)
-        else:
-            tags = []
-            for off in range(0, n, max_sent_length):
-                tags.extend(predict_batch([s[off : off + max_sent_length]])[0])
+        tags = []
+        for lo, hi in long_sentence_chunk_bounds(n, max_sent_length):
+            tags.extend(predict_batch([s[lo:hi]])[0])
+        if len(tags) < n:  # truncated-overflow tail: pad with the last tag
+            tags = tags + [tags[-1]] * (n - len(tags))
         out[k] = tags
     return out
 

@@ -47,18 +47,17 @@ _MEM: dict = {}
 
 
 def _chunk_examples(feats: list[str], tags: list[str], max_len: int = 220):
-    """Split one sentence into the exact inputs the decode driver will present
-    (backend.bucketed_chunked_predict): ≤max_len whole; overflow ≤10% → one
-    truncated chunk (the padded tail gets no model prediction, so no example);
-    else contiguous max_len chunks including the short final one."""
+    """Split one sentence into the exact inputs the decode driver will present:
+    ≤max_len whole, else the SHARED chunk policy (backend.long_sentence_chunk_bounds
+    — one copy, so trainer and decoder cannot desynchronize)."""
+    from .backend import long_sentence_chunk_bounds
+
     n = len(feats)
     if n <= max_len:
         yield feats, tags
-    elif n - max_len <= max_len * 0.1:
-        yield feats[:max_len], tags[:max_len]
     else:
-        for off in range(0, n, max_len):
-            yield feats[off:off + max_len], tags[off:off + max_len]
+        for lo, hi in long_sentence_chunk_bounds(n, max_len):
+            yield feats[lo:hi], tags[lo:hi]
 
 
 def demo_training_examples() -> tuple[list, list]:
@@ -151,12 +150,15 @@ def demo_tagger_models() -> tuple:
     from .bilstm import BiLSTMTaggerModel
 
     if os.path.exists(_CACHE_PATH):
-        with np.load(_CACHE_PATH) as z:
-            if int(z["version"]) == DEMO_VERSION:
-                m = (BiLSTMTaggerModel.from_bytes(z["pos"].tobytes()),
-                     BiLSTMTaggerModel.from_bytes(z["ner"].tobytes()))
-                _MEM["models"] = m
-                return m
+        try:
+            with np.load(_CACHE_PATH) as z:
+                if int(z["version"]) == DEMO_VERSION:
+                    m = (BiLSTMTaggerModel.from_bytes(z["pos"].tobytes()),
+                         BiLSTMTaggerModel.from_bytes(z["ner"].tobytes()))
+                    _MEM["models"] = m
+                    return m
+        except Exception:  # noqa: BLE001 — truncated/corrupt/old-format artifact:
+            pass  # fall through to the documented retrain path
     m = train_demo_models()
     save_demo_models(*m)
     _MEM["models"] = m

@@ -40,10 +40,10 @@ def hash_sample(df: DataFrame, rate: float, key: str = "doc_id",
     granularity). Different seeds draw independent samples."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    threshold = format(min(int(rate * 16**8), 16**8 - 1), "08x")
     h = F.substring(F.md5(F.concat(F.col(key).cast("string"),
                                    F.lit(f":{seed}"))), 1, 8)
-    return df.where(h < F.lit(threshold)) if rate < 1.0 else df
+    return (df.where(h < F.lit(hash_sample_threshold(rate)))
+            if rate < 1.0 else df)
 
 
 def hash_sample_threshold(rate: float) -> str:
@@ -195,8 +195,10 @@ def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int | None = 8,
             f"{key_type.simpleString()} (other types would shard via Spark's silent "
             "cast-to-null)")
     if n_shards is None:
-        # cheap metadata-ish count (parquet row-count scan), once per call — the
-        # shard count then scales with the corpus by construction
+        # NOTE: count() executes the full upstream plan once (cheap only when docs
+        # is a bare table scan, where it reduces to parquet row-count metadata) and
+        # the window job below re-executes it. For a derived frame at scale, either
+        # persist docs first or pass an explicit n_shards ≈ rows / ROWS_PER_PACK_SHARD.
         n_shards = max(1, -(-docs.count() // ROWS_PER_PACK_SHARD))
     if isinstance(key_type, T.StringType):
         # engine-portable 60-bit md5 prefix (DuckDB mirror: md5 + from-hex), NOT

@@ -58,7 +58,10 @@ def _bucketed_batches(rows: list[tuple[list[int], list[int]]], batch_size: int):
 
 
 def _merge_parts(a: tuple, b: tuple) -> tuple:
-    """Combiner for (cost, n_tok, grads|None) triples. Elementwise float ADDITION is
+    """PURE combiner for (cost, n_tok, grads|None) triples — builds a fresh grads
+    dict instead of add_grads (which mutates its first argument): a fold must not
+    corrupt its input partials (a caller re-folding, or holding a leaf reference,
+    would read double-accumulated sums). Elementwise float ADDITION is
     IEEE-commutative, so a single merge is order-safe; it is the GROUPING of merges
     (associativity) that float addition lacks — which is why both reduce modes pin
     the grouping to the same balanced tree (_pairwise_fold) instead of trusting
@@ -69,7 +72,9 @@ def _merge_parts(a: tuple, b: tuple) -> tuple:
     elif gb is None:
         g = ga
     else:
-        g = add_grads(ga, gb)
+        g = dict(ga)  # fresh dict: same accumulate semantics as add_grads, no mutation
+        for k, v in gb.items():
+            g[k] = g.get(k, 0) + v
     return (a[0] + b[0], a[1] + b[1], g)
 
 

@@ -219,11 +219,19 @@ def test_pairwise_fold_block_subtrees_match_full_fold():
               2 * _TREE_BLOCK + 5):
         leaves = [(float(rng.standard_normal()), 1,
                    {"w": rng.standard_normal(4)}) for _ in range(n)]
+        snapshots = [leaf[2]["w"].copy() for leaf in leaves]
         full = _pairwise_fold(list(leaves))
+        # the fold must be PURE: input partials unchanged (a mutating fold would
+        # also make full[2] alias leaves[0][2] and this whole test vacuous)
+        for leaf, snap in zip(leaves, snapshots):
+            assert np.array_equal(leaf[2]["w"], snap)
+        if n > 1:
+            assert full[2] is not leaves[0][2]
         roots = [_pairwise_fold(leaves[b:b + _TREE_BLOCK])
                  for b in range(0, n, _TREE_BLOCK)]
         blocked = _pairwise_fold(roots)
         assert blocked[0] == full[0] and blocked[1] == full[1]
+        assert blocked[2] is not full[2] or n == 1
         assert np.array_equal(blocked[2]["w"], full[2]["w"]), n
 
 
