@@ -280,4 +280,40 @@ def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
                        for (lo, hi), tags in zip(bounds, pos_raw)]
             yield _with_tag_columns(b, pos_col, ner_raw)
 
-    return sentences.mapInArrow(run, schema=TAGGED_SCHEMA)
+    # output schema = input schema + the two tag columns (not the fixed
+    # TAGGED_SCHEMA): the operator passes every input column through untouched, so
+    # it also works on projected frames — e.g. the distinct-tokens dim of
+    # tag_sentences_bilstm_dedup
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(list(sentences.schema.fields) + [
+        T.StructField("pos_tags", T.ArrayType(T.StringType())),
+        T.StructField("ner_tags", T.ArrayType(T.StringType())),
+    ])
+    return sentences.mapInArrow(run, schema=out_schema)
+
+
+def tag_sentences_bilstm_dedup(sentences: DataFrame, pos_model_bc, ner_model_bc,
+                               encoder: str = "bilstm",
+                               backend_loader=None) -> DataFrame:
+    """Corpus-GLOBAL duplicate-sentence dedup around the DNN decode: web corpora are
+    duplicate-heavy (the demo corpus has ~65k distinct sentences under 4.4M sentence
+    instances at 1M docs), and the decode is deterministic and batch-invariant, so
+    decoding each distinct token sequence ONCE and joining the tags back is
+    result-identical to decoding every instance (pinned in tests/test_round5.py).
+
+    Shape: distinct() on the full ``tokens`` array (exact key — no hash-collision
+    exposure) → the expensive DNN operator runs on the distinct dim only → equi-join
+    back on ``tokens``. Both the distinct and the join shuffle hash the token
+    structs; AQE picks broadcast when the tagged dim is small enough and falls back
+    to a shuffle join when the distinct count grows with the corpus — both sides
+    scale. The per-batch memo inside tag_sentences_bilstm is the batch-LOCAL version
+    of the same idea; this amortizes across the whole corpus at the price of one
+    dedup shuffle, the right trade whenever decode ≫ shuffle (any DNN regimen).
+    Output-type correction (M14) keys only on token fields, so identical token
+    sequences get identical corrected tags — the join-back is exact."""
+    dim = tag_sentences_bilstm(sentences.select("tokens").distinct(),
+                               pos_model_bc, ner_model_bc, encoder=encoder,
+                               backend_loader=backend_loader)
+    out = sentences.join(dim, on="tokens", how="left")
+    return out.select(*sentences.columns, "pos_tags", "ner_tags")

@@ -49,6 +49,9 @@ class KgPipeline:
     dnn_backend: str = "numpy"  # or "onnx": export via model/onnx_export, broadcast the
     # ONNX bundle, run one session per executor (numpy_session_factory here;
     # onnxruntime on a production image) — the north-star deployment shape executed
+    dnn_dedup_sentences: bool = True  # corpus-global duplicate-sentence dedup around
+    # the DNN decode (tag_sentences_bilstm_dedup) — result-identical (deterministic,
+    # batch-invariant decode), decode cost scales with DISTINCT sentences
     link_strategy: str = "broadcast"  # or "salted" when the alias dim exceeds broadcast budget
     link_fuzzy: bool = False  # second-pass stem-block linking for inflected mentions
     durable_cc: bool = False  # CC iteration state to reliable storage (cluster runs);
@@ -112,7 +115,7 @@ class KgPipeline:
     # defaults for fingerprint keys added after a workdir was built: a missing key in
     # an old config.json means "built with the default", so resume stays compatible
     _FP_DEFAULTS = {"tagger": "lexicon", "dnn_backend": "numpy",
-                    "dnn_models": "pinned"}
+                    "dnn_models": "pinned", "dnn_dedup": False}
 
     def _config_fingerprint(self) -> dict:
         if self.dnn_models is None:
@@ -141,6 +144,7 @@ class KgPipeline:
         return {"n_docs": self.n_docs, "seed": self.seed, "n_buckets": self.n_buckets,
                 "fused": self.fused, "tagger": self.tagger,
                 "dnn_backend": self.dnn_backend, "dnn_models": models_fp,
+                "dnn_dedup": self.dnn_dedup_sentences,
                 "link_strategy": self.link_strategy,
                 "link_fuzzy": self.link_fuzzy, "external_docs": docs_fp}
 
@@ -151,8 +155,10 @@ class KgPipeline:
         exported weights broadcast to executors) over the text spans'."""
         from .model.backend import onnx_backend
         from .model.demo import demo_tagger_models
-        from .operators.tag import tag_sentences_bilstm
+        from .operators.tag import tag_sentences_bilstm, tag_sentences_bilstm_dedup
 
+        tag_op = (tag_sentences_bilstm_dedup if self.dnn_dedup_sentences
+                  else tag_sentences_bilstm)
         pos_m, ner_m = self.dnn_models or demo_tagger_models()
         sc = self.spark.sparkContext
         if self.dnn_backend == "onnx":
@@ -162,10 +168,9 @@ class KgPipeline:
             pos_bc = sc.broadcast(to_onnx_bundle(pos_m))
             ner_bc = sc.broadcast(to_onnx_bundle(ner_m))
             loader = onnx_backend(session_factory=numpy_session_factory)
-            return tag_sentences_bilstm(sentences, pos_bc, ner_bc,
-                                        backend_loader=loader)
-        return tag_sentences_bilstm(sentences, sc.broadcast(pos_m.to_bytes()),
-                                    sc.broadcast(ner_m.to_bytes()))
+            return tag_op(sentences, pos_bc, ner_bc, backend_loader=loader)
+        return tag_op(sentences, sc.broadcast(pos_m.to_bytes()),
+                      sc.broadcast(ner_m.to_bytes()))
 
     # every stage _run_stage can write — the invalidation set for a config change
     STAGES = ("docs", "media_spans", "sentences", "tagged", "triples_raw", "links",

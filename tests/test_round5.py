@@ -145,6 +145,35 @@ def test_dnn_pipeline_edges_match_lexicon_mirror(spark, tmp_path):
     assert got == want
 
 
+def test_dedup_tagging_identical_to_plain(spark):
+    """tag_sentences_bilstm_dedup (corpus-global distinct-sentence decode + join
+    back) must be row-identical to the plain per-instance decode — the dedup is an
+    execution-cost change only (deterministic, batch-invariant decode; exact
+    tokens-array join key)."""
+    from lingvo_spark_kg.model.demo import demo_tagger_models
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.tag import (tag_sentences_bilstm,
+                                               tag_sentences_bilstm_dedup)
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    pos_m, ner_m = demo_tagger_models()
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    sents = tokenize_docs(generate_docs(spark, 150, seed=7)).localCheckpoint()
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["span_idx"], r["sent_idx"],
+             tuple(r["pos_tags"]), tuple(r["ner_tags"]))
+            for r in df.select("doc_id", "span_idx", "sent_idx",
+                               "pos_tags", "ner_tags").collect())
+
+    plain = rows(tag_sentences_bilstm(sents, pos_bc, ner_bc))
+    dedup = rows(tag_sentences_bilstm_dedup(sents, pos_bc, ner_bc))
+    assert len(plain) > 100
+    assert plain == dedup
+
+
 def test_pack_contexts_auto_shards_scale_with_corpus(spark, monkeypatch):
     """n_shards=None derives the shard count from the corpus size (the 'shards scale
     with the corpus, not the cores' rule enforced by code, not docstring)."""
