@@ -30,14 +30,43 @@ from .schemas import DOCS_SCHEMA
 from .triples import docs_to_triples_fused
 
 
+def dnn_batch_extractor(pos_model_bc, ner_model_bc, backend_loader=None,
+                        dedup: bool = True):
+    """docs-frame → triples-frame extractor for the DNN regimen — the streaming
+    counterpart of the pipeline's staged dnn path (tokenize → BiLSTM POS+NER →
+    triple templates), pass as ``extract_fn`` to ``stream_docs_to_triples``. The
+    per-micro-batch dedup (``dedup=True``) amortizes duplicate sentences within
+    each batch exactly like the batch pipeline's corpus-global pass does."""
+    from .tag import tag_sentences_bilstm, tag_sentences_bilstm_dedup
+    from .tokenize import tokenize_docs
+    from .triples import extract_triples_df
+
+    op = tag_sentences_bilstm_dedup if dedup else tag_sentences_bilstm
+
+    def extract(docs_df: DataFrame) -> DataFrame:
+        tagged = op(tokenize_docs(docs_df), pos_model_bc, ner_model_bc,
+                    backend_loader=backend_loader)
+        return extract_triples_df(tagged)
+
+    return extract
+
+
 def stream_docs_to_triples(spark: SparkSession, input_dir: str, output_dir: str,
-                           checkpoint_dir: str, gazetteer_bc,
-                           max_files_per_trigger: int = 16):
+                           checkpoint_dir: str, gazetteer_bc=None,
+                           max_files_per_trigger: int = 16, extract_fn=None):
     """Start the incremental extraction; returns the StreamingQuery.
 
     input_dir: parquet files with the docs schema (doc_id, spans).
     output_dir: append-mode parquet triples table.
+    extract_fn: docs-frame → triples-frame override (default: the fused lexicon
+    extraction with ``gazetteer_bc``; use ``dnn_batch_extractor(...)`` for the DNN
+    regimen — one seam, so batch and streaming can never drift).
     """
+    if extract_fn is None:
+        if gazetteer_bc is None:
+            raise ValueError("stream_docs_to_triples needs gazetteer_bc or extract_fn")
+        def extract_fn(batch_df):  # noqa: E306
+            return docs_to_triples_fused(batch_df, gazetteer_bc)
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -45,7 +74,7 @@ def stream_docs_to_triples(spark: SparkSession, input_dir: str, output_dir: str,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        triples = docs_to_triples_fused(batch_df, gazetteer_bc)
+        triples = extract_fn(batch_df)
         # idempotent sink: one directory per micro-batch, overwritten on retry
         triples.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 

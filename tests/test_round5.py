@@ -174,6 +174,40 @@ def test_dedup_tagging_identical_to_plain(spark):
     assert plain == dedup
 
 
+def test_streaming_dnn_equals_batch(spark, tmp_path):
+    """The DNN regimen through the streaming seam (dnn_batch_extractor →
+    stream_docs_to_triples foreachBatch) produces the SAME triples as the batch
+    extraction over the same input — one extraction code path, no semantic drift
+    between batch and streaming for the production tagger."""
+    from lingvo_spark_kg.model.demo import demo_tagger_models
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.streaming import (dnn_batch_extractor,
+                                                     read_streamed_triples,
+                                                     stream_docs_to_triples)
+
+    pos_m, ner_m = demo_tagger_models()
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    docs = generate_docs(spark, 120, seed=11)
+    in_dir = str(tmp_path / "docs")
+    docs.write.parquet(in_dir)
+
+    extract = dnn_batch_extractor(pos_bc, ner_bc)
+    q = stream_docs_to_triples(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, extract_fn=extract)
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted((r["doc_id"], r["span_idx"], r["sent_idx"], r["subj"],
+                       r["pred"], r["obj"]) for r in df.collect())
+
+    streamed = rows(read_streamed_triples(spark, str(tmp_path / "out")))
+    batch = rows(extract(spark.read.parquet(in_dir)))
+    assert len(batch) > 50
+    assert streamed == batch
+
+
 def test_pack_contexts_auto_shards_scale_with_corpus(spark, monkeypatch):
     """n_shards=None derives the shard count from the corpus size (the 'shards scale
     with the corpus, not the cores' rule enforced by code, not docstring)."""
