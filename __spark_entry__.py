@@ -239,7 +239,7 @@ def q_kg_edges_dnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_tagger_ru_settings.json:10-75)."""
     from lingvo_spark_kg.model.demo import demo_tagger_models
     from lingvo_spark_kg.operators import canonicalize, graph, linking
-    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm_dedup
     from lingvo_spark_kg.operators.tokenize import tokenize_docs
     from lingvo_spark_kg.operators.triples import extract_triples_df
 
@@ -247,8 +247,10 @@ def q_kg_edges_dnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
     sents = tokenize_docs(_synthetic_docs(spark, sf_dir))
+    # corpus-global dedup decode (result-identical to per-instance decode, pinned
+    # in tests) — also exercises the production tagged-stage shape in the gate
     triples = extract_triples_df(
-        tag_sentences_bilstm(sents, pos_bc, ner_bc)).localCheckpoint()
+        tag_sentences_bilstm_dedup(sents, pos_bc, ner_bc)).localCheckpoint()
     links = linking.link_mentions(linking.mentions_from_triples(triples),
                                   _aliases_df(spark))
     canon = canonicalize.canonical_map(links).localCheckpoint()
