@@ -363,6 +363,43 @@ def q_tag_bilstm_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tag_bilstm_s2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S9 hard signal: the reference ``.s2s`` model FILE FORMAT (protobuf-net
+    wire format, Models/Model_4_ProtoBufSerializer.cs:16-56) round-trips INSIDE a
+    driver row — the pinned pair is written as .s2s bytes, reloaded through the
+    file source (sources/s2s.py write_s2s → load_tagger), and the reloaded models
+    tag the corpus. Oracle = the SAME tag_bilstm golden, so any wire-format
+    drift (field tags, varint widths, weight layout, vocab order) breaks the hash."""
+    import os
+    import tempfile
+
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+    from lingvo_spark_kg.sources.s2s import from_tagger_model, load_tagger, write_s2s
+
+    models = []
+    for m in pinned_tagger_models():
+        fd, path = tempfile.mkstemp(suffix=".s2s")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(write_s2s(from_tagger_model(m)))
+            models.append(load_tagger(path))
+        finally:
+            os.unlink(path)
+    pos_m, ner_m = models
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    docs = docs_from_documents_table(spark, sf_dir)
+    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc)
+    return tagged.select(
+        "doc_id", "span_idx", "sent_idx",
+        F.posexplode(F.arrays_zip("pos_tags", "ner_tags")).alias("tok_idx", "tags"),
+    ).select("doc_id", "span_idx", "sent_idx", "tok_idx",
+             F.col("tags.pos_tags").alias("pos_tag"), F.col("tags.ner_tags").alias("ner_tag"))
+
+
 def q_tag_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9/M11 hard signal: the reference's probability output shape — per token the
     FULL sorted [(class, prob)] list (softmax over the classifier head,
@@ -930,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_urls": q_kg_urls,
         "tag_bilstm": q_tag_bilstm,
+        "tag_bilstm_s2s": q_tag_bilstm_s2s,
         "tag_bilstm_crf": q_tag_bilstm_crf,
         "tag_probs": q_tag_probs,
         "tag_transformer": q_tag_transformer,
@@ -991,6 +1029,9 @@ def _golden_oracles() -> dict[str, str]:
     # path uses — the trained demo models reproduce the lexicon regimen, so a green
     # row is cross-regimen end-to-end equality, not a second mirror
     out["kg_edges_dnn"] = out["kg_edges"]
+    # S5: models round-tripped through the reference .s2s wire format must tag
+    # identically to the in-memory pinned pair — same golden, zero-drift gate
+    out["tag_bilstm_s2s"] = out["tag_bilstm"]
     # S2: not a golden mirror — a pure-SQL reshape of the shared raw CoNLL line
     # table (sentence segments from the running blank-line count, tab split,
     # per-segment token positions), checked engine-against-engine
