@@ -228,6 +228,24 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 node table: canonical map → nodes(canonical_id, label, node_type,
+    n_mentions, n_surfaces, entity_id) via graph.build_nodes — label/node_type from
+    the max-(n_mentions, norm, type) struct (the dominant surface), entity_id the
+    component min-anchor. Oracle = pure SQL aggregation over the kg_canonical
+    golden (the bucket layout column is excluded, as in kg_edges)."""
+    from lingvo_spark_kg.operators import canonicalize, graph, linking
+
+    triples = _synthetic_triples(spark, sf_dir)
+    links = linking.link_mentions(linking.mentions_from_triples(triples),
+                                  _aliases_df(spark))
+    canon = canonicalize.canonical_map(links)
+    return graph.build_nodes(canon).select(
+        "canonical_id", "label", "node_type",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_surfaces").cast("long").alias("n_surfaces"), "entity_id")
+
+
 def q_kg_edges_dnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL graph materialization driven by the DNN regimen instead of the
     lexicon: tokenize → BiLSTM POS+NER (the TRAINED demo pair, model/demo.py —
@@ -961,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
         "kg_edges_dnn": q_kg_edges_dnn,
+        "kg_nodes": q_kg_nodes,
         "kg_degree": q_kg_degree,
         "pack_contexts": q_pack_contexts,
         "kg_invariant": q_kg_invariant,
@@ -1032,6 +1051,25 @@ def _golden_oracles() -> dict[str, str]:
     # S5: models round-tripped through the reference .s2s wire format must tag
     # identically to the in-memory pinned pair — same golden, zero-drift gate
     out["tag_bilstm_s2s"] = out["tag_bilstm"]
+    # S11 nodes: build_nodes is a pure aggregation of the canonical map, so its
+    # oracle is SQL over the kg_canonical golden (max-struct → rank-1 row; Spark
+    # max(struct) = largest (n_mentions, mention_norm, mention_type) tuple)
+    out["kg_nodes"] = f"""
+        WITH c AS (SELECT * FROM read_parquet('{paths["kg_canonical"]}')),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                      PARTITION BY canonical_id
+                      ORDER BY n_mentions DESC, mention_norm DESC,
+                               mention_type DESC) AS rn
+          FROM c),
+        agg AS (
+          SELECT canonical_id, sum(n_mentions)::BIGINT AS n_mentions,
+                 count(*) AS n_surfaces, min(entity_id) AS entity_id
+          FROM c GROUP BY 1)
+        SELECT a.canonical_id, r.mention_norm AS label,
+               r.mention_type AS node_type, a.n_mentions, a.n_surfaces, a.entity_id
+        FROM agg a JOIN ranked r ON r.canonical_id = a.canonical_id AND r.rn = 1
+    """
     # S2: not a golden mirror — a pure-SQL reshape of the shared raw CoNLL line
     # table (sentence segments from the running blank-line count, tab split,
     # per-segment token positions), checked engine-against-engine
