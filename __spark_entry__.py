@@ -264,7 +264,11 @@ def q_kg_edges_dnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_m, ner_m = demo_tagger_models()
     pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
-    sents = tokenize_docs(_synthetic_docs(spark, sf_dir))
+    # materialize sentences before the dedup decode: the distinct dim and the
+    # instance side both read it, and an un-materialized frame would re-run the
+    # tokenizer on each join side (the pipeline gets this for free from its
+    # written sentences stage)
+    sents = tokenize_docs(_synthetic_docs(spark, sf_dir)).localCheckpoint()
     # corpus-global dedup decode (result-identical to per-instance decode, pinned
     # in tests) — also exercises the production tagged-stage shape in the gate
     triples = extract_triples_df(

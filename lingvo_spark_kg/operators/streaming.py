@@ -36,7 +36,10 @@ def dnn_batch_extractor(pos_model_bc, ner_model_bc, backend_loader=None,
     counterpart of the pipeline's staged dnn path (tokenize → BiLSTM POS+NER →
     triple templates), pass as ``extract_fn`` to ``stream_docs_to_triples``. The
     per-micro-batch dedup (``dedup=True``) amortizes duplicate sentences within
-    each batch exactly like the batch pipeline's corpus-global pass does."""
+    each batch exactly like the batch pipeline's corpus-global pass does. (The
+    tokenizer runs on both join sides of the dedup within a micro-batch — fine at
+    micro-batch sizes; the batch pipeline avoids it via its materialized sentences
+    stage.)"""
     from .tag import tag_sentences_bilstm, tag_sentences_bilstm_dedup
     from .tokenize import tokenize_docs
     from .triples import extract_triples_df

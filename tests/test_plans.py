@@ -42,6 +42,43 @@ def test_textstats_whole_stage_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # no python in this path
 
 
+def test_dedup_tagging_plan_shape(spark):
+    """tag_sentences_bilstm_dedup: the expensive Python decode must sit on the
+    DISTINCT side only — one hash-aggregate dedup of the tokens column feeding the
+    single ArrowEvalPython-ish mapInArrow, joined back by equality (never a
+    cartesian), with the full-width instance side untouched by Python."""
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm_dedup
+    from lingvo_spark_kg.operators.tokenize import tokenize_docs
+
+    pos_m, ner_m = pinned_tagger_models()
+    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
+    # materialized sentences, as in the pipeline (the sentences stage is a written
+    # checkpoint table there); an UN-materialized frame would re-run tokenize on
+    # both join sides — callers composing the operator inline should checkpoint
+    sents = tokenize_docs(docs_from_documents_table(spark, SF)).localCheckpoint()
+    plan = _plan(tag_sentences_bilstm_dedup(sents, pos_bc, ner_bc), spark)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE Python stage (the decode of the distinct dim); the instance side
+    # joins back JVM-side. Count plan NODES — formatted explain prints each node
+    # once in the tree and once in the detail section.
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1
+    # the dedup is a hash aggregate keyed on the tokens column before the decode
+    assert "HashAggregate" in plan and "Keys [1]: [tokens" in plan
+
+
+def test_kg_nodes_single_agg(spark, gaz_bc):
+    """build_nodes: one partial-aggregated groupBy over the canonical map — no
+    window, no second shuffle beyond the aggregation exchange."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["kg_nodes"](spark, SF), spark)
+    assert "partial_" in plan  # map-side combine
+    assert "Window" not in plan
+
+
 def test_dedup_agg_is_partial_aggregated(spark):
     import __spark_entry__ as e
 
