@@ -346,23 +346,35 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ner_mentions(tagged)
 
 
-def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pinned DNN regimen over the corpus (rows-only check; parity gates in tests/)."""
-    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+def _tag_exploded(spark: SparkSession, sf_dir: str, pos_m, ner_m,
+                  encoder: str = "bilstm") -> DataFrame:
+    """Broadcast the (pos, ner) model pair, tag the documents-table corpus, flatten
+    to the per-token (doc_id, span_idx, sent_idx, tok_idx, pos_tag, ner_tag) oracle
+    shape — the ONE copy shared by q_tag_bilstm / q_tag_transformer /
+    q_tag_bilstm_s2s (which differ only in how the models were obtained): the three
+    are compared against the same golden family, so their reshape must never drift."""
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
     from lingvo_spark_kg.operators.tokenize import tokenize_docs
 
-    pos_m, ner_m = pinned_tagger_models()
     pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
     docs = docs_from_documents_table(spark, sf_dir)
-    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc)
+    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc,
+                                  encoder=encoder)
     return tagged.select(
         "doc_id", "span_idx", "sent_idx",
         F.posexplode(F.arrays_zip("pos_tags", "ner_tags")).alias("tok_idx", "tags"),
     ).select("doc_id", "span_idx", "sent_idx", "tok_idx",
              F.col("tags.pos_tags").alias("pos_tag"), F.col("tags.ner_tags").alias("ner_tag"))
+
+
+def q_tag_bilstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned DNN regimen over the corpus (rows-only check; parity gates in tests/)."""
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+
+    pos_m, ner_m = pinned_tagger_models()
+    return _tag_exploded(spark, sf_dir, pos_m, ner_m)
 
 
 def q_tag_bilstm_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,9 +408,6 @@ def q_tag_bilstm_s2s(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from lingvo_spark_kg.model.pinned import pinned_tagger_models
-    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
-    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
-    from lingvo_spark_kg.operators.tokenize import tokenize_docs
     from lingvo_spark_kg.sources.s2s import from_tagger_model, load_tagger, write_s2s
 
     models = []
@@ -410,16 +419,7 @@ def q_tag_bilstm_s2s(spark: SparkSession, sf_dir: str) -> DataFrame:
             models.append(load_tagger(path))
         finally:
             os.unlink(path)
-    pos_m, ner_m = models
-    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
-    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
-    docs = docs_from_documents_table(spark, sf_dir)
-    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc)
-    return tagged.select(
-        "doc_id", "span_idx", "sent_idx",
-        F.posexplode(F.arrays_zip("pos_tags", "ner_tags")).alias("tok_idx", "tags"),
-    ).select("doc_id", "span_idx", "sent_idx", "tok_idx",
-             F.col("tags.pos_tags").alias("pos_tag"), F.col("tags.ner_tags").alias("ner_tag"))
+    return _tag_exploded(spark, sf_dir, *models)
 
 
 def q_tag_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,21 +468,9 @@ def q_tag_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden mirror decodes batch-of-1; the pad mask bounds batch-composition float
     noise ~400× under the pinned model's minimum argmax margin (golden.py)."""
     from lingvo_spark_kg.model.pinned import pinned_tagger_models
-    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
-    from lingvo_spark_kg.operators.tag import tag_sentences_bilstm
-    from lingvo_spark_kg.operators.tokenize import tokenize_docs
 
     pos_m, ner_m = pinned_tagger_models(encoder="transformer")
-    pos_bc = spark.sparkContext.broadcast(pos_m.to_bytes())
-    ner_bc = spark.sparkContext.broadcast(ner_m.to_bytes())
-    docs = docs_from_documents_table(spark, sf_dir)
-    tagged = tag_sentences_bilstm(tokenize_docs(docs), pos_bc, ner_bc,
-                                  encoder="transformer")
-    return tagged.select(
-        "doc_id", "span_idx", "sent_idx",
-        F.posexplode(F.arrays_zip("pos_tags", "ner_tags")).alias("tok_idx", "tags"),
-    ).select("doc_id", "span_idx", "sent_idx", "tok_idx",
-             F.col("tags.pos_tags").alias("pos_tag"), F.col("tags.ner_tags").alias("ner_tag"))
+    return _tag_exploded(spark, sf_dir, pos_m, ner_m, encoder="transformer")
 
 
 def q_kg_links_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:

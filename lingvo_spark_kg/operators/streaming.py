@@ -36,19 +36,23 @@ def dnn_batch_extractor(pos_model_bc, ner_model_bc, backend_loader=None,
     counterpart of the pipeline's staged dnn path (tokenize → BiLSTM POS+NER →
     triple templates), pass as ``extract_fn`` to ``stream_docs_to_triples``. The
     per-micro-batch dedup (``dedup=True``) amortizes duplicate sentences within
-    each batch exactly like the batch pipeline's corpus-global pass does. (The
-    tokenizer runs on both join sides of the dedup within a micro-batch — fine at
-    micro-batch sizes; the batch pipeline avoids it via its materialized sentences
-    stage.)"""
+    each batch exactly like the batch pipeline's corpus-global pass does; the
+    tokenized micro-batch is localCheckpointed first so the dedup join's two sides
+    read the materialization instead of re-running the tokenizer (the batch
+    pipeline gets the same from its written sentences stage)."""
     from .tag import tag_sentences_bilstm, tag_sentences_bilstm_dedup
     from .tokenize import tokenize_docs
     from .triples import extract_triples_df
 
-    op = tag_sentences_bilstm_dedup if dedup else tag_sentences_bilstm
-
     def extract(docs_df: DataFrame) -> DataFrame:
-        tagged = op(tokenize_docs(docs_df), pos_model_bc, ner_model_bc,
-                    backend_loader=backend_loader)
+        sentences = tokenize_docs(docs_df)
+        if dedup:
+            tagged = tag_sentences_bilstm_dedup(
+                sentences.localCheckpoint(), pos_model_bc, ner_model_bc,
+                backend_loader=backend_loader)
+        else:
+            tagged = tag_sentences_bilstm(sentences, pos_model_bc, ner_model_bc,
+                                          backend_loader=backend_loader)
         return extract_triples_df(tagged)
 
     return extract

@@ -114,8 +114,12 @@ class KgPipeline:
 
     # defaults for fingerprint keys added after a workdir was built: a missing key in
     # an old config.json means "built with the default", so resume stays compatible
+    # dnn_dedup legacy default is True even though old workdirs ran WITHOUT dedup:
+    # the dedup is result-identical (pinned in tests), so trusting a pre-upgrade
+    # tagged stage is correct — mapping the missing key to False would needlessly
+    # invalidate every pre-upgrade workdir (including pure-lexicon ones)
     _FP_DEFAULTS = {"tagger": "lexicon", "dnn_backend": "numpy",
-                    "dnn_models": "pinned", "dnn_dedup": False}
+                    "dnn_models": "pinned", "dnn_dedup": True}
 
     def _config_fingerprint(self) -> dict:
         if self.dnn_models is None:

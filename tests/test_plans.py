@@ -69,7 +69,7 @@ def test_dedup_tagging_plan_shape(spark):
     assert "HashAggregate" in plan and "Keys [1]: [tokens" in plan
 
 
-def test_kg_nodes_single_agg(spark, gaz_bc):
+def test_kg_nodes_single_agg(spark):
     """build_nodes: one partial-aggregated groupBy over the canonical map — no
     window, no second shuffle beyond the aggregation exchange."""
     import __spark_entry__ as e
