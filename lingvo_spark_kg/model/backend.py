@@ -50,6 +50,28 @@ def onnx_backend(session_factory: Callable | None = None) -> Callable[[bytes], I
     return lambda blob: OnnxTagBackend.from_bytes(blob, session_factory=session_factory)
 
 
+def probs_from_logits(logits: np.ndarray, tgt_tags: list[str],
+                      sentence: list[str], word2id: dict
+                      ) -> tuple[list[list[tuple[str, float]]], float]:
+    """THE probability post-processing (SeqLabel.cs:175-218) — single copy shared by
+    the NumPy models' ``predict_probs`` AND ``OnnxTagBackend.predict_probs``: since
+    the exported graph's logits are bit-identical to the native forward (BiLSTM
+    parity pinned in tests), running the SAME softmax/sort/round here makes the
+    probability output backend-independent bit-for-bit. ``logits``: (T, n_tags)
+    for the sentence; returns (per-token sorted [(class, prob)] lists,
+    WordsInDictRatio)."""
+    m = logits.max(axis=-1, keepdims=True)
+    e = np.exp(logits - m)
+    probs = e / e.sum(axis=-1, keepdims=True)
+    out = []
+    for t in range(len(sentence)):
+        ranked = sorted(zip(tgt_tags, probs[t].tolist()),
+                        key=lambda kv: (-kv[1], kv[0]))
+        out.append([(c, round(p, 6)) for c, p in ranked])
+    in_dict = sum(1 for t in sentence if t in word2id)
+    return out, round(in_dict / len(sentence), 6)
+
+
 def long_sentence_chunk_bounds(n: int, max_len: int = 220) -> list[tuple[int, int]]:
     """THE chunk policy for an n-token (> max_len) sentence — single copy
     (SeqLabel.cs:259-311): overflow ≤10% of max_len → ONE truncated chunk
@@ -178,3 +200,17 @@ class OnnxTagBackend:
     def predict_tags(self, sentences: list[list[str]],
                      max_sent_length: int = 220) -> list[list[str]]:
         return bucketed_chunked_predict(sentences, self._predict_batch, max_sent_length)
+
+    def predict_probs(self, sentence: list[str]
+                      ) -> tuple[list[list[tuple[str, float]]], float]:
+        """Per-class probabilities from the exported graph, batch-1 path — the
+        logits come from the session (bit-parity with the native forward on the
+        BiLSTM path), the softmax/sort/round is the shared ``probs_from_logits``,
+        so the output is bit-identical to the NumPy model's ``predict_probs``
+        (pinned in tests/test_round5.py)."""
+        if not sentence:
+            return [], 0.0
+        w2i = self.vocab.word2id
+        ids = np.array([[w2i.get(t, UNK_ID) for t in sentence]], dtype=np.int64)
+        (logits,) = self.session.run(None, {"ids": ids})
+        return probs_from_logits(logits[0], self.tgt_tags, sentence, w2i)

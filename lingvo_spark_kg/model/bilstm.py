@@ -197,21 +197,15 @@ class BiLSTMTaggerModel:
         the source vocab (SeqLabel.cs:194-216)."""
         if not sentence:
             return [], 0.0
+        from .backend import probs_from_logits
         from .vocab import UNK_ID
 
         w2i = self.src_vocab.word2id
         ids = np.array([[w2i.get(t, UNK_ID) for t in sentence]], dtype=np.int64)
-        logits = self.logits(ids)[0]
-        m = logits.max(axis=-1, keepdims=True)
-        e = np.exp(logits - m)
-        probs = e / e.sum(axis=-1, keepdims=True)
-        out = []
-        for t in range(len(sentence)):
-            ranked = sorted(zip(self.tgt_tags, probs[t].tolist()),
-                            key=lambda kv: (-kv[1], kv[0]))
-            out.append([(c, round(p, 6)) for c, p in ranked])
-        in_dict = sum(1 for t in sentence if t in w2i)
-        return out, round(in_dict / len(sentence), 6)
+        # softmax/sort/round live in the shared probs_from_logits (same ops,
+        # bit-identical to the pre-refactor inline version) so the ONNX backend's
+        # predict_probs cannot drift from this one
+        return probs_from_logits(self.logits(ids)[0], self.tgt_tags, sentence, w2i)
 
     def _predict_batch(self, sentences: list[list[str]]) -> list[list[str]]:
         if not sentences:

@@ -182,13 +182,11 @@ class TransformerTaggerModel:
         tokens found in the source vocab (SeqLabel.cs:194-216)."""
         if not sentence:
             return [], 0.0
+        from .backend import probs_from_logits
+
         w2i = self.src_vocab.word2id
         ids = np.array([[w2i.get(t, UNK_ID) for t in sentence]], dtype=np.int64)
-        probs = _softmax(self.logits(ids, np.array([len(sentence)])), axis=-1)[0]
-        out = []
-        for t in range(len(sentence)):
-            ranked = sorted(zip(self.tgt_tags, probs[t].tolist()),
-                            key=lambda kv: (-kv[1], kv[0]))
-            out.append([(c, round(p, 6)) for c, p in ranked])
-        in_dict = sum(1 for t in sentence if t in w2i)
-        return out, round(in_dict / len(sentence), 6)
+        # shared post-processing (backend.probs_from_logits) — elementwise-identical
+        # to the previous inline _softmax over the batch-of-1 logits
+        return probs_from_logits(self.logits(ids, np.array([len(sentence)]))[0],
+                                 self.tgt_tags, sentence, w2i)

@@ -195,8 +195,9 @@ def tag_sentences_probs(sentences: DataFrame, model_bc, feature: str = "ending_p
     probabilities only on its single-sentence API), memoized per distinct feature
     sequence within the partition — web corpora are duplicate-heavy, and the batch-1
     kernel is deterministic, so memoization changes cost, not results. The backend
-    must expose ``predict_probs`` (the NumPy models do; the ONNX executor seam only
-    carries argmax decode — documented production-activation gap)."""
+    must expose ``predict_probs`` — the NumPy models and ``OnnxTagBackend`` both do
+    (the ONNX path applies the shared ``backend.probs_from_logits`` to the
+    session's bit-parity logits, pinned identical in tests)."""
     if backend_loader is None:
         from ..model.backend import numpy_backend
 

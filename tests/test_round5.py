@@ -174,6 +174,35 @@ def test_dedup_tagging_identical_to_plain(spark):
     assert plain == dedup
 
 
+def test_onnx_predict_probs_bit_identical():
+    """The probability path through the exported-ONNX seam: OnnxTagBackend.
+    predict_probs (session logits + shared probs_from_logits) must equal the NumPy
+    model's predict_probs BIT-FOR-BIT — closes the 'probability output is
+    NumPy-only' production-activation note for the BiLSTM path."""
+    from lingvo_spark_kg.fixtures.corpus import make_docs
+    from lingvo_spark_kg.model.backend import OnnxTagBackend
+    from lingvo_spark_kg.model.onnx_export import to_onnx_bundle
+    from lingvo_spark_kg.model.onnx_numpy import numpy_session_factory
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+    from lingvo_spark_kg.operators.tokenize import _tokenize_text
+
+    pos_m, _ = pinned_tagger_models()
+    onnx = OnnxTagBackend.from_bytes(to_onnx_bundle(pos_m),
+                                     session_factory=numpy_session_factory)
+    n_checked = 0
+    for _did, spans in make_docs(12, start=500_000):
+        for s in spans:
+            if s["kind"] != "text" or not s["text"]:
+                continue
+            for _si, _st, _ln, toks in _tokenize_text(s["text"], True):
+                feats = [t["ending_pos"] for t in toks]
+                if len(feats) > 220:
+                    continue  # probs is the batch-1 ≤220 API, as in the reference
+                assert onnx.predict_probs(feats) == pos_m.predict_probs(feats)
+                n_checked += 1
+    assert n_checked > 20
+
+
 def test_streaming_dnn_equals_batch(spark, tmp_path):
     """The DNN regimen through the streaming seam (dnn_batch_extractor →
     stream_docs_to_triples foreachBatch) produces the SAME triples as the batch
