@@ -430,14 +430,23 @@ def q_tag_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with the golden mirror, so the floats are bit-identical by construction
     (golden._tag_probs_rows)."""
     from lingvo_spark_kg.model.pinned import pinned_tagger_models
+
+    pos_m, _ner_m = pinned_tagger_models()
+    bc = spark.sparkContext.broadcast(pos_m.to_bytes())
+    return _probs_flattened(spark, sf_dir, bc, backend_loader=None)
+
+
+def _probs_flattened(spark: SparkSession, sf_dir: str, model_bc,
+                     backend_loader) -> DataFrame:
+    """tokenize → tag_sentences_probs → scalar rows — shared by tag_probs (NumPy)
+    and tag_probs_onnx (exported graph), which compare against the same golden."""
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.tag import tag_sentences_probs
     from lingvo_spark_kg.operators.tokenize import tokenize_docs
 
-    pos_m, _ner_m = pinned_tagger_models()
-    bc = spark.sparkContext.broadcast(pos_m.to_bytes())
     docs = docs_from_documents_table(spark, sf_dir)
-    pr = tag_sentences_probs(tokenize_docs(docs), bc)
+    pr = tag_sentences_probs(tokenize_docs(docs), model_bc,
+                             backend_loader=backend_loader)
     tok = pr.select(
         "doc_id", "span_idx", "sent_idx", "words_in_dict_ratio",
         F.posexplode("probs").alias("tok_idx", "ranked"),
@@ -448,6 +457,23 @@ def q_tag_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "span_idx", "sent_idx", "tok_idx", "rank",
              F.col("lp.label").alias("label"), F.col("lp.prob").alias("prob"),
              "words_in_dict_ratio")
+
+
+def q_tag_probs_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probability output through the PRODUCTION seam: real exported ONNX
+    bundle broadcast to executors, per-worker graph-executor session, shared
+    softmax post-processing (backend.probs_from_logits) — oracle = the SAME
+    tag_probs golden, so the exported graph's probability output is gated
+    bit-identical to the native kernel's."""
+    from lingvo_spark_kg.model.backend import onnx_backend
+    from lingvo_spark_kg.model.onnx_export import to_onnx_bundle
+    from lingvo_spark_kg.model.onnx_numpy import numpy_session_factory
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+
+    pos_m, _ner_m = pinned_tagger_models()
+    bc = spark.sparkContext.broadcast(to_onnx_bundle(pos_m))
+    loader = onnx_backend(session_factory=numpy_session_factory)
+    return _probs_flattened(spark, sf_dir, bc, backend_loader=loader)
 
 
 def q_kg_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_bilstm_s2s": q_tag_bilstm_s2s,
         "tag_bilstm_crf": q_tag_bilstm_crf,
         "tag_probs": q_tag_probs,
+        "tag_probs_onnx": q_tag_probs_onnx,
         "tag_transformer": q_tag_transformer,
         "kg_links_fuzzy": q_kg_links_fuzzy,
         "media_meta": q_media_meta,
@@ -1043,6 +1070,10 @@ def _golden_oracles() -> dict[str, str]:
     # S5: models round-tripped through the reference .s2s wire format must tag
     # identically to the in-memory pinned pair — same golden, zero-drift gate
     out["tag_bilstm_s2s"] = out["tag_bilstm"]
+    # the exported-ONNX probability path must be bit-identical to the native
+    # kernel's — same tag_probs golden (shared probs_from_logits post-processing
+    # over bit-parity logits)
+    out["tag_probs_onnx"] = out["tag_probs"]
     # S11 nodes: build_nodes is a pure aggregation of the canonical map, so its
     # oracle is SQL over the kg_canonical golden (max-struct → rank-1 row; Spark
     # max(struct) = largest (n_mentions, mention_norm, mention_type) tuple)
