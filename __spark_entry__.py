@@ -934,9 +934,23 @@ def q_conll_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw line table in pure SQL (no golden mirror of the parse logic), so sentence
     segmentation, token/label split and per-sentence ordering are checked
     engine-against-engine."""
+    import os
+
     from lingvo_spark_kg.golden import ensure_conll_fixture
     from lingvo_spark_kg.sources.conll import exploded_tokens, read_conll
 
+    # the DuckDB oracle reads the lines parquet generated under the ORACLE sf_dir;
+    # fixture sizing is tier-dependent (n_docs_for), so a tier mismatch would make
+    # the two engines read DIFFERENT fixtures and fail confusingly — fail fast with
+    # the actual cause instead (tools/check_oracles.py always sets the env var)
+    oracle_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if oracle_dir is not None and (
+            os.path.basename(os.path.normpath(oracle_dir))
+            != os.path.basename(os.path.normpath(sf_dir))):
+        raise ValueError(
+            f"conll_sentences: query sf_dir {sf_dir!r} and SPARK_GRAFT_ORACLE_SF_DIR "
+            f"{oracle_dir!r} point at different tiers — the engines would compare "
+            "differently-sized fixtures")
     conll_path, _lines = ensure_conll_fixture(sf_dir, _goldens_dir(sf_dir))
     t = exploded_tokens(read_conll(spark, conll_path))
     return t.select(F.col("sent_key").cast("long").alias("sent_id"),

@@ -1087,6 +1087,6 @@ def _write_manifest(manifest_path: Path, want: dict) -> None:
     write_text can expose a torn manifest to a concurrent reader, and two concurrent
     regenerations can interleave so the last writer drops 'names' entries the other
     just computed (self-healing, but wasted recompute)."""
-    tmp = manifest_path.with_name(f".manifest.json.{os.getpid()}.tmp")
+    tmp = manifest_path.with_name(f".{manifest_path.name}.{os.getpid()}.tmp")
     tmp.write_text(json.dumps(want, indent=1))
     tmp.replace(manifest_path)

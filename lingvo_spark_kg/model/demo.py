@@ -157,8 +157,15 @@ def demo_tagger_models() -> tuple:
                          BiLSTMTaggerModel.from_bytes(z["ner"].tobytes()))
                     _MEM["models"] = m
                     return m
-        except Exception:  # noqa: BLE001 — truncated/corrupt/old-format artifact:
-            pass  # fall through to the documented retrain path
+        except Exception as exc:  # noqa: BLE001 — truncated/corrupt/old-format
+            # artifact: fall through to the documented retrain path, but say so —
+            # a silent fallback surfaces only as an unexplained multi-minute train
+            import warnings
+
+            warnings.warn(
+                f"demo model cache {_CACHE_PATH} unreadable ({exc!r}); "
+                "retraining demo models (~5 min). Regenerate with "
+                "tools/make_demo_models.py.", stacklevel=2)
     m = train_demo_models()
     save_demo_models(*m)
     _MEM["models"] = m

@@ -149,6 +149,22 @@ ROWS_PER_PACK_SHARD = 10_000_000  # auto-shard sizing: one shard task sorts+cums
 # the corpus" rule, enforced by code when n_shards=None
 
 
+def _is_cheap_scan(df: DataFrame) -> bool:
+    """True when every node of the analyzed logical plan is scan-shaped
+    (Relation/Project/Filter/alias) — running the plan twice then costs one extra
+    metadata-or-pruned read, not a recompute. Anything else (joins, aggregates,
+    Python stages, repartitions) is treated as derived and worth persisting before
+    a count()+window double execution."""
+    cheap = ("Relation", "Project", "Filter", "SubqueryAlias", "View",
+             "LogicalRDD", "LocalRelation")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        if node and not node.startswith(cheap):
+            return False
+    return True
+
+
 def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int | None = 8,
                   key: str = "doc_id", n_tokens_col=None) -> DataFrame:
     """GPT-style context packing — the pretraining sequence-packing primitive:
@@ -163,7 +179,8 @@ def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int | None = 8,
     TypeError driver-side rather than Spark's silent cast-to-null. Each stream is
     ONE window partition — i.e. one task sorts and cumsums that shard — so n_shards
     must scale with the CORPUS, not the core count. ``n_shards=None`` enforces that
-    rule by deriving it from a cheap count(): ceil(corpus_rows / ROWS_PER_PACK_SHARD)
+    rule by deriving it from a count() (derived inputs are auto-persisted first so
+    the upstream plan runs once): ceil(corpus_rows / ROWS_PER_PACK_SHARD)
     (a shard row is just key+count, so 10^7 rows ≈ hundreds of MB per task) — at
     10^12 docs that is ~10^5 shards, far more parallelism than any cluster's cores,
     while the packing semantics are unaffected because shards are independent
@@ -195,10 +212,15 @@ def pack_contexts(docs: DataFrame, budget: int = 2048, n_shards: int | None = 8,
             f"{key_type.simpleString()} (other types would shard via Spark's silent "
             "cast-to-null)")
     if n_shards is None:
-        # NOTE: count() executes the full upstream plan once (cheap only when docs
-        # is a bare table scan, where it reduces to parquet row-count metadata) and
-        # the window job below re-executes it. For a derived frame at scale, either
-        # persist docs first or pass an explicit n_shards ≈ rows / ROWS_PER_PACK_SHARD.
+        # count() executes the full upstream plan once (cheap only when docs is a
+        # bare/pruned table scan, where it reduces to parquet row-count metadata)
+        # and the window job below re-executes it — so a DERIVED frame is persisted
+        # first: the count materializes the cache and the window job reads it
+        # (caller unpersists when done; pass an explicit n_shards to opt out).
+        if not _is_cheap_scan(docs):
+            from pyspark import StorageLevel
+
+            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         n_shards = max(1, -(-docs.count() // ROWS_PER_PACK_SHARD))
     if isinstance(key_type, T.StringType):
         # engine-portable 60-bit md5 prefix (DuckDB mirror: md5 + from-hex), NOT

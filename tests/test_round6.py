@@ -1,0 +1,102 @@
+"""Round-6 additions: pack_contexts auto-persist (derived input executes once),
+conll oracle-tier guard, demo-cache fallback warning, manifest tmp naming."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pack_contexts_autoshard_executes_derived_upstream_once(spark, tmp_path):
+    """n_shards=None on a DERIVED frame (Python stage upstream): the count() that
+    sizes the shards must not re-run the upstream for the window job — the operator
+    auto-persists. Witness: a mapInArrow stage appends one line per partition
+    invocation to a shared file; two executions would double the line count."""
+    import pyarrow as pa
+
+    from lingvo_spark_kg.operators.corpus_ops import pack_contexts
+
+    marker = tmp_path / "invocations.log"
+    marker_path = str(marker)
+
+    def counting(batches):
+        with open(marker_path, "a") as f:
+            f.write("x\n")
+        for b in batches:
+            yield b
+
+    base = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id").cast("string")).alias("text"))
+    derived = base.repartition(2).mapInArrow(
+        counting, "doc_id long, text string")
+    out = pack_contexts(derived, budget=8, n_shards=None)
+    assert out.count() == 40
+    # one invocation per partition per execution; repartition(2) → exactly 2 lines
+    n = len(marker.read_text().splitlines())
+    assert n == 2, f"derived upstream ran {n / 2:g} times; expected once"
+
+
+def test_pack_contexts_bare_scan_not_persisted(spark, tmp_path):
+    """A bare parquet scan must NOT be persisted by the auto-shard path (the count
+    is metadata-cheap; caching a 100 TB scan would be the bug)."""
+    from lingvo_spark_kg.operators.corpus_ops import _is_cheap_scan, pack_contexts
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    assert _is_cheap_scan(docs)
+    assert _is_cheap_scan(docs.select("doc_id", "text").where(F.col("doc_id") > 2))
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert pack_contexts(docs, budget=8, n_shards=None).count() == 10
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before, "bare scan was persisted"
+
+
+def test_is_cheap_scan_rejects_derived_plans(spark):
+    from lingvo_spark_kg.operators.corpus_ops import _is_cheap_scan
+
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    assert not _is_cheap_scan(df.groupBy("doc_id").count())
+    assert not _is_cheap_scan(df.repartition(4))
+    assert not _is_cheap_scan(df.join(df.withColumnRenamed("doc_id", "d2"),
+                                      F.col("doc_id") == F.col("d2")))
+
+
+def test_conll_sentences_rejects_oracle_tier_mismatch(spark):
+    import __spark_entry__ as e
+
+    old = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = "/root/testdata/sf0.01"
+    try:
+        with pytest.raises(ValueError, match="different tiers"):
+            e.q_conll_sentences(spark, "/root/testdata/sf0.001")
+    finally:
+        if old is None:
+            del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        else:
+            os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
+
+
+def test_manifest_tmp_name_is_per_target():
+    """Two manifests in one directory must not share a tmp path (golden.py
+    _write_manifest) — derive it from the target file name."""
+    import json
+    from pathlib import Path
+
+    from lingvo_spark_kg.golden import _write_manifest
+
+    with tempfile.TemporaryDirectory() as d:
+        a = Path(d) / "manifest.json"
+        b = Path(d) / "conll_manifest.json"
+        _write_manifest(a, {"k": 1})
+        _write_manifest(b, {"k": 2})
+        assert json.loads(a.read_text()) == {"k": 1}
+        assert json.loads(b.read_text()) == {"k": 2}
+        # tmp names derived from each target → distinct even same-pid
+        assert f".{a.name}.{os.getpid()}.tmp" != f".{b.name}.{os.getpid()}.tmp"
