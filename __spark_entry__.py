@@ -746,6 +746,21 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup SURVIVOR selection (dedup.neardup_survivors): MinHash near-dup
+    pairs at jaccard ≥ 0.7 → connected components (the SAME checkpointed CC
+    operator the KG canonicalization uses, on the pair-bounded graph) → per doc
+    (doc_id, cluster_id, is_canonical) with the deterministic min-doc_id keep
+    rule. The DuckDB oracle recomputes the pairs and clusters them with a
+    recursive min-label CTE — engine-against-engine, no golden."""
+    from lingvo_spark_kg.operators.dedup import neardup_pairs, neardup_survivors
+
+    d = _documents(spark, sf_dir)
+    pairs = neardup_pairs(d, n_hashes=8, rows_per_band=2)
+    return neardup_survivors(d, pairs, threshold=0.7).select(
+        "doc_id", "cluster_id", "is_canonical")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lingvo_spark_kg.operators.dedup import simhash
 
@@ -1000,6 +1015,125 @@ def q_event_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- combined driver rows
+# The driver's correctness check executes at most 50 queries() entries per round
+# (CORRECTNESS_r05 ran exactly the first 50 of 56, silently dropping the tail —
+# VERDICT r5 item 1). Same-family surfaces are therefore folded into combined rows
+# (join on the shared key, or union with a variant discriminator): every operator
+# keeps a hard oracle row, and the whole set fits the cap with slack. The single
+# q_* functions stay — bench.py and the plan-pin tests time/inspect them directly.
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id ⋈ quality on doc_id — the two single-scan document-feature surfaces
+    (textstats.language_id / quality_score) in one row."""
+    return q_lang_id(spark, sf_dir).join(q_quality(spark, sf_dir), "doc_id")
+
+
+def q_token_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_count ⋈ repetition on doc_id (textstats.token_count /
+    repetition_stats)."""
+    return q_token_count(spark, sf_dir).join(q_repetition(spark, sf_dir), "doc_id")
+
+
+def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash ⋈ per-doc md5 fingerprint ⋈ its bucket stats — the three
+    document-hash surfaces (dedup.simhash, textstats.fingerprint and the bucket
+    aggregation formerly exposed as the 'fingerprint' row) in one row."""
+    from lingvo_spark_kg.operators.textstats import fingerprint
+
+    fp = fingerprint(_documents(spark, sf_dir))
+    buckets = fp.groupBy("fp_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_n_docs"),
+        F.countDistinct("fp").cast("long").alias("bucket_n_distinct"))
+    return (q_simhash(spark, sf_dir)
+            .join(fp.select("doc_id", "fp", "fp_bucket"), "doc_id")
+            .join(F.broadcast(buckets), "fp_bucket"))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """words_in_dict per-doc ratios + the //10 length histogram joined back on the
+    doc's own bucket (A3 + A4 in one row; the histogram side is broadcast)."""
+    wd = q_words_in_dict(spark, sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_tokens") / 10).cast("long"))
+    ld = q_len_distribution(spark, sf_dir).withColumnRenamed(
+        "n_docs", "n_docs_in_bucket")
+    return wd.join(F.broadcast(ld), "len_bucket")
+
+
+def q_doc_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain + stratified deterministic hash samples as one union with a variant
+    discriminator (corpus_ops.hash_sample / stratified_hash_sample)."""
+    a = q_doc_sample(spark, sf_dir).select(
+        F.lit("plain").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("lang"), "n_chars")
+    b = q_doc_sample_stratified(spark, sf_dir).select(
+        F.lit("stratified").alias("variant"), "doc_id", "lang", "n_chars")
+    return a.unionByName(b)
+
+
+def q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered window sequence (event_windows) + tumbling-window
+    aggregation (the streaming operator on the batch table) normalized to one
+    schema: part ('seq'|'win'), k1, k2, n, v, s."""
+    seq = q_event_windows(spark, sf_dir).select(
+        F.lit("seq").alias("part"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_id").cast("string").alias("k2"),
+        F.col("seq").alias("n"), F.col("running_value").alias("v"),
+        F.col("prev_type").alias("s"))
+    win = q_event_windowed_agg(spark, sf_dir).select(
+        F.lit("win").alias("part"), F.col("win_start").alias("k1"),
+        F.col("event_type").alias("k2"), F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v"), F.col("win_end").alias("s"))
+    return seq.unionByName(win)
+
+
+def q_ann_lsh_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table LSH (the deliberately recall-poor baseline) + multi-table
+    multiprobe LSH under one variant column (operators/ann.py)."""
+    a = q_ann_lsh(spark, sf_dir).select(
+        F.lit("single").alias("variant"), "query_id", "vec_id", "cosine", "rank")
+    b = q_ann_lsh_multi(spark, sf_dir).select(
+        F.lit("multi").alias("variant"), "query_id", "vec_id", "cosine", "rank")
+    return a.unionByName(b)
+
+
+def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_media metadata ⋈ resize_media on (doc_id, span_idx, kind) — the
+    resized dims/sha1 carried next to the decoded originals."""
+    r = q_media_resized(spark, sf_dir).select(
+        "doc_id", "span_idx", "kind",
+        F.col("width").alias("r_width"), F.col("height").alias("r_height"),
+        "resized_sha1")
+    return q_media_meta(spark, sf_dir).join(r, ["doc_id", "span_idx", "kind"])
+
+
+def q_prf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label P/R/F1 rows + a '__macro__' summary row (A1 + A2 in one row):
+    the macro row carries the included-label count sums and the macro-averaged
+    precision/recall/f1 from metrics.macro_f1."""
+    from lingvo_spark_kg.operators.metrics import SPECIAL_LABELS, macro_f1, per_label_prf
+
+    hyp, ref = _rule_taggings(spark, sf_dir)
+    p = per_label_prf(hyp, ref)
+    base = p.select(
+        "label",
+        F.col("n_hyp").cast("long").alias("n_hyp"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_both").cast("long").alias("n_both"),
+        "precision", "recall", "f1")
+    sums = base.where(~F.col("label").isin(*SPECIAL_LABELS)).agg(
+        F.sum("n_hyp").cast("long").alias("n_hyp"),
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("n_both").cast("long").alias("n_both"))
+    macro_row = sums.crossJoin(macro_f1(p)).select(
+        F.lit("__macro__").alias("label"), "n_hyp", "n_ref", "n_both",
+        F.col("macro_precision").alias("precision"),
+        F.col("macro_recall").alias("recall"),
+        F.col("macro_f1").alias("f1"))
+    return base.unionByName(macro_row)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -1024,38 +1158,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_probs_onnx": q_tag_probs_onnx,
         "tag_transformer": q_tag_transformer,
         "kg_links_fuzzy": q_kg_links_fuzzy,
-        "media_meta": q_media_meta,
+        "media_meta_resized": q_media_meta_resized,
         "media_frames": q_media_frames,
-        "media_resized": q_media_resized,
         "media_embeddings": q_media_embeddings,
         "train_history": q_train_history,
         "dedup_exact": q_dedup_exact,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
+        "doc_stats": q_doc_stats,
+        "token_rep_stats": q_token_rep_stats,
+        "doc_hashes": q_doc_hashes,
         "winnow_fp": q_winnow_fp,
         "winnow_neardup": q_winnow_neardup,
         "decontaminate": q_decontaminate,
-        "doc_sample": q_doc_sample,
-        "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_samples": q_doc_samples,
         "redact_pii": q_redact_pii,
-        "repetition": q_repetition,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
-        "simhash": q_simhash,
+        "dedup_survivors": q_dedup_survivors,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_multi": q_ann_lsh_multi,
+        "ann_lsh_all": q_ann_lsh_all,
         "ann_ivf": q_ann_ivf,
         "emb_neardup": q_emb_neardup,
-        "prf_metrics": q_prf_metrics,
-        "macro_f1": q_macro_f1,
+        "prf_metrics": q_prf_all,
         "vocab_build": q_vocab_build,
-        "len_distribution": q_len_distribution,
-        "words_in_dict": q_words_in_dict,
-        "event_windows": q_event_windows,
-        "event_windowed_agg": q_event_windowed_agg,
+        "corpus_stats": q_corpus_stats,
+        "event_analytics": q_event_analytics,
         "curated_docs": q_curated_docs,
         "conll_sentences": q_conll_sentences,
     }
@@ -1077,6 +1203,25 @@ def _golden_oracles() -> dict[str, str]:
     out_dir = _goldens_dir(sf_dir)
     paths = golden.ensure_goldens(sf_dir, out_dir)
     out = {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
+    # media_meta + media_resized are one combined driver row (50-row cap): join the
+    # two goldens on the span key, resized dims/sha1 under r_-prefixed names
+    del out["media_meta"], out["media_resized"]
+    out["media_meta_resized"] = f"""
+        SELECT m.*, r.width AS r_width, r.height AS r_height, r.resized_sha1
+        FROM read_parquet('{paths["media_meta"]}') m
+        JOIN read_parquet('{paths["media_resized"]}') r
+          USING (doc_id, span_idx, kind)
+    """
+    # single-table + multi-table LSH under one variant column (the single-table SQL
+    # oracle embeds the hyperplanes; the multi-table side is a golden)
+    del out["ann_lsh_multi"]
+    out["ann_lsh_all"] = f"""
+        SELECT 'single' AS variant, query_id, vec_id, cosine, rank
+        FROM ({_ann_lsh_oracle()})
+        UNION ALL
+        SELECT 'multi' AS variant, query_id, vec_id, cosine, rank
+        FROM read_parquet('{paths["ann_lsh_multi"]}')
+    """
     # the DNN-regimen edges query is checked against the SAME golden the lexicon
     # path uses — the trained demo models reproduce the lexicon regimen, so a green
     # row is cross-regimen end-to-end equality, not a second mirror
@@ -1156,6 +1301,133 @@ f AS (
 )
 """
 
+# single-surface SQL bodies reused as subqueries by the combined rows (the
+# combined row IS the driver entry; these constants keep each surface's SQL in
+# exactly one place)
+_TOKEN_COUNT_SQL = r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS n_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9 \t\n\r\f\x0B]'))
+             AS n_re_tokens,
+           length(text) AS n_chars,
+           CAST(floor(length(text) / 4) AS BIGINT) AS n_bpe_est
+    FROM documents
+"""
+
+_REPETITION_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w
+      FROM documents),
+    b AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2 THEN
+               [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+             ELSE [] END AS g
+      FROM w),
+    frac AS (
+      SELECT doc_id, len(w) AS n_words,
+             round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4)
+               AS dup_word_frac,
+             CASE WHEN len(g) > 0 THEN
+               round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4)
+             ELSE 0.0 END AS dup_2gram_frac
+      FROM b),
+    grams AS (SELECT doc_id, unnest(g) AS gram FROM b),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM gc GROUP BY 1)
+    SELECT f.doc_id, f.n_words, f.dup_word_frac, f.dup_2gram_frac,
+           coalesce(round(t.top_c * 1.0 / t.n_g, 4), 0.0) AS top_2gram_frac
+    FROM frac f LEFT JOIN top t ON f.doc_id = t.doc_id
+"""
+
+_LEN_DIST_SQL = r"""
+    SELECT CAST(floor(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) / 10) AS BIGINT)
+             AS len_bucket,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+"""
+
+_WORDS_IN_DICT_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, 1 AS in_dict FROM (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+        ORDER BY cnt DESC, token ASC LIMIT 500))
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(sum(coalesce(v.in_dict, 0)) * 1.0 / count(*), 4)
+             AS words_in_dict_ratio
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY 1
+"""
+
+_EVENT_WINDOWS_SQL = """
+    SELECT user_id, event_id,
+           row_number() OVER w AS seq,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+           lag(event_type, 1) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+_EVENT_WINDOWED_AGG_SQL = """
+    SELECT strftime(epoch_ms(CAST(floor(epoch(ts) / 300) * 300000 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           strftime(epoch_ms(CAST(floor(epoch(ts) / 300) * 300000 + 300000 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS win_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+"""
+
+
+def _simhash_sql() -> str:
+    return "WITH " + _SHINGLE_CTE + r""",
+    h AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS hex16 FROM sh),
+    nib AS (
+      SELECT doc_id, ni AS nib_idx,
+             strpos('0123456789abcdef', substr(hex16, ni + 1, 1)) - 1 AS nib
+      FROM h, (SELECT unnest(range(0, 16)) AS ni)),
+    bits AS (
+      SELECT doc_id, nib_idx,
+             sum(CASE WHEN (nib // 1) % 2 = 1 THEN 1 ELSE -1 END) AS s0,
+             sum(CASE WHEN (nib // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1,
+             sum(CASE WHEN (nib // 4) % 2 = 1 THEN 1 ELSE -1 END) AS s2,
+             sum(CASE WHEN (nib // 8) % 2 = 1 THEN 1 ELSE -1 END) AS s3
+      FROM nib GROUP BY 1, 2),
+    nv AS (
+      SELECT doc_id, nib_idx,
+             (CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) AS nib_out
+      FROM bits),
+    hx AS (
+      SELECT doc_id,
+             lower(string_agg(substr('0123456789abcdef', nib_out + 1, 1), ''
+                              ORDER BY nib_idx)) AS simhash
+      FROM nv GROUP BY 1)
+    SELECT doc_id, simhash, substr(simhash, 1, 4) AS sim_block FROM hx
+"""
+
+
+def _doc_sample_strat_sql() -> str:
+    case = " ".join(f"WHEN lang = '{g}' THEN '{_mix_thresh(r)}'"
+                    for g, r in sorted(_MIX_RATES.items()))
+    return f"""
+        SELECT doc_id, lang, length(text) AS n_chars
+        FROM documents
+        WHERE CASE {case} ELSE '{_mix_thresh(_MIX_DEFAULT)}' END = 'g'
+           OR substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+          CASE {case} ELSE '{_mix_thresh(_MIX_DEFAULT)}' END
+    """
+
+
 _QUALITY_EXPR = """
 round((CASE WHEN n_chars >= 20 THEN 0.4 ELSE 0.0 END)
     + (CASE WHEN digit_ratio < 0.3 THEN 0.3 ELSE 0.0 END)
@@ -1210,6 +1482,31 @@ bands AS (
   SELECT doc_id, CAST(hash_idx // 2 AS INT) AS band_idx,
          md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_sig
   FROM sig GROUP BY 1, 2
+)
+"""
+
+# candidate pairs + exact-Jaccard verify on top of the MinHash bands — shared by
+# the neardup_pairs row and the dedup_survivors CC that consumes its `np` output
+_NEARDUP_CTES = _MINHASH_CTE + r""",
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+np AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
 )
 """
 
@@ -1273,34 +1570,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
-        "lang_id": f"""
+        "doc_stats": f"""
             WITH {_DOC_FEATURES_CTE}
-            SELECT doc_id, cyr_ratio, lat_ratio, {_LANG_EXPR} AS lang_pred
-            FROM f
-        """,
-        "token_count": r"""
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS n_tokens,
-                   len(regexp_extract_all(text,
-                       '[a-zA-Zа-яА-ЯёЁ0-9]+|[^a-zA-Zа-яА-ЯёЁ0-9 \t\n\r\f\x0B]'))
-                     AS n_re_tokens,
-                   length(text) AS n_chars,
-                   CAST(floor(length(text) / 4) AS BIGINT) AS n_bpe_est
-            FROM documents
-        """,
-        "quality": f"""
-            WITH {_DOC_FEATURES_CTE}
-            SELECT doc_id, n_chars, n_tokens, digit_ratio, punct_ratio,
+            SELECT doc_id, cyr_ratio, lat_ratio, {_LANG_EXPR} AS lang_pred,
+                   n_chars, n_tokens, digit_ratio, punct_ratio,
                    round(CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END, 4)
                      AS mean_token_len,
                    {_QUALITY_EXPR} AS quality
             FROM f
         """,
-        "fingerprint": """
-            WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
-            SELECT substr(fp, 1, 1) AS fp_bucket, count(*) AS n_docs,
-                   count(DISTINCT fp) AS n_distinct
-            FROM fp GROUP BY 1
+        "token_rep_stats": f"""
+            SELECT tc.*, rep.n_words, rep.dup_word_frac, rep.dup_2gram_frac,
+                   rep.top_2gram_frac
+            FROM ({_TOKEN_COUNT_SQL}) tc JOIN ({_REPETITION_SQL}) rep USING (doc_id)
+        """,
+        "doc_hashes": f"""
+            WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+            b AS (SELECT substr(fp, 1, 1) AS fp_bucket,
+                         count(*) AS bucket_n_docs,
+                         count(DISTINCT fp) AS bucket_n_distinct
+                  FROM fp GROUP BY 1)
+            SELECT substr(fp.fp, 1, 1) AS fp_bucket, s.doc_id, s.simhash,
+                   s.sim_block, fp.fp, b.bucket_n_docs, b.bucket_n_distinct
+            FROM ({_simhash_sql()}) s
+            JOIN fp USING (doc_id)
+            JOIN b ON b.fp_bucket = substr(fp.fp, 1, 1)
         """,
         "winnow_fp": "WITH " + _WINNOW_CTE + "SELECT doc_id, fp FROM fp_rows",
         "winnow_neardup": "WITH " + _WINNOW_CTE + """,
@@ -1310,37 +1604,15 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 10
         """,
-        "repetition": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w
-              FROM documents),
-            b AS (
-              SELECT doc_id, w,
-                     CASE WHEN len(w) >= 2 THEN
-                       [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
-                     ELSE [] END AS g
-              FROM w),
-            frac AS (
-              SELECT doc_id, len(w) AS n_words,
-                     round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4)
-                       AS dup_word_frac,
-                     CASE WHEN len(g) > 0 THEN
-                       round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4)
-                     ELSE 0.0 END AS dup_2gram_frac
-              FROM b),
-            grams AS (SELECT doc_id, unnest(g) AS gram FROM b),
-            gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
-            top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM gc GROUP BY 1)
-            SELECT f.doc_id, f.n_words, f.dup_word_frac, f.dup_2gram_frac,
-                   coalesce(round(t.top_c * 1.0 / t.n_g, 4), 0.0) AS top_2gram_frac
-            FROM frac f LEFT JOIN top t ON f.doc_id = t.doc_id
-        """,
-        "doc_sample": f"""
-            SELECT doc_id, length(text) AS n_chars
-            FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
-                  < '{_mix_thresh(0.2)}'
+        "doc_samples": f"""
+            SELECT 'plain' AS variant, doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars
+            FROM (SELECT doc_id, length(text) AS n_chars
+                  FROM documents
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+                        < '{_mix_thresh(0.2)}')
+            UNION ALL
+            SELECT 'stratified' AS variant, doc_id, lang, n_chars
+            FROM ({_doc_sample_strat_sql()})
         """,
         "pack_contexts": r"""
             WITH d AS (
@@ -1364,17 +1636,6 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS straddles
             FROM o
         """,
-        "doc_sample_stratified": f"""
-            SELECT doc_id, lang, length(text) AS n_chars
-            FROM documents
-            WHERE CASE {' '.join(f"WHEN lang = '{g}' THEN '{_mix_thresh(r)}'"
-                                 for g, r in sorted(_MIX_RATES.items()))}
-                       ELSE '{_mix_thresh(_MIX_DEFAULT)}' END = 'g'
-               OR substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
-              CASE {' '.join(f"WHEN lang = '{g}' THEN '{_mix_thresh(r)}'"
-                             for g, r in sorted(_MIX_RATES.items()))}
-                   ELSE '{_mix_thresh(_MIX_DEFAULT)}' END
-        """,
         "decontaminate": "WITH " + _SHINGLE_CTE + """,
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
             corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
@@ -1383,52 +1644,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "minhash_bands": "WITH " + _MINHASH_CTE + "SELECT doc_id, band_idx, band_sig FROM bands",
-        "neardup_pairs": "WITH " + _MINHASH_CTE + r""",
-            cand AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-               AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.doc_a
-              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-              GROUP BY 1, 2)
-            SELECT i.doc_a, i.doc_b, i.n_inter,
-                   round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
-            FROM inter i
-            JOIN sizes za ON za.doc_id = i.doc_a
-            JOIN sizes zb ON zb.doc_id = i.doc_b
-        """,
-        "simhash": "WITH " + _SHINGLE_CTE + r""",
-            h AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS hex16 FROM sh),
-            nib AS (
-              SELECT doc_id, ni AS nib_idx,
-                     strpos('0123456789abcdef', substr(hex16, ni + 1, 1)) - 1 AS nib
-              FROM h, (SELECT unnest(range(0, 16)) AS ni)),
-            bits AS (
-              SELECT doc_id, nib_idx,
-                     sum(CASE WHEN (nib // 1) % 2 = 1 THEN 1 ELSE -1 END) AS s0,
-                     sum(CASE WHEN (nib // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1,
-                     sum(CASE WHEN (nib // 4) % 2 = 1 THEN 1 ELSE -1 END) AS s2,
-                     sum(CASE WHEN (nib // 8) % 2 = 1 THEN 1 ELSE -1 END) AS s3
-              FROM nib GROUP BY 1, 2),
-            nv AS (
-              SELECT doc_id, nib_idx,
-                     (CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
-                   + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
-                   + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END)
-                   + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) AS nib_out
-              FROM bits),
-            hx AS (
-              SELECT doc_id,
-                     lower(string_agg(substr('0123456789abcdef', nib_out + 1, 1), ''
-                                      ORDER BY nib_idx)) AS simhash
-              FROM nv GROUP BY 1)
-            SELECT doc_id, simhash, substr(simhash, 1, 4) AS sim_block FROM hx
+        "neardup_pairs": "WITH " + _NEARDUP_CTES
+        + "SELECT doc_a, doc_b, n_inter, jaccard FROM np",
+        "dedup_survivors": "WITH RECURSIVE " + _NEARDUP_CTES + r""",
+            pe AS (SELECT doc_a, doc_b FROM np WHERE jaccard >= 0.7),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+                      UNION SELECT doc_b, doc_a FROM pe),
+            reach(v, r) AS (
+              SELECT DISTINCT src AS v, src AS r FROM edges
+              UNION
+              SELECT e.src AS v, reach.r AS r
+              FROM edges e JOIN reach ON reach.v = e.dst),
+            comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1444,44 +1676,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
         """,
-        "len_distribution": r"""
-            SELECT CAST(floor(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) / 10) AS BIGINT)
-                     AS len_bucket,
-                   count(*) AS n_docs
-            FROM documents GROUP BY 1
+        "corpus_stats": f"""
+            SELECT wd.doc_id, wd.n_tokens, wd.words_in_dict_ratio,
+                   CAST(floor(wd.n_tokens / 10) AS BIGINT) AS len_bucket,
+                   ld.n_docs AS n_docs_in_bucket
+            FROM ({_WORDS_IN_DICT_SQL}) wd
+            JOIN ({_LEN_DIST_SQL}) ld
+              ON ld.len_bucket = CAST(floor(wd.n_tokens / 10) AS BIGINT)
         """,
-        "words_in_dict": r"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS token
-              FROM documents),
-            vocab AS (
-              SELECT token, 1 AS in_dict FROM (
-                SELECT token, count(*) AS cnt FROM toks GROUP BY 1
-                ORDER BY cnt DESC, token ASC LIMIT 500))
-            SELECT t.doc_id, count(*) AS n_tokens,
-                   round(sum(coalesce(v.in_dict, 0)) * 1.0 / count(*), 4)
-                     AS words_in_dict_ratio
-            FROM toks t LEFT JOIN vocab v ON t.token = v.token
-            GROUP BY 1
-        """,
-        "event_windows": """
-            SELECT user_id, event_id,
-                   row_number() OVER w AS seq,
-                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING), 4) AS running_value,
-                   lag(event_type, 1) OVER w AS prev_type
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        """,
-        "event_windowed_agg": """
-            SELECT strftime(epoch_ms(CAST(floor(epoch(ts) / 300) * 300000 AS BIGINT)),
-                            '%Y-%m-%d %H:%M:%S') AS win_start,
-                   strftime(epoch_ms(CAST(floor(epoch(ts) / 300) * 300000 + 300000 AS BIGINT)),
-                            '%Y-%m-%d %H:%M:%S') AS win_end,
-                   event_type,
-                   count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2, 3
+        "event_analytics": f"""
+            SELECT 'seq' AS part, CAST(user_id AS VARCHAR) AS k1,
+                   CAST(event_id AS VARCHAR) AS k2, seq AS n, running_value AS v,
+                   prev_type AS s
+            FROM ({_EVENT_WINDOWS_SQL})
+            UNION ALL
+            SELECT 'win' AS part, win_start AS k1, event_type AS k2, n_events AS n,
+                   sum_value AS v, win_end AS s
+            FROM ({_EVENT_WINDOWED_AGG_SQL})
         """,
         "curated_docs": f"""
             WITH {_DOC_FEATURES_CTE},
@@ -1497,7 +1708,6 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN keepers ON q.doc_id = keepers.doc_id
             WHERE q.quality >= 0.7 AND q.lang_pred != 'other'
         """,
-        "ann_lsh": _ann_lsh_oracle(),
         "emb_neardup": _emb_neardup_oracle(),
         "vocab_build": r"""
             WITH toks AS (
@@ -1510,13 +1720,16 @@ def oracle_sql() -> dict[str, str]:
               FROM counts)
             SELECT token, cnt, rank + 2 AS vocab_id FROM ranked WHERE rank <= 200
         """,
-        "prf_metrics": _PRF_SQL,
-        "macro_f1": f"""
+        "prf_metrics": f"""
             WITH prf AS ({_PRF_SQL})
-            SELECT round(avg(precision), 6) AS macro_precision,
-                   round(avg(recall), 6) AS macro_recall,
-                   round(avg(f1), 6) AS macro_f1,
-                   count(*) AS n_labels
+            SELECT label, n_hyp, n_ref, n_both, precision, recall, f1 FROM prf
+            UNION ALL
+            SELECT '__macro__' AS label,
+                   sum(n_hyp)::BIGINT AS n_hyp, sum(n_ref)::BIGINT AS n_ref,
+                   sum(n_both)::BIGINT AS n_both,
+                   round(avg(precision), 6) AS precision,
+                   round(avg(recall), 6) AS recall,
+                   round(avg(f1), 6) AS f1
             FROM prf WHERE label NOT IN ('O', '<s>', '</s>', '<unk>')
         """,
     }

@@ -225,6 +225,36 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, shingle_n: int =
     return out
 
 
+def neardup_survivors(docs: DataFrame, pairs: DataFrame, threshold: float = 0.7,
+                      pair_score_col: str = "jaccard") -> DataFrame:
+    """Near-dup SURVIVOR selection — the actual deliverable of corpus dedup: which
+    document of each near-dup cluster is kept. ``pairs`` is any near-dup pair list
+    (neardup_pairs / winnow_neardup_pairs / embedding_neardup output); pairs scoring
+    ≥ ``threshold`` become edges, connected components cluster them, and each doc
+    gets (doc_id, cluster_id, is_canonical) with the deterministic min-doc_id keep
+    rule — cluster_id is the component's min reachable id, so the canonical doc is
+    exactly the one whose doc_id equals its cluster_id. Docs in no surviving pair
+    are their own singleton cluster (canonical by construction).
+
+    Scale shape: CC (canonicalize.connected_components — the SAME checkpointed
+    iterative operator the KG canonicalization uses) runs on the PAIR-bounded
+    graph, never the corpus; the corpus is touched once by the final left join,
+    whose build side is the component map — AQE picks broadcast vs shuffle by its
+    actual size (web corpora can put a large corpus fraction into clusters, so the
+    map is NOT forced broadcast). No new corpus-volume shuffle beyond that join."""
+    edges = (pairs.where(F.col(pair_score_col) >= threshold)
+             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    from .canonicalize import connected_components
+
+    comp = connected_components(edges).withColumnRenamed("v", "doc_id")
+    out = (docs.select("doc_id")
+           .join(comp, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id")))
+    return out.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+
+
 def simhash(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """64-bit SimHash per doc from shingle md5 bits: for each bit position, sign of
     (#shingles with bit set − #without); implemented as conditional sums over an

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 _JOIN_KEYS = ["doc_id", "sent_key", "tok_idx"]
 
+# labels excluded from the macro average: 'O' + the predefined tokens
+# (Validator.cs:87-97) — module-level so callers composing macro rows share it
+SPECIAL_LABELS = ("O", "<s>", "</s>", "<unk>")
+
 
 def per_label_prf(hyp: DataFrame, ref: DataFrame, label_col: str = "label") -> DataFrame:
     """hyp/ref: (doc_id, sent_key, tok_idx, label) → per-label
@@ -49,7 +53,7 @@ def per_label_prf(hyp: DataFrame, ref: DataFrame, label_col: str = "label") -> D
     )
 
 
-def macro_f1(prf: DataFrame, exclude: tuple[str, ...] = ("O", "<s>", "</s>", "<unk>")) -> DataFrame:
+def macro_f1(prf: DataFrame, exclude: tuple[str, ...] = SPECIAL_LABELS) -> DataFrame:
     """Common-Score analog: macro average over labels excluding 'O'/predefined
     (MultiLabelsFscoreMetric.cs:40-153)."""
     return (

@@ -37,7 +37,7 @@ def test_parquet_pushdown_and_pruning(spark):
 def test_textstats_whole_stage_codegen(spark):
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["token_count"](spark, SF), spark)
+    plan = _plan(e.q_token_count(spark, SF), spark)
     assert "codegen id" in plan  # expressions run inside whole-stage codegen
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # no python in this path
 

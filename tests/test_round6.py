@@ -68,6 +68,40 @@ def test_is_cheap_scan_rejects_derived_plans(spark):
                                       F.col("doc_id") == F.col("d2")))
 
 
+def test_neardup_survivors_keep_rule_and_singletons(spark):
+    """min-doc_id keep rule: chained pairs (1-2, 2-3) form ONE cluster with 1
+    canonical; below-threshold pairs are ignored; docs in no pair are singleton
+    canonicals."""
+    import pandas as pd
+
+    from lingvo_spark_kg.operators.dedup import neardup_survivors
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "doc_a": [1, 2, 4], "doc_b": [2, 3, 5],
+        "jaccard": [0.9, 0.8, 0.2]}))  # 4-5 below threshold
+    out = {r["doc_id"]: r for r in
+           neardup_survivors(docs, pairs, threshold=0.7).collect()}
+    assert {d: r["cluster_id"] for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    assert {d: r["is_canonical"] for d, r in out.items()} == {
+        1: 1, 2: 0, 3: 0, 4: 1, 5: 1}
+
+
+def test_dedup_survivors_plan_no_corpus_shuffle_explosion(spark):
+    """The final docs←components join must never be a cartesian/nested-loop; the
+    CC iterations run on the pair-bounded graph only (materialized upstream of
+    the returned plan)."""
+    import __spark_entry__ as e
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = e.q_dedup_survivors(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_conll_sentences_rejects_oracle_tier_mismatch(spark):
     import __spark_entry__ as e
 
