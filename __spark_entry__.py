@@ -546,19 +546,30 @@ def q_train_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     BaseSeq2SeqFramework.cs:404-408), is_best marks the best-scoring epoch. The
     golden mirror runs the identical kernels driver-side
     (golden._train_history_rows)."""
+    return _train_history_df(spark, sf_dir, encoder="bilstm")
+
+
+def q_train_history_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/R3 for EncoderType=Transformer (Options.cs; ModelBuilder.cs trains both
+    encoders behind one option): the SAME distributed loop + Adam, with BPTT through
+    the pre-norm Transformer (model/train.transformer_loss_and_grads — gradcheck-
+    gated like the BiLSTM kernel). Oracle = the transformer golden mirror run with
+    identical shared kernels driver-side."""
+    return _train_history_df(spark, sf_dir, encoder="transformer")
+
+
+def _train_history_df(spark: SparkSession, sf_dir: str, encoder: str) -> DataFrame:
+    """Shared train-history runner: pinned fixture model (golden.train_fixture_model
+    — ONE definition with the mirror), one partition (deterministic float reduce
+    order), 2 epochs, per-epoch macro-F1 validation + is_best."""
     import pandas as pd
 
-    from lingvo_spark_kg.fixtures.corpus import (TRAIN_FIXTURE_TAGS, train_fixture,
-                                                 valid_fixture, validate_macro_f1)
-    from lingvo_spark_kg.model.bilstm import BiLSTMTaggerModel
-    from lingvo_spark_kg.model.vocab import Vocab
-    from lingvo_spark_kg.operators.train_loop import train_bilstm_distributed
+    from lingvo_spark_kg.fixtures.corpus import valid_fixture, validate_macro_f1
+    from lingvo_spark_kg.golden import train_fixture_model
+    from lingvo_spark_kg.operators.train_loop import train_tagger_distributed
 
-    rows = train_fixture(sf_dir)
+    rows, m0 = train_fixture_model(sf_dir, encoder)
     valid = valid_fixture(sf_dir)
-    vocab = Vocab.build([t for _d, t, _l in rows], cap=2000)
-    m0 = BiLSTMTaggerModel.create_pinned(vocab, list(TRAIN_FIXTURE_TAGS),
-                                         emb_dim=8, hidden_dim=8, seed=5)
     df = spark.createDataFrame(pd.DataFrame({
         "doc_id": [d for d, _, _ in rows],
         "tokens": [t for _, t, _ in rows],
@@ -566,7 +577,7 @@ def q_train_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     }))
     corpus = (df.repartition(1).sortWithinPartitions("doc_id")
               .select("tokens", "labels"))
-    _m, hist = train_bilstm_distributed(
+    _m, hist = train_tagger_distributed(
         corpus, m0, epochs=2, lr=0.05, batch_size=32,
         validate_fn=lambda cand: validate_macro_f1(cand, valid))
     best_epoch = max(range(len(hist)), key=lambda e: (hist[e]["val_score"], -e))
@@ -1162,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_embeddings": q_media_embeddings,
         "train_history": q_train_history,
+        "train_history_transformer": q_train_history_transformer,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "token_rep_stats": q_token_rep_stats,

@@ -53,6 +53,9 @@ GOLDEN_QUERIES = (
     # round 5: per-class probability output (M9/M11 — the last model output shape
     # without a hard driver row)
     "tag_probs",
+    # round 6: Transformer training parity (EncoderType=Transformer through the
+    # same distributed loop + Adam — Options.cs EncoderType, ModelBuilder.cs)
+    "train_history_transformer",
 )
 
 
@@ -683,30 +686,48 @@ def _media_embeddings_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
     return out
 
 
-def _train_history_rows(sf_dir: str, epochs: int = 2, lr: float = 0.05,
-                        batch_size: int = 32) -> list[tuple]:
-    """Mirror of q_train_history: the SAME per-epoch math train_bilstm_distributed
-    runs with one partition and the deterministic collect reduce — shared pure kernels
-    (_bucketed_batches, loss_and_grads, AdamOptimizer), shared corpus derivation
-    (fixtures.corpus.train_fixture), flat driver loop instead of
-    broadcast → mapPartitions → reduce. A green oracle row is therefore a hard check
-    of the distributed training plumbing (R2-R5)."""
-    import numpy as np
-
-    from .fixtures.corpus import (TRAIN_FIXTURE_TAGS, train_fixture,
-                                  valid_fixture, validate_macro_f1)
-    from .model.bilstm import BiLSTMTaggerModel
-    from .model.train import AdamOptimizer, add_grads, loss_and_grads
-    from .model.vocab import UNK_ID, Vocab
-    from .operators.train_loop import _bucketed_batches
+def train_fixture_model(sf_dir: str, encoder: str = "bilstm"):
+    """THE pinned model the train_history oracle pair trains — one definition shared
+    by the golden mirror and q_train_history/q_train_history_transformer (a drift
+    would train different networks on the two sides)."""
+    from .fixtures.corpus import TRAIN_FIXTURE_TAGS, train_fixture
+    from .model.vocab import Vocab
 
     rows = train_fixture(sf_dir)
-    valid = valid_fixture(sf_dir)
     vocab = Vocab.build([t for _d, t, _l in rows], cap=2000)
-    m = BiLSTMTaggerModel.create_pinned(vocab, list(TRAIN_FIXTURE_TAGS),
-                                        emb_dim=8, hidden_dim=8, seed=5)
+    if encoder == "transformer":
+        from .model.transformer import TransformerTaggerModel
+
+        return rows, TransformerTaggerModel.create_pinned(
+            vocab, list(TRAIN_FIXTURE_TAGS), emb_dim=8, n_heads=2, depth=1, seed=5)
+    from .model.bilstm import BiLSTMTaggerModel
+
+    return rows, BiLSTMTaggerModel.create_pinned(
+        vocab, list(TRAIN_FIXTURE_TAGS), emb_dim=8, hidden_dim=8, seed=5)
+
+
+def _train_history_rows(sf_dir: str, epochs: int = 2, lr: float = 0.05,
+                        batch_size: int = 32, encoder: str = "bilstm") -> list[tuple]:
+    """Mirror of q_train_history: the SAME per-epoch math train_bilstm_distributed
+    runs with one partition and the deterministic collect reduce — shared pure kernels
+    (_bucketed_batches, loss_and_grads / transformer_loss_and_grads per ``encoder``,
+    AdamOptimizer), shared corpus derivation (fixtures.corpus.train_fixture), flat
+    driver loop instead of broadcast → mapPartitions → reduce. A green oracle row is
+    therefore a hard check of the distributed training plumbing (R2-R5) — for BOTH
+    encoder types (Options.cs EncoderType)."""
+    import numpy as np
+
+    from .fixtures.corpus import valid_fixture, validate_macro_f1
+    from .model.train import AdamOptimizer, add_grads
+    from .model.vocab import UNK_ID
+    from .operators.train_loop import (_bucketed_batches, _clone_with_weights,
+                                       _model_family)
+
+    rows, m = train_fixture_model(sf_dir, encoder)
+    valid = valid_fixture(sf_dir)
+    compute, dims = _model_family(m)
     tag2id = {t: i for i, t in enumerate(m.tgt_tags)}
-    w2i = vocab.word2id
+    w2i = m.src_vocab.word2id
     enc = [([w2i.get(t, UNK_ID) for t in toks], [tag2id[x] for x in labs])
            for _d, toks, labs in rows]
     weights = {k: v.copy() for k, v in m.weights.items()}
@@ -720,16 +741,14 @@ def _train_history_rows(sf_dir: str, epochs: int = 2, lr: float = 0.05,
         cost = 0.0
         n_tok = 0
         for ids, tgt in _bucketed_batches(enc, batch_size):
-            c, g, n = loss_and_grads(w64, 8, 8, 1, ids, tgt)
+            c, g, n = compute(w64, *dims, ids, tgt)
             cost += c
             n_tok += n
             grads = add_grads(grads, g)
         opt.step(weights, grads, batch_size=n_tok, lr=lr)
         # R5/R6 mirror: validate post-step weights exactly as train_loop does
         # (validate_fn(cand) with copied weights, train_loop.py:200-210)
-        cand = BiLSTMTaggerModel({k: v.copy() for k, v in weights.items()},
-                                 m.src_vocab, m.tgt_tags, m.emb_dim, m.hidden_dim,
-                                 m.depth, m.max_ending_length)
+        cand = _clone_with_weights(m, {k: v.copy() for k, v in weights.items()})
         scores.append(validate_macro_f1(cand, valid))
         out.append((epoch, round(cost / max(n_tok, 1), 6), n_tok))
     best_epoch = max(range(epochs), key=lambda e: (scores[e], -e))
@@ -888,6 +907,9 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
                          ("dim_idx", _I32), ("value", _F64)],
     "train_history": [("epoch", _I64), ("nll_per_token", _F64), ("n_tokens", _I64),
                       ("val_score", _F64), ("is_best", _I64)],
+    "train_history_transformer": [("epoch", _I64), ("nll_per_token", _F64),
+                                  ("n_tokens", _I64), ("val_score", _F64),
+                                  ("is_best", _I64)],
     "kg_urls": [("doc_id", _S), ("span_idx", _I32), ("url_idx", _I32),
                 ("url_type", _S), ("url_value", _S), ("domain", _S)],
     "kg_sentences_full": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
@@ -970,6 +992,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _media_embeddings_rows(sf_dir)
     elif name == "train_history":
         rows = _train_history_rows(sf_dir)
+    elif name == "train_history_transformer":
+        rows = _train_history_rows(sf_dir, encoder="transformer")
     elif name == "kg_urls":
         rows = _url_rows(n_docs_for(sf_dir))
     elif name == "media_meta":

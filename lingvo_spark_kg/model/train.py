@@ -184,6 +184,142 @@ def loss_and_grads(weights: dict[str, np.ndarray], emb_dim: int, hidden_dim: int
     return cost, grads, B * T
 
 
+# --------------------------------------------------------------- transformer BPTT
+# eps mirrors transformer._layer_norm (1e-5) — a drifting copy would train a
+# different network than the inference forward runs
+_TR_EPS = 1e-5
+
+
+def _ln_fwd_nd(x: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """LayerNorm over the trailing axis of an (..., D) tensor."""
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    std = np.sqrt(var + _TR_EPS)
+    xhat = (x - mu) / std
+    return xhat * g + b, (xhat, std)
+
+
+def _ln_bwd_nd(dy: np.ndarray, cache, g: np.ndarray):
+    """dg/db summed over ALL leading axes (the (B,T,D) case the per-step LSTM
+    helpers above never need)."""
+    xhat, std = cache
+    lead = tuple(range(dy.ndim - 1))
+    dg = (dy * xhat).sum(axis=lead)
+    db = dy.sum(axis=lead)
+    dxhat = dy * g
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) / std
+    return dx, dg, db
+
+
+def transformer_loss_and_grads(weights: dict[str, np.ndarray], emb_dim: int,
+                               n_heads: int, depth: int, ids: np.ndarray,
+                               tgt: np.ndarray) -> tuple[float, dict[str, np.ndarray], int]:
+    """One equal-length batch through the PRE-NORM Transformer encoder
+    (model/transformer.py logits — same ops, same eps, same weight names):
+    emb ×√d + fixed sinusoidal pos table, depth × {pre-LN multi-head self-attention
+    + residual, pre-LN position-wise FFN + residual}, final LN, classifier head,
+    token-softmax NLL. Returns (summed NLL, gradient SUMS, n_tokens) with the same
+    conventions as ``loss_and_grads`` (the /batchSize normalization lives in Adam).
+    The fixed ``pos`` table gets no gradient (PositionEmbedding.cs is a constant
+    buffer in the reference too). Training batches are equal-length (the inference
+    bucketing), so the pad mask is identically zero and is omitted.
+
+    Reference parity: the reference trains BOTH encoder types through one option
+    (Applications/Options.cs EncoderType; ModelBuilding ModelBuilder.cs) — this
+    closes the R-family asymmetry for EncoderType=Transformer. Verified against
+    numerical differentiation in tests/test_training.py (the same gradcheck gate
+    as the BiLSTM kernel)."""
+    w64 = {k: (v if v.dtype == np.float64 else v.astype(np.float64))
+           for k, v in weights.items()}
+    B, T = ids.shape
+    D, H = emb_dim, n_heads
+    hd = D // H
+    scale = np.sqrt(float(emb_dim))
+
+    x = w64["emb"][ids] * scale + w64["pos"][:T][None, :, :]
+    caches = []
+    for layer in range(depth):
+        p = f"enc.{layer}"
+        xn1, ln1c = _ln_fwd_nd(x, w64[f"{p}.ln1.g"], w64[f"{p}.ln1.b"])
+        q = (xn1 @ w64[f"{p}.attn.q.W"] + w64[f"{p}.attn.q.b"]) \
+            .reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = (xn1 @ w64[f"{p}.attn.k.W"] + w64[f"{p}.attn.k.b"]) \
+            .reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        v = (xn1 @ w64[f"{p}.attn.v.W"] + w64[f"{p}.attn.v.b"]) \
+            .reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(hd)
+        m = scores.max(axis=-1, keepdims=True)
+        e = np.exp(scores - m)
+        att = e / e.sum(axis=-1, keepdims=True)
+        ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, T, D)
+        x1 = x + (ctx @ w64[f"{p}.attn.o.W"] + w64[f"{p}.attn.o.b"])
+        xn2, ln2c = _ln_fwd_nd(x1, w64[f"{p}.ln2.g"], w64[f"{p}.ln2.b"])
+        pre = xn2 @ w64[f"{p}.ffn.W1"] + w64[f"{p}.ffn.b1"]
+        h1 = np.maximum(pre, 0.0)
+        x2 = x1 + (h1 @ w64[f"{p}.ffn.W2"] + w64[f"{p}.ffn.b2"])
+        caches.append((xn1, ln1c, q, k, v, att, ctx, x1, xn2, ln2c, h1))
+        x = x2
+    xf, lnfc = _ln_fwd_nd(x, w64["ln_f.g"], w64["ln_f.b"])
+    flat = xf.reshape(B * T, D)
+    logits = flat @ w64["ff.W"] + w64["ff.b"]
+    mm = logits.max(axis=1, keepdims=True)
+    ee = np.exp(logits - mm)
+    probs = ee / ee.sum(axis=1, keepdims=True)
+    tgt_flat = tgt.reshape(B * T)
+    rows = np.arange(B * T)
+    cost = float(-np.log(np.maximum(probs[rows, tgt_flat], 1e-30)).sum())
+
+    dlogits = probs
+    dlogits[rows, tgt_flat] -= 1.0  # probs − one-hot (SeqLabel.cs:166)
+
+    grads: dict[str, np.ndarray] = {}
+    grads["ff.W"] = flat.T @ dlogits
+    grads["ff.b"] = dlogits.sum(axis=0)
+    dxf = (dlogits @ w64["ff.W"].T).reshape(B, T, D)
+    dx, grads["ln_f.g"], grads["ln_f.b"] = _ln_bwd_nd(dxf, lnfc, w64["ln_f.g"])
+
+    for layer in range(depth - 1, -1, -1):
+        p = f"enc.{layer}"
+        xn1, ln1c, q, k, v, att, ctx, x1, xn2, ln2c, h1 = caches[layer]
+        # FFN + residual: x2 = x1 + relu(xn2@W1+b1)@W2+b2
+        dh1 = dx @ w64[f"{p}.ffn.W2"].T
+        grads[f"{p}.ffn.W2"] = h1.reshape(B * T, -1).T @ dx.reshape(B * T, D)
+        grads[f"{p}.ffn.b2"] = dx.sum(axis=(0, 1))
+        dpre = dh1 * (h1 > 0.0)
+        grads[f"{p}.ffn.W1"] = xn2.reshape(B * T, D).T @ dpre.reshape(B * T, -1)
+        grads[f"{p}.ffn.b1"] = dpre.sum(axis=(0, 1))
+        dxn2 = dpre @ w64[f"{p}.ffn.W1"].T
+        dln2, grads[f"{p}.ln2.g"], grads[f"{p}.ln2.b"] = _ln_bwd_nd(
+            dxn2, ln2c, w64[f"{p}.ln2.g"])
+        dx1 = dx + dln2  # residual + pre-norm branch
+        # attention + residual: x1 = x + (ctx@Wo+bo)
+        grads[f"{p}.attn.o.W"] = ctx.reshape(B * T, D).T @ dx1.reshape(B * T, D)
+        grads[f"{p}.attn.o.b"] = dx1.sum(axis=(0, 1))
+        dctx = (dx1 @ w64[f"{p}.attn.o.W"].T).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        datt = dctx @ v.transpose(0, 1, 3, 2)
+        dv = att.transpose(0, 1, 3, 2) @ dctx
+        dscores = att * (datt - (datt * att).sum(axis=-1, keepdims=True))
+        dscores /= np.sqrt(hd)
+        dq = dscores @ k
+        dk = dscores.transpose(0, 1, 3, 2) @ q
+        dxn1 = np.zeros_like(xn1)
+        for name, dmat in (("q", dq), ("k", dk), ("v", dv)):
+            flat_d = dmat.transpose(0, 2, 1, 3).reshape(B * T, D)
+            grads[f"{p}.attn.{name}.W"] = xn1.reshape(B * T, D).T @ flat_d
+            grads[f"{p}.attn.{name}.b"] = flat_d.sum(axis=0)
+            dxn1 += (flat_d @ w64[f"{p}.attn.{name}.W"].T).reshape(B, T, D)
+        dln1, grads[f"{p}.ln1.g"], grads[f"{p}.ln1.b"] = _ln_bwd_nd(
+            dxn1, ln1c, w64[f"{p}.ln1.g"])
+        dx = dx1 + dln1
+
+    demb = np.zeros_like(w64["emb"])
+    np.add.at(demb, ids.reshape(-1), dx.reshape(B * T, D) * scale)
+    grads["emb"] = demb
+    return cost, grads, B * T
+
+
 def add_grads(a: dict[str, np.ndarray] | None, b: dict[str, np.ndarray]) -> dict:
     if a is None:
         return b

@@ -40,8 +40,31 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from ..model.bilstm import BiLSTMTaggerModel
-from ..model.train import AdamOptimizer, add_grads, loss_and_grads
+from ..model.train import (AdamOptimizer, add_grads, loss_and_grads,
+                           transformer_loss_and_grads)
+from ..model.transformer import TransformerTaggerModel
 from ..model.vocab import UNK_ID
+
+
+def _model_family(model):
+    """(compute_fn, dims) for the model's encoder type — the Spark analog of the
+    reference's single EncoderType switch (Applications/Options.cs; ModelBuilding
+    ModelBuilder.cs builds either encoder behind one option)."""
+    if isinstance(model, TransformerTaggerModel):
+        return transformer_loss_and_grads, (model.emb_dim, model.n_heads, model.depth)
+    return loss_and_grads, (model.emb_dim, model.hidden_dim, model.depth)
+
+
+def _clone_with_weights(model, weights):
+    """Same architecture + vocab + tags, fresh weight dict (validation candidates
+    and the returned best model)."""
+    if isinstance(model, TransformerTaggerModel):
+        return TransformerTaggerModel(weights, model.src_vocab, model.tgt_tags,
+                                      model.emb_dim, model.n_heads, model.depth,
+                                      model.max_ending_length, model.max_len)
+    return BiLSTMTaggerModel(weights, model.src_vocab, model.tgt_tags,
+                             model.emb_dim, model.hidden_dim, model.depth,
+                             model.max_ending_length)
 
 
 def _bucketed_batches(rows: list[tuple[list[int], list[int]]], batch_size: int):
@@ -117,7 +140,7 @@ def _grads_with_oom_split(compute, weights, dims, ids, tgt):
 
 def train_bilstm_distributed(
     corpus: DataFrame,
-    model: BiLSTMTaggerModel,
+    model: BiLSTMTaggerModel | TransformerTaggerModel,
     epochs: int = 3,
     lr: float = 0.01,
     batch_size: int = 64,
@@ -151,8 +174,8 @@ def train_bilstm_distributed(
 
     spark = corpus.sparkSession
     sc = spark.sparkContext
-    compute = compute_fn or loss_and_grads
-    dims = (model.emb_dim, model.hidden_dim, model.depth)
+    family_compute, dims = _model_family(model)
+    compute = compute_fn or family_compute
     tag2id = {t: i for i, t in enumerate(model.tgt_tags)}
     w2i = model.src_vocab.word2id
 
@@ -241,10 +264,8 @@ def train_bilstm_distributed(
             entry = {"epoch": epoch, "nll_per_token": round(cost / max(n_tok, 1), 6),
                      "n_tokens": n_tok}
             if validate_fn is not None:
-                cand = BiLSTMTaggerModel({k: v.copy() for k, v in weights.items()},
-                                         model.src_vocab, model.tgt_tags, model.emb_dim,
-                                         model.hidden_dim, model.depth,
-                                         model.max_ending_length)
+                cand = _clone_with_weights(
+                    model, {k: v.copy() for k, v in weights.items()})
                 score = float(validate_fn(cand))
                 entry["val_score"] = score
                 if best_score is None or score > best_score:
@@ -255,12 +276,15 @@ def train_bilstm_distributed(
         encoded.unpersist()  # also on error paths — a leaked cache pins executor memory
 
     final_weights = best_weights if best_weights is not None else weights
-    out = BiLSTMTaggerModel(final_weights, model.src_vocab, model.tgt_tags,
-                            model.emb_dim, model.hidden_dim, model.depth,
-                            model.max_ending_length)
+    out = _clone_with_weights(model, final_weights)
     if save_best_path is not None:
         from ..sources.s2s import from_tagger_model, write_s2s
 
         with open(save_best_path, "wb") as f:  # S9 model sink: reference .s2s format
             f.write(write_s2s(from_tagger_model(out)))
     return out, history
+
+
+# the loop trains EITHER encoder type (the model's class selects the kernel —
+# _model_family); the historical name predates Transformer training support
+train_tagger_distributed = train_bilstm_distributed

@@ -117,6 +117,64 @@ def test_conll_sentences_rejects_oracle_tier_mismatch(spark):
             os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
 
 
+def test_transformer_probs_bit_identical_through_s2s_roundtrip():
+    """VERDICT r5 item 5: predict_probs composed with (a) the Transformer encoder
+    and (b) the .s2s wire-format round-trip — jointly gated: the reloaded
+    transformer's full sorted per-token [(class, prob)] lists and
+    WordsInDictRatio must be BIT-identical to the in-memory pinned model's
+    (write_s2s → load_tagger preserves every weight bit, and predict_probs is
+    encoder-agnostic post-processing over the same logits)."""
+    from lingvo_spark_kg.model.pinned import pinned_tagger_models
+    from lingvo_spark_kg.sources.s2s import from_tagger_model, load_tagger, write_s2s
+
+    pos_m, _ner = pinned_tagger_models(encoder="transformer")
+    fd, path = tempfile.mkstemp(suffix=".s2s")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(write_s2s(from_tagger_model(pos_m)))
+        reloaded = load_tagger(path)
+    finally:
+        os.unlink(path)
+    assert type(reloaded).__name__ == "TransformerTaggerModel"
+    for sent in (["мама", "мыла", "раму"], ["Иванов", "работает", "в", "Москве"],
+                 ["очень", "длинное", "предложение", "с", "числом", "<num>"]):
+        probs_a, ratio_a = pos_m.predict_probs(sent)
+        probs_b, ratio_b = reloaded.predict_probs(sent)
+        assert ratio_a == ratio_b
+        assert probs_a == probs_b  # exact float equality — bit parity, not approx
+
+
+def test_transformer_distributed_training_improves_and_matches_kernel(spark):
+    """The distributed loop accepts a Transformer model (EncoderType switch): a
+    2-partition collect-reduce run must produce finite decreasing-or-equal NLL and
+    the same weight keys as the kernel's gradient dict (no silently untrained
+    tensors besides the fixed pos table)."""
+    import pandas as pd
+
+    from lingvo_spark_kg.golden import train_fixture_model
+    from lingvo_spark_kg.operators.train_loop import train_tagger_distributed
+
+    rows, m0 = train_fixture_model("/root/testdata/sf0.001", "transformer")
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [d for d, _, _ in rows],
+        "tokens": [t for _, t, _ in rows],
+        "labels": [l for _, _, l in rows]}))
+    corpus = df.repartition(2).select("tokens", "labels")
+    m1, hist = train_tagger_distributed(corpus, m0, epochs=2, lr=0.05,
+                                        batch_size=32, reduce="collect")
+    assert len(hist) == 2
+    assert all(h["n_tokens"] > 0 for h in hist)
+    assert hist[1]["nll_per_token"] <= hist[0]["nll_per_token"]
+    # every trainable tensor updated at least once (pos stays the fixed table)
+    import numpy as np
+    changed = {k for k in m0.weights if not np.array_equal(m0.weights[k],
+                                                           m1.weights[k])}
+    assert "pos" not in changed
+    assert "emb" in changed and "ff.W" in changed
+    assert any(k.startswith("enc.0.attn.") for k in changed)
+    assert any(k.startswith("enc.0.ffn.") for k in changed)
+
+
 def test_manifest_tmp_name_is_per_target():
     """Two manifests in one directory must not share a tmp path (golden.py
     _write_manifest) — derive it from the target file name."""
