@@ -151,6 +151,9 @@ def run_headline(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
     timings["neardup_pairs"], _ = _time(
         lambda: e.q_neardup_pairs(spark, sf_dir).count()
     )
+    timings["dedup_survivors"], _ = _time(
+        lambda: e.q_dedup_survivors(spark, sf_dir).count()
+    )
     timings["simhash"], _ = _time(lambda: e.q_simhash(spark, sf_dir).count())
     timings["winnow_fp"], _ = _time(lambda: e.q_winnow_fp(spark, sf_dir).count())
     # the production hash swap next to the md5 oracle anchor (same winnowing

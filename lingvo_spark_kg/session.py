@@ -32,6 +32,13 @@ def get_spark(app_name: str = "lingvo-spark-kg", cpus: int | None = None,
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # floor on file-scan splits: stage tables between pipeline stages are a few
+        # GB locally, and 128 MB bin-packing would hand a 32-core box only ~8-24
+        # read tasks — a single straggler then stalls the Python (mapInArrow)
+        # stages that dominate the DNN regimen. minPartitionNum is a HINT scaled to
+        # cores (on a cluster: executor cores via spark-submit conf), so huge scans
+        # still honor maxPartitionBytes and never explode into micro-tasks.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

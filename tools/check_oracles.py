@@ -62,7 +62,7 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
             continue
         if name not in oracles:
             print(f"[ROWS-ONLY ] {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
-            if len(sdf) == 0 and name != "media_meta":
+            if len(sdf) == 0 and name != "media_meta_resized":
                 print(f"             WARNING: 0 rows")
             continue
         try:
