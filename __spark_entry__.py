@@ -601,14 +601,22 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame/window sampling over time-based media spans of the synthetic corpus
-    (multimodal family: decode → sample; codec stubbed at the declared seam)."""
-    from lingvo_spark_kg.operators.multimodal import decode_media, media_payloads, sample_frames
+    """Frame/window sampling over time-based media spans of the synthetic corpus,
+    both implementations under one ``variant`` column: 'fake' = the codec-free
+    plumbing fingerprint per (sha1, t_ms); 'real' = actual WAV payloads decoded
+    (codecs.py) and each PCM window [t, t+250ms) fingerprinted over its samples."""
+    from lingvo_spark_kg.operators.multimodal import (decode_media, media_payloads,
+                                                      sample_frames)
     from lingvo_spark_kg.operators.tokenize import media_spans
 
     docs = _synthetic_docs(spark, sf_dir)
-    decoded = decode_media(media_payloads(media_spans(docs)))
-    return sample_frames(decoded, interval_ms=5000)
+    spans = media_spans(docs)
+    decoded = decode_media(media_payloads(spans))
+    fake = sample_frames(decoded, interval_ms=5000).withColumn(
+        "variant", F.lit("fake"))
+    real = sample_frames(media_payloads(spans, codec="real"), interval_ms=250,
+                         impl="real").withColumn("variant", F.lit("real"))
+    return fake.unionByName(real)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,12 +1119,34 @@ def q_ann_lsh_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_media metadata ⋈ resize_media on (doc_id, span_idx, kind) — the
-    resized dims/sha1 carried next to the decoded originals."""
+    resized dims/sha1 carried next to the decoded originals — PLUS the REAL-codec
+    columns: the same spans with actual PNG payloads (codecs.py pure-stdlib
+    encoder), dimensions parsed from the IHDR by decode_media(impl='real') and
+    resize = decode → nearest-neighbor → re-encode by resize_media(impl='real').
+    One driver row gates the fake plumbing AND the real decode path."""
+    from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
+    from lingvo_spark_kg.operators.multimodal import (decode_media, media_payloads,
+                                                      resize_media)
+    from lingvo_spark_kg.operators.tokenize import media_spans
+
     r = q_media_resized(spark, sf_dir).select(
         "doc_id", "span_idx", "kind",
         F.col("width").alias("r_width"), F.col("height").alias("r_height"),
         "resized_sha1")
-    return q_media_meta(spark, sf_dir).join(r, ["doc_id", "span_idx", "kind"])
+    fake = q_media_meta(spark, sf_dir).join(r, ["doc_id", "span_idx", "kind"])
+
+    real_payloads = media_payloads(
+        media_spans(docs_from_documents_table(spark, sf_dir)), codec="real")
+    real_meta = decode_media(real_payloads, impl="real").select(
+        "doc_id", "span_idx", "kind",
+        F.col("n_bytes").alias("real_n_bytes"), F.col("sha1").alias("real_sha1"),
+        F.col("width").alias("real_width"), F.col("height").alias("real_height"),
+        F.col("duration_ms").alias("real_duration_ms"))
+    real_rs = resize_media(real_payloads, width=32, height=32, impl="real").select(
+        "doc_id", "span_idx", "kind",
+        F.col("resized_sha1").alias("real_resized_sha1"))
+    return (fake.join(real_meta, ["doc_id", "span_idx", "kind"])
+                .join(real_rs, ["doc_id", "span_idx", "kind"]))
 
 
 def q_prf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,14 +1245,27 @@ def _golden_oracles() -> dict[str, str]:
     out_dir = _goldens_dir(sf_dir)
     paths = golden.ensure_goldens(sf_dir, out_dir)
     out = {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
-    # media_meta + media_resized are one combined driver row (50-row cap): join the
-    # two goldens on the span key, resized dims/sha1 under r_-prefixed names
-    del out["media_meta"], out["media_resized"]
+    # media_meta + media_resized + the REAL-codec golden are one combined driver
+    # row (50-row cap): join the goldens on the span key — resized dims/sha1 under
+    # r_-prefixed names, real PNG metadata/resize under real_-prefixed names
+    del out["media_meta"], out["media_resized"], out["media_real"]
     out["media_meta_resized"] = f"""
-        SELECT m.*, r.width AS r_width, r.height AS r_height, r.resized_sha1
+        SELECT m.*, r.width AS r_width, r.height AS r_height, r.resized_sha1,
+               g.real_n_bytes, g.real_sha1, g.real_width, g.real_height,
+               g.real_duration_ms, g.real_resized_sha1
         FROM read_parquet('{paths["media_meta"]}') m
         JOIN read_parquet('{paths["media_resized"]}') r
           USING (doc_id, span_idx, kind)
+        JOIN read_parquet('{paths["media_real"]}') g
+          USING (doc_id, span_idx, kind)
+    """
+    # the fake and real frame-sampling implementations are one driver row under a
+    # variant column (the real side fingerprints actual PCM windows)
+    del out["media_frames_real"]
+    out["media_frames"] = f"""
+        SELECT *, 'fake' AS variant FROM read_parquet('{paths["media_frames"]}')
+        UNION ALL
+        SELECT *, 'real' AS variant FROM read_parquet('{paths["media_frames_real"]}')
     """
     # single-table + multi-table LSH under one variant column (the single-table SQL
     # oracle embeds the hyperplanes; the multi-table side is a golden)

@@ -56,6 +56,9 @@ GOLDEN_QUERIES = (
     # round 6: Transformer training parity (EncoderType=Transformer through the
     # same distributed loop + Adam — Options.cs EncoderType, ModelBuilder.cs)
     "train_history_transformer",
+    # round 6: REAL media codecs (pure-stdlib PNG/WAV/CSV, codecs.py) — the
+    # impl='real' seam executed for every media kind of the corpus
+    "media_real", "media_frames_real",
 )
 
 
@@ -652,6 +655,51 @@ def _doc_media_payloads(sf_dir: str):
         yield f"doc-{did:08d}", 1, "image", payload
 
 
+def _media_real_rows(sf_dir: str, width: int = 32, height: int = 32) -> list[tuple]:
+    """Mirror of media_payloads(codec='real') → decode_media(impl='real') +
+    resize_media(impl='real') over the documents-table image spans: REAL PNG bytes
+    synthesized per media_ref, dimensions read from the IHDR, resize =
+    decode → nearest-neighbor → re-encode (codecs.py — the same single-source
+    pure functions the Spark operators call, so a green row gates the distributed
+    plumbing; the codecs themselves are gated by round-trip/filter/known-answer
+    tests in tests/test_codecs.py)."""
+    from . import codecs as C
+
+    out = []
+    for did, _text in _documents(sf_dir):
+        if did % 8 != 0:
+            continue
+        media_ref = "media://" + hashlib.sha1(str(did).encode()).hexdigest()
+        payload = C.synth_payload("image", media_ref)
+        w, h = C.png_dimensions(payload)
+        resized = C.png_encode(C.resize_nearest(C.png_decode(payload), width, height))
+        out.append((f"doc-{did:08d}", 1, "image", len(payload),
+                    hashlib.sha1(payload).hexdigest(), w, h, 0,
+                    hashlib.sha1(resized).hexdigest()))
+    return out
+
+
+def _media_frames_real_rows(n_docs: int, interval_ms: int = 250) -> list[tuple]:
+    """Mirror of media_payloads(codec='real') → sample_frames(impl='real') over the
+    synthetic corpus's audio spans: REAL WAV payloads, one fingerprint per PCM
+    window [t, t+interval) — sha1 over the actual samples, not a pseudo-hash."""
+    from . import codecs as C
+
+    out: list[tuple] = []
+    for doc_id, spans in _synthetic_docs(n_docs):
+        for s in spans:
+            if s["kind"] != "audio":
+                continue
+            samples, rate = C.wav_decode(C.synth_payload("audio", s["media_ref"]))
+            dur = samples.shape[0] * 1000 // rate
+            for i, t in enumerate(range(0, dur, interval_ms)):
+                lo = t * rate // 1000
+                hi = min((t + interval_ms) * rate // 1000, samples.shape[0])
+                out.append((doc_id, s["offset"], i, t,
+                            hashlib.sha1(samples[lo:hi].tobytes()).hexdigest()))
+    return out
+
+
 def _media_resized_rows(sf_dir: str, width: int = 32, height: int = 32) -> list[tuple]:
     """Mirror of resize_media(impl='fake'): deterministic width×height byte grid from
     the payload digest, reported by sha1 (the raw bytes stay out of the oracle row —
@@ -925,6 +973,12 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     "tag_probs": [("doc_id", _S), ("span_idx", _I32), ("sent_idx", _I32),
                   ("tok_idx", _I32), ("rank", _I32), ("label", _S), ("prob", _F64),
                   ("words_in_dict_ratio", _F64)],
+    "media_real": [("doc_id", _S), ("span_idx", _I32), ("kind", _S),
+                   ("real_n_bytes", _I32), ("real_sha1", _S), ("real_width", _I32),
+                   ("real_height", _I32), ("real_duration_ms", _I32),
+                   ("real_resized_sha1", _S)],
+    "media_frames_real": [("doc_id", _S), ("span_idx", _I32), ("frame_idx", _I32),
+                          ("t_ms", _I32), ("frame_sha1", _S)],
 }
 
 
@@ -1000,6 +1054,10 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _media_meta_rows(sf_dir)
     elif name == "media_frames":
         rows = _media_frames_rows(n_docs_for(sf_dir))
+    elif name == "media_real":
+        rows = _media_real_rows(sf_dir)
+    elif name == "media_frames_real":
+        rows = _media_frames_real_rows(n_docs_for(sf_dir))
     elif name == "ann_lsh_multi":
         rows = _ann_lsh_multi_rows(sf_dir)
     elif name == "ann_ivf":
