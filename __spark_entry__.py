@@ -292,6 +292,22 @@ def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_stats(q_kg_edges(spark, sf_dir))
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the materialized edges table (graph.pagerank: 20
+    fixed power iterations, damping 0.85, dangling mass spread uniformly,
+    localCheckpoint lineage truncation) — node-importance analytics next to
+    degree_stats. Oracle = the SAME recurrence unrolled as a 20-stage CTE chain
+    in DuckDB over the golden edges (engine-vs-engine on the iteration itself);
+    rank is emitted in integer nano-units so the cross-engine hash compares the
+    doubles exactly (accumulated sum-order drift ~1e-14 ≪ the 1e-9 grid)."""
+    from lingvo_spark_kg.operators.graph import pagerank
+
+    pr = pagerank(q_kg_edges(spark, sf_dir), damping=0.85, n_iter=20)
+    return pr.select(
+        "node_id",
+        F.round(F.col("rank") * F.lit(1e9)).cast("long").alias("rank_e9"))
+
+
 def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget context packing (corpus_ops.pack_contexts): concat-and-chunk
     assignment of docs to 64-token pretraining contexts in 4 deterministic shards —
@@ -1188,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_dnn": q_kg_edges_dnn,
         "kg_nodes": q_kg_nodes,
         "kg_degree": q_kg_degree,
+        "kg_pagerank": q_kg_pagerank,
         "pack_contexts": q_pack_contexts,
         "kg_invariant": q_kg_invariant,
         "kg_mentions": q_kg_mentions,
@@ -1230,6 +1247,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
+                         n_iter: int = 20) -> str:
+    """graph.pagerank's recurrence unrolled as a DuckDB CTE chain over the golden
+    edges parquet. Every float expression mirrors the Spark side's IEEE op order
+    (CAST(... AS DOUBLE) everywhere — DuckDB would otherwise treat 0.85 as exact
+    DECIMAL and diverge); per-group sum ORDER still differs between engines, so
+    the comparison grid is integer nano-units (drift ~1e-14 ≪ 1e-9). Every CTE
+    is AS MATERIALIZED: DuckDB otherwise inlines CTEs view-style, and r{i}
+    referencing r{i-1} twice (via c{i} and d{i}) makes the inlined plan grow
+    2^n_iter base scans — observed as fd exhaustion at n_iter=20."""
+    d = "CAST(0.85 AS DOUBLE)"
+    n = "(SELECT n FROM cnt)"
+    assert damping == 0.85 and n_iter == 20, "oracle literals are pinned"
+    parts = [
+        "e AS MATERIALIZED (SELECT src_id, dst_id, CAST(n_occurrences AS DOUBLE) AS w "
+        f"FROM read_parquet('{edges_path}'))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node_id FROM ("
+        "SELECT src_id AS node_id FROM e UNION ALL SELECT dst_id AS node_id FROM e))",
+        "cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "outw AS MATERIALIZED (SELECT src_id, SUM(w) AS out_w FROM e GROUP BY src_id)",
+        "share AS MATERIALIZED (SELECT src_id, dst_id, w / out_w AS share "
+        "FROM e JOIN outw USING (src_id))",
+        f"r0 AS MATERIALIZED (SELECT node_id, CAST(1 AS DOUBLE) / {n} AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT s.dst_id AS node_id, SUM(r.rank * s.share) AS contrib"
+            f" FROM share s JOIN r{i-1} r ON s.src_id = r.node_id GROUP BY s.dst_id)")
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dmass"
+            f" FROM r{i-1} WHERE node_id NOT IN (SELECT src_id FROM outw))")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nd.node_id, (CAST(1 AS DOUBLE) - {d}) / {n}"
+            f" + {d} * (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + dmass / {n}) AS rank"
+            f" FROM nodes nd LEFT JOIN c{i} c USING (node_id) CROSS JOIN d{i})")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT node_id, CAST(round(rank * CAST(1000000000 AS DOUBLE)) "
+            f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _golden_oracles() -> dict[str, str]:
     """DuckDB oracles for the non-SQL-expressible queries: single-node pure-Python
@@ -1307,6 +1363,10 @@ def _golden_oracles() -> dict[str, str]:
                r.mention_type AS node_type, a.n_mentions, a.n_surfaces, a.entity_id
         FROM agg a JOIN ranked r ON r.canonical_id = a.canonical_id AND r.rn = 1
     """
+    # PageRank: the same 20-iteration weighted recurrence the Spark operator runs
+    # (graph.pagerank), unrolled as a CTE chain over the golden edges —
+    # engine-vs-engine on the iteration itself, no golden mirror
+    out["kg_pagerank"] = _pagerank_oracle_sql(paths["kg_edges"])
     # S2: not a golden mirror — a pure-SQL reshape of the shared raw CoNLL line
     # table (sentence segments from the running blank-line count, tab split,
     # per-segment token positions), checked engine-against-engine

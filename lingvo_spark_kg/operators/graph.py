@@ -116,3 +116,58 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
              F.max("degree").cast("long").alias("max_degree"))
     )
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
+             checkpoint_every: int = 5,
+             weight_col: str = "n_occurrences") -> DataFrame:
+    """Weighted PageRank over the materialized edges table → (node_id, rank):
+    the node-importance analytics pass a KG curation loop runs before hub cuts and
+    entity-priority decisions (companion to ``degree_stats``; beyond-reference
+    graph analytics like the rest of this module, SURVEY.md §2.1 S11).
+
+    Fixed ``n_iter`` power iterations of the standard rank recurrence
+    ``rank' = (1-d)/N + d * (Σ_in rank·share + dangling_mass/N)`` where
+    ``share = w / out_weight`` (edge-weight-proportional distribution) and
+    dangling (out-edge-less) nodes spread their mass uniformly.
+
+    Scale shape: the normalized-share frame is computed ONCE (one join + one
+    map-side-combinable aggregate) and localCheckpointed for reuse across
+    iterations; each iteration is one equi-join on node id plus one hash
+    aggregate — the plan AQE handles like any keyed join (skewed hub nodes ride
+    the same skew-join machinery as linking). Rank lineage is truncated with
+    ``localCheckpoint`` every ``checkpoint_every`` iterations — the same
+    ping-pong discipline as the iterative connected components
+    (canonicalize.py), without which 20 chained iterations compound into an
+    exponentially deep plan. The only driver-side values are the node count and
+    the per-iteration 1-row dangling-mass aggregate (broadcast back, never
+    collected into a loop over rows)."""
+    e = edges.select("src_id", "dst_id", F.col(weight_col).cast("double").alias("w"))
+    nodes = (e.select(F.col("src_id").alias("node_id"))
+             .unionByName(e.select(F.col("dst_id").alias("node_id")))
+             .distinct().localCheckpoint(eager=True))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_w = e.groupBy("src_id").agg(F.sum("w").alias("out_w"))
+    share = (e.join(out_w, "src_id")
+             .select("src_id", "dst_id", (F.col("w") / F.col("out_w")).alias("share"))
+             .localCheckpoint(eager=True))
+    src_nodes = out_w.select(F.col("src_id").alias("node_id"))
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(n_iter):
+        contrib = (share.join(ranks, share["src_id"] == ranks["node_id"])
+                   .groupBy(F.col("dst_id").alias("node_id"))
+                   .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
+        dangling = (ranks.join(src_nodes, "node_id", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")))
+        ranks = (nodes.join(contrib, "node_id", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node_id",
+                         (F.lit(base) + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("dmass") / F.lit(float(n_nodes)))).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

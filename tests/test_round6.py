@@ -192,3 +192,49 @@ def test_manifest_tmp_name_is_per_target():
         assert json.loads(b.read_text()) == {"k": 2}
         # tmp names derived from each target → distinct even same-pid
         assert f".{a.name}.{os.getpid()}.tmp" != f".{b.name}.{os.getpid()}.tmp"
+
+
+def test_pagerank_matches_dense_numpy_reference(spark):
+    """graph.pagerank vs an independent dense NumPy power iteration on a small
+    weighted digraph that includes a dangling node (7) and a weight-skewed hub.
+    Same recurrence, different engine/layout — agreement to ~1e-12 is the
+    correctness witness; exact order-of-summation equality is not required."""
+    import numpy as np
+
+    from lingvo_spark_kg.operators.graph import pagerank
+
+    edges = [  # (src, dst, n_occurrences)
+        (0, 1, 5), (0, 2, 1), (1, 2, 2), (2, 0, 1), (2, 3, 3),
+        (3, 4, 1), (4, 0, 2), (5, 0, 1), (6, 5, 4), (6, 7, 1), (3, 7, 2),
+    ]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long, n_occurrences long")
+    got = {r["node_id"]: r["rank"]
+           for r in pagerank(df, damping=0.85, n_iter=20).collect()}
+
+    ids = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {nid: i for i, nid in enumerate(ids)}
+    n = len(ids)
+    w = np.zeros((n, n))
+    for s, d, c in edges:
+        w[idx[s], idx[d]] += float(c)
+    out_w = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out_w[i] > 0:
+                contrib += r[i] * w[i] / out_w[i]
+        dmass = r[out_w == 0].sum()
+        r = (1 - 0.85) / n + 0.85 * (contrib + dmass / n)
+    assert set(got) == set(ids)
+    for nid in ids:
+        assert abs(got[nid] - r[idx[nid]]) < 1e-12, (nid, got[nid], r[idx[nid]])
+    # rank is a probability mass: sums to 1 (dangling redistribution keeps it)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_edges(spark):
+    from lingvo_spark_kg.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src_id long, dst_id long, n_occurrences long")
+    assert pagerank(df).count() == 0
