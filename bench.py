@@ -242,6 +242,35 @@ def run_skew_join(spark) -> dict:
             "speedup": round(best["auto"] / best["salted"], 2)}
 
 
+def run_pagerank_bench(spark) -> dict:
+    """Graph-analytics section: graph.pagerank's iterative keyed-join shape timed
+    at a scale where iteration cost is visible (the KG's own node table is
+    vocabulary-bounded and finishes in milliseconds). Synthetic Zipf-ish digraph:
+    2M weighted edges over 200k nodes with a hub destination drawing ~20% of all
+    in-edges — the head-entity shape a real mention graph has. 10 power
+    iterations, checkpointed every 5 (the operator default discipline); the
+    metric is edge-iterations/sec, comparable round-over-round."""
+    from pyspark.sql import functions as F
+
+    from lingvo_spark_kg.operators.graph import pagerank
+
+    n_edges, n_nodes, n_iter = 2_000_000, 200_000, 10
+    edges = spark.range(n_edges).select(
+        F.pmod(F.col("id") * 2654435761, F.lit(n_nodes)).alias("src_id"),
+        F.when(F.pmod("id", 5) == 0, F.lit(0))  # hub dst: 20% of in-edges
+        .otherwise(F.pmod(F.col("id") * 40503, F.lit(n_nodes))).alias("dst_id"),
+        (F.pmod("id", 4) + 1).alias("n_occurrences")).persist()
+    edges.count()
+    try:
+        pr = pagerank(edges, n_iter=n_iter)
+        sec, _ = _time(lambda: pr.agg(F.sum("rank")).collect() and 0)
+    finally:
+        edges.unpersist()
+    return {"n_edges": n_edges, "n_nodes": n_nodes, "n_iter": n_iter,
+            "sec": sec,
+            "edge_iters_per_sec": round(n_edges * n_iter / sec, 1)}
+
+
 def run_ann_quality(spark, sf_dir: str) -> dict:
     """ANN section (VERDICT r4 item 7): recall@10 of each approximate variant vs the
     brute-force oracle at the bench tier, recorded per round (the ≥0.95 multi-table
@@ -420,6 +449,7 @@ def main() -> None:
     # ANN recall + bucket-kernel comparison, and the full 9-stage pipeline runs
     skew = run_skew_join(spark)
     ann = run_ann_quality(spark, sf_dir)
+    pr_bench = run_pagerank_bench(spark)
     pipelines: dict[str, dict] = {}
     pipe_docs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_DOCS",
                                    str(n_docs * 10)))
@@ -452,6 +482,7 @@ def main() -> None:
         "dnn_onnx": onnx_meta,
         "skew": skew,
         "ann": ann,
+        "pagerank": pr_bench,
         "pipelines": pipelines,
         "sf": sf,
         "n_docs": n_docs_done,
@@ -471,6 +502,7 @@ def main() -> None:
         "skew": {k: skew[k] for k in ("plain_sec", "salted_sec", "speedup")
                  if k in skew},
         "ann": ann,
+        "pagerank": pr_bench,
         "pipelines": {name: p.get("total_sec") for name, p in pipelines.items()},
     }))
     spark.stop()

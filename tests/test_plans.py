@@ -271,3 +271,25 @@ def test_degree_stats_partial_aggregated(spark):
     plan = _plan(e.queries()["kg_degree"](spark, SF), spark)
     assert "partial_sum" in plan and "partial_count" in plan
     assert "Generate explode" in plan or "Generate" in plan  # the src/dst unpivot
+
+
+def test_pagerank_iteration_plan_shape(spark):
+    """One PageRank iteration's plan: the contribution join is a keyed join (hash
+    agg over an equi-join, never CartesianProduct); the only nested-loop join is
+    the broadcast of the 1-row dangling-mass aggregate; lineage stays bounded —
+    the checkpointed share/nodes frames appear as scans, not as the full edge
+    pipeline replayed per iteration."""
+    from lingvo_spark_kg.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11, 1 + i % 4) for i in range(60)],
+        "src_id long, dst_id long, n_occurrences long")
+    ranks = pagerank(edges, n_iter=2)
+    plan = _plan(ranks, spark)
+    assert "CartesianProduct" not in plan
+    # dangling mass rides a broadcast nested-loop join of a 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in plan
+    # contributions partial-aggregate map-side before the shuffle
+    assert "partial_sum" in plan
+    # checkpoint truncation: share/nodes enter as scans of existing RDDs
+    assert "Scan ExistingRDD" in plan
