@@ -37,7 +37,8 @@ def build_nodes(canon: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFra
 
 def build_edges_table(linked_triples: DataFrame, canon: DataFrame,
                       n_buckets: int = N_BUCKETS_DEFAULT,
-                      strategy: str = "auto", n_salt: int = 16) -> DataFrame:
+                      strategy: str = "auto", n_salt: int = 16,
+                      doc_sketch: bool = False) -> DataFrame:
     """linked triples + canonical map → edges(src_id, pred, dst_id, n_occurrences,
     avg_confidence, n_docs, example_doc_id, bucket).
 
@@ -49,7 +50,14 @@ def build_edges_table(linked_triples: DataFrame, canon: DataFrame,
     avg_confidence sums integer micro-units instead of F.avg on doubles: float
     summation order varies with partitioning, so a double avg is not bit-reproducible
     across cluster sizes; the integer sum is exact and order-independent (confidence
-    is already quantized to 1e-6 by the extractor, model/triples.py:83)."""
+    is already quantized to 1e-6 by the extractor, model/triples.py:83).
+
+    ``doc_sketch=True`` makes the edge table INCREMENTALLY MAINTAINABLE
+    (operators/incremental.py): each row carries a Datasketches HLL sketch of its
+    contributing doc_ids (``F.hll_sketch_agg``) and ``n_docs`` becomes the sketch
+    estimate — unlike countDistinct, sketches merge under re-aggregation when a
+    delta batch or a canonical-cluster merge re-keys rows (HLL register state is a
+    per-item max, so union order / grouping cannot change the estimate)."""
     from .linking import dim_join
 
     c_subj = canon.select(
@@ -66,13 +74,20 @@ def build_edges_table(linked_triples: DataFrame, canon: DataFrame,
         .withColumn("src_id", F.coalesce("src_id", F.concat(F.lit("m:"), "subj_type", F.lit(":"), "subj_norm")))
         .withColumn("dst_id", F.coalesce("dst_id", F.concat(F.lit("m:"), "obj_type", F.lit(":"), "obj_norm")))
     )
-    agg = t.groupBy("src_id", "pred", "dst_id").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_occurrences"),
         ((F.sum(F.round(F.col("confidence") * 1e6).cast("long")).cast("double")
           / F.count(F.lit(1))) / F.lit(1e6)).alias("avg_confidence"),
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.min("doc_id").alias("example_doc_id"),
-    )
+    ]
+    if doc_sketch:
+        aggs += [F.hll_sketch_agg("doc_id").alias("doc_sketch"),
+                 F.min("doc_id").alias("example_doc_id")]
+    else:
+        aggs += [F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("example_doc_id")]
+    agg = t.groupBy("src_id", "pred", "dst_id").agg(*aggs)
+    if doc_sketch:
+        agg = agg.withColumn("n_docs", F.hll_sketch_estimate("doc_sketch"))
     return agg.withColumn("bucket", F.pmod(F.hash("src_id"), F.lit(n_buckets)))
 
 
