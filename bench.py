@@ -271,6 +271,57 @@ def run_pagerank_bench(spark) -> dict:
             "edge_iters_per_sec": round(n_edges * n_iter / sec, 1)}
 
 
+def run_incremental_bench(spark, n_base: int, n_delta: int) -> dict:
+    """Incremental-maintenance section (operators/incremental.py): time a FULL
+    graph recompute over base+delta docs vs applying only the delta to the
+    materialized base state. The speedup is the point of incremental maintenance —
+    the delta path pays delta-volume extraction plus vocabulary-bounded re-link/CC
+    plus an edge-table re-aggregate, never base-corpus extraction. Both paths end
+    on the same action (edge-table count); result equality is pinned in
+    tests/test_incremental.py, so this section only measures."""
+    import __spark_entry__ as e
+    from lingvo_spark_kg.operators import incremental, linking
+    from lingvo_spark_kg.operators.canonicalize import canonical_map
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.graph import build_edges_table
+    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
+
+    gaz_bc = e._gaz_bc(spark)
+    aliases = e._aliases_df(spark)
+
+    def graph_state(triples):
+        links = linking.link_mentions(
+            linking.mentions_from_triples(triples), aliases).localCheckpoint()
+        canon = canonical_map(links).localCheckpoint()
+        edges = build_edges_table(linking.link_triples(triples, links), canon,
+                                  doc_sketch=True)
+        return links, canon, edges
+
+    # base state: the already-materialized graph an ingest batch arrives against
+    base_t = docs_to_triples_fused(
+        generate_docs(spark, n_base), gaz_bc).localCheckpoint()
+    base_links, base_canon, base_edges = graph_state(base_t)
+    base_edges = base_edges.localCheckpoint()
+
+    def full():
+        all_t = docs_to_triples_fused(
+            generate_docs(spark, n_base + n_delta), gaz_bc)
+        return graph_state(all_t)[2].count()
+
+    def incr():
+        delta_t = docs_to_triples_fused(
+            generate_docs(spark, n_delta, start=n_base), gaz_bc)
+        return incremental.apply_delta(base_links, base_canon, base_edges,
+                                       delta_t, aliases)["edges"].count()
+
+    full_sec, n_edges_full = _time(full)
+    incr_sec, n_edges_incr = _time(incr)
+    assert n_edges_full == n_edges_incr, "incremental diverged from full recompute"
+    return {"n_base": n_base, "n_delta": n_delta, "n_edges": n_edges_full,
+            "full_recompute_sec": full_sec, "apply_delta_sec": incr_sec,
+            "speedup": round(full_sec / incr_sec, 2)}
+
+
 def run_ann_quality(spark, sf_dir: str) -> dict:
     """ANN section (VERDICT r4 item 7): recall@10 of each approximate variant vs the
     brute-force oracle at the bench tier, recorded per round (the ≥0.95 multi-table
@@ -450,6 +501,8 @@ def main() -> None:
     skew = run_skew_join(spark)
     ann = run_ann_quality(spark, sf_dir)
     pr_bench = run_pagerank_bench(spark)
+    # incremental maintenance: 2x the bench corpus as base, 10% of it as the delta
+    incr = run_incremental_bench(spark, n_base=n_docs * 2, n_delta=n_docs // 5)
     pipelines: dict[str, dict] = {}
     pipe_docs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_DOCS",
                                    str(n_docs * 10)))
@@ -483,6 +536,7 @@ def main() -> None:
         "skew": skew,
         "ann": ann,
         "pagerank": pr_bench,
+        "incremental": incr,
         "pipelines": pipelines,
         "sf": sf,
         "n_docs": n_docs_done,
@@ -503,6 +557,7 @@ def main() -> None:
                  if k in skew},
         "ann": ann,
         "pagerank": pr_bench,
+        "incremental": incr,
         "pipelines": {name: p.get("total_sec") for name, p in pipelines.items()},
     }))
     spark.stop()

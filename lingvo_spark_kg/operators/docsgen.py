@@ -18,7 +18,7 @@ from .schemas import DOCS_SCHEMA
 
 
 def generate_docs(spark: SparkSession, n_docs: int, seed: int = 42,
-                  partitions: int | None = None) -> DataFrame:
+                  partitions: int | None = None, start: int = 0) -> DataFrame:
     import pyarrow as pa
 
     if partitions is None:
@@ -64,7 +64,9 @@ def generate_docs(spark: SparkSession, n_docs: int, seed: int = 42,
                 [pa.array(ids, pa.string()), spans], names=["doc_id", "spans"]
             )
 
-    rng = spark.range(0, n_docs, numPartitions=partitions)
+    # ``start`` synthesizes a DISJOINT later batch (same deterministic
+    # generator, fresh doc ids) — the delta side of incremental updates
+    rng = spark.range(start, start + n_docs, numPartitions=partitions)
     return rng.mapInArrow(gen, schema=DOCS_SCHEMA)
 
 
