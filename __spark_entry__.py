@@ -308,6 +308,44 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rank") * F.lit(1e9)).cast("long").alias("rank_e9"))
 
 
+def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance gate (operators/incremental.py): materialize the
+    graph state over the FIRST 80% of the corpus, then apply the remaining 20% as
+    a delta batch through ``apply_delta`` — merged mention re-link, vocab-bounded
+    CC re-run, base-edge remap through the old→new canonical map, sketch-carrying
+    merge aggregate. Incremental ≡ full recompute, so the oracle is the SAME
+    golden kg_edges parquet as the batch path, minus ``n_docs`` (the HLL sketch
+    estimate — merge-exact vs a sketch-mode full recompute, pinned bit-equal in
+    tests/test_incremental.py, but not numerically the golden's exact
+    countDistinct). Every compared column here is exact by construction."""
+    from lingvo_spark_kg.operators import incremental, linking
+    from lingvo_spark_kg.operators.canonicalize import canonical_map
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.operators.graph import build_edges_table
+    from lingvo_spark_kg.operators.triples import docs_to_triples_fused
+
+    n = _n_docs_for(sf_dir)
+    k = max(1, (n * 4) // 5)
+    gaz = _gaz_bc(spark)
+    aliases = _aliases_df(spark)
+    # base state: the already-materialized graph the delta batch arrives against
+    base_t = docs_to_triples_fused(generate_docs(spark, k), gaz).localCheckpoint()
+    base_links = linking.link_mentions(
+        linking.mentions_from_triples(base_t), aliases).localCheckpoint()
+    base_canon = canonical_map(base_links).localCheckpoint()
+    base_edges = build_edges_table(
+        linking.link_triples(base_t, base_links), base_canon,
+        doc_sketch=True).localCheckpoint()
+    # the delta: the rest of the SAME deterministic corpus (generate_docs is a
+    # pure function of doc id, so base ∪ delta == the full-corpus scan bit-exactly)
+    delta_t = docs_to_triples_fused(generate_docs(spark, n - k, start=k), gaz)
+    out = incremental.apply_delta(base_links, base_canon, base_edges, delta_t,
+                                  aliases)
+    return out["edges"].select(
+        "src_id", "pred", "dst_id", "n_occurrences", "avg_confidence",
+        "example_doc_id")
+
+
 def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget context packing (corpus_ops.pack_contexts): concat-and-chunk
     assignment of docs to 64-token pretraining contexts in 4 deterministic shards —
@@ -1205,11 +1243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_degree": q_kg_degree,
         "kg_pagerank": q_kg_pagerank,
+        "kg_edges_incremental": q_kg_edges_incremental,
         "pack_contexts": q_pack_contexts,
         "kg_invariant": q_kg_invariant,
         "kg_mentions": q_kg_mentions,
         "kg_urls": q_kg_urls,
-        "tag_bilstm": q_tag_bilstm,
         "tag_bilstm_s2s": q_tag_bilstm_s2s,
         "tag_bilstm_crf": q_tag_bilstm_crf,
         "tag_probs": q_tag_probs,
@@ -1338,8 +1376,18 @@ def _golden_oracles() -> dict[str, str]:
     # row is cross-regimen end-to-end equality, not a second mirror
     out["kg_edges_dnn"] = out["kg_edges"]
     # S5: models round-tripped through the reference .s2s wire format must tag
-    # identically to the in-memory pinned pair — same golden, zero-drift gate
-    out["tag_bilstm_s2s"] = out["tag_bilstm"]
+    # identically to the in-memory pinned pair — same golden, zero-drift gate.
+    # The plain tag_bilstm row is FOLDED into this one (50-row cap): s2s is a
+    # strict superset gate — the identical M6 kernel + reshape, with the wire
+    # format in the loop — checked against the identical golden parquet.
+    out["tag_bilstm_s2s"] = out.pop("tag_bilstm")
+    # incremental maintenance ≡ full recompute: same golden as the batch kg_edges
+    # row, minus n_docs (sketch estimate vs the golden's exact countDistinct;
+    # sketch-mode merge exactness is pinned in tests/test_incremental.py)
+    out["kg_edges_incremental"] = f"""
+        SELECT src_id, pred, dst_id, n_occurrences, avg_confidence, example_doc_id
+        FROM read_parquet('{paths["kg_edges"]}')
+    """
     # the exported-ONNX probability path must be bit-identical to the native
     # kernel's — same tag_probs golden (shared probs_from_logits post-processing
     # over bit-parity logits)
