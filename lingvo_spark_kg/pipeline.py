@@ -61,6 +61,9 @@ class KgPipeline:
     # resume guard (snapshot id / path / content digest). The schema is always
     # fingerprinted; the content identity of a DataFrame can't be, so pass this when
     # resuming over workdirs built from different external corpora must be caught.
+    edge_doc_sketch: bool = False  # carry a Datasketches HLL doc sketch per edge row
+    # (build_edges_table(doc_sketch=True)) — REQUIRED for ingest_delta: countDistinct
+    # n_docs is not mergeable once a delta batch or cluster merge re-keys rows
     writer: object | None = None  # TableWriter; default ParquetTableWriter(workdir) —
     # pass IcebergTableWriter(spark, catalog) on a lake (operators/writer.py)
     timings: dict[str, float] = field(default_factory=dict)
@@ -119,7 +122,8 @@ class KgPipeline:
     # tagged stage is correct — mapping the missing key to False would needlessly
     # invalidate every pre-upgrade workdir (including pure-lexicon ones)
     _FP_DEFAULTS = {"tagger": "lexicon", "dnn_backend": "numpy",
-                    "dnn_models": "pinned", "dnn_dedup": True}
+                    "dnn_models": "pinned", "dnn_dedup": True,
+                    "edge_sketch": False}
 
     def _config_fingerprint(self) -> dict:
         if self.dnn_models is None:
@@ -149,6 +153,7 @@ class KgPipeline:
                 "fused": self.fused, "tagger": self.tagger,
                 "dnn_backend": self.dnn_backend, "dnn_models": models_fp,
                 "dnn_dedup": self.dnn_dedup_sentences,
+                "edge_sketch": self.edge_doc_sketch,
                 "link_strategy": self.link_strategy,
                 "link_fuzzy": self.link_fuzzy, "external_docs": docs_fp}
 
@@ -202,9 +207,209 @@ class KgPipeline:
                 w = self._writer()
                 for stage in self.STAGES:
                     w.invalidate(self.spark, stage)
+        log = self._ingest_log()
+        if log["batches"]:
+            # ingested workdirs are maintained through ingest_delta / table(); a
+            # plain run() would trust base-stage markers that no longer reflect the
+            # graph generation (and resume=False would rebuild base stages while
+            # stale batch tables still union into table() reads)
+            if resume:
+                raise ValueError(
+                    f"workdir {self.workdir} has ingested delta batches "
+                    f"{log['batches']}; keep maintaining it with ingest_delta, or "
+                    "rebuild from scratch with resume=False")
+            self._clear_ingest_state(log)
         os.makedirs(self.workdir, exist_ok=True)
         with open(fp_path, "w") as f:
             json.dump(fp, f)
+
+    # --- incremental ingest (operators/incremental.py over the stage tables) ---
+    # corpus-volume stages accrete per-batch tables (stage__b1, stage__b2, ...);
+    # graph-layer stages are replaced wholesale per committed generation
+    # (stage__g1, ...). The commit point is ONE atomic replace of ingest_log.json —
+    # the parquet stand-in for an Iceberg snapshot commit: a crash anywhere before
+    # it leaves the previous generation fully readable, and re-running the same
+    # batch id simply overwrites the uncommitted tables.
+    _GRAPH_STAGES = ("links", "canonical_map", "nodes", "edges", "metrics")
+    _BATCH_STAGES = ("docs", "media_spans", "sentences", "tagged", "triples_raw")
+
+    def _ingest_log_path(self) -> str:
+        return os.path.join(self.workdir, "ingest_log.json")
+
+    def _ingest_log(self) -> dict:
+        p = self._ingest_log_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"batches": [], "graph_gen": 0}
+
+    def _clear_ingest_state(self, log: dict) -> None:
+        w = self._writer()
+        for b in log["batches"]:
+            for stage in self._BATCH_STAGES:
+                w.invalidate(self.spark, f"{stage}__b{b}")
+        for g in range(1, log["graph_gen"] + 1):
+            for stage in self._GRAPH_STAGES:
+                w.invalidate(self.spark, f"{stage}__g{g}")
+        if os.path.exists(self._ingest_log_path()):
+            os.remove(self._ingest_log_path())
+
+    def table(self, stage: str) -> DataFrame:
+        """The LOGICAL stage table across all committed ingests: graph-layer stages
+        resolve to the latest committed generation; corpus-volume stages union the
+        base table with every committed batch table. ``linked_triples``/``sentences``
+        /``tagged`` batch tables exist only for configs whose run() writes them."""
+        w = self._writer()
+        log = self._ingest_log()
+        if stage in self._GRAPH_STAGES and log["graph_gen"]:
+            return w.read(self.spark, f"{stage}__g{log['graph_gen']}")
+        df = w.read(self.spark, stage)
+        for b in log["batches"]:
+            t = f"{stage}__b{b}"
+            if w.done(self.spark, t):
+                df = df.unionByName(w.read(self.spark, t))
+        return df
+
+    def _batch_stage(self, name: str, build) -> DataFrame:
+        w = self._writer()
+        t0 = time.time()
+        w.write(build(), name)
+        self.timings[name] = round(time.time() - t0, 3)
+        return w.read(self.spark, name)
+
+    def ingest_delta(self, delta_docs: DataFrame,
+                     batch_id: int | None = None) -> dict[str, int]:
+        """Apply a delta batch of documents to a completed workdir with
+        delta + vocabulary work — never a base-corpus re-scan (the continuous-ingest
+        mode of a web-scale KG; cost model in docs/SCALE.md "Incremental
+        maintenance"). The delta rides the SAME extraction regimen as run()
+        (fused lexicon / staged lexicon / DNN with dedup decode), then
+        operators/incremental.apply_delta merges it into the graph layer.
+
+        Durability contract: per-batch corpus tables and the next graph generation
+        are written first; the single atomic ``ingest_log.json`` replace commits
+        them (Iceberg analog: one snapshot commit). A crash before the commit
+        leaves the previous state fully readable and the retry (same ``batch_id``)
+        overwrites the orphaned tables; a re-ingest of an already-committed batch
+        id raises. Batch identity — "is this the same delta I already applied?" —
+        is the caller's offset-tracking responsibility, as with any append log.
+        Superseded generations are only marker-invalidated; storage reclamation is
+        the deployment's retention job (Iceberg: ``expire_snapshots``).
+
+        Equality contract: after N ingests, every ``table(stage)`` read is
+        bit-identical to a fresh ``run()`` over the concatenated corpus — for
+        ``edges`` in sketch mode on every column including the HLL ``n_docs``
+        estimate (pinned in tests/test_pipeline_ingest.py). ``delta_docs`` must
+        match the docs-stage schema. ``linked_triples`` stays a base-run
+        intermediate (consumed only by the batch edge build; the merge path
+        re-keys the edge table directly and never reads it)."""
+        from .operators import incremental
+
+        spark = self.spark
+        if self.tagger == "dnn" and self.fused:
+            self.fused = False  # same normalization as run(): the fused operator
+            # is lexicon-only, and the stored fingerprint records the effective value
+        if not self.edge_doc_sketch:
+            raise ValueError(
+                "ingest_delta needs edge_doc_sketch=True (a countDistinct n_docs "
+                "edge table is not mergeable); rebuild the workdir with the "
+                "option on")
+        w = self._writer()
+        for stage in ("docs", "triples_raw", "links", "canonical_map", "edges"):
+            if not w.done(spark, stage):
+                raise ValueError(
+                    f"ingest_delta needs a completed run() in {self.workdir} "
+                    f"(stage {stage!r} is not done)")
+        self._check_ingest_fingerprint()
+        log = self._ingest_log()
+        b = batch_id if batch_id is not None else (
+            max(log["batches"], default=0) + 1)
+        if b in log["batches"]:
+            raise ValueError(f"batch {b} is already committed in {self.workdir}")
+        g_new = log["graph_gen"] + 1
+        sfx = f"__b{b}"
+
+        docs = self._batch_stage(f"docs{sfx}", lambda: delta_docs)
+        self._batch_stage(f"media_spans{sfx}", lambda: media_spans(docs))
+        if self.fused:
+            triples = self._batch_stage(
+                f"triples_raw{sfx}",
+                lambda: docs_to_triples_fused(docs, self.gazetteer_bc()))
+        else:
+            sentences = self._batch_stage(f"sentences{sfx}",
+                                          lambda: tokenize_docs(docs))
+            tagged = self._batch_stage(
+                f"tagged{sfx}",
+                (lambda: self._dnn_tagged(sentences)) if self.tagger == "dnn"
+                else (lambda: tag_sentences_lexicon(sentences,
+                                                    self.gazetteer_bc())))
+            triples = self._batch_stage(f"triples_raw{sfx}",
+                                        lambda: extract_triples_df(tagged))
+
+        link_fn = (linking.link_mentions_fuzzy if self.link_fuzzy else
+                   (lambda m, a: linking.link_mentions(
+                       m, a, strategy=self.link_strategy)))
+        cc_dir = self.path("cc_checkpoints") if self.durable_cc else None
+        t0 = time.time()
+        out = incremental.apply_delta(
+            self.table("links"), self.table("canonical_map"), self.table("edges"),
+            triples, self.aliases_df(), link_fn=link_fn,
+            n_buckets=self.n_buckets, cc_checkpoint_dir=cc_dir)
+        w.write(out["links"], f"links__g{g_new}")
+        w.write(out["canon"], f"canonical_map__g{g_new}")
+        w.write(out["nodes"], f"nodes__g{g_new}", bucket_col="bucket",
+                n_buckets=self.n_buckets)
+        w.write(out["edges"], f"edges__g{g_new}", bucket_col="bucket",
+                n_buckets=self.n_buckets)
+        nodes_t = w.read(spark, f"nodes__g{g_new}")
+        edges_t = w.read(spark, f"edges__g{g_new}")
+        w.write(graph.partition_metrics(nodes_t, "nodes").unionByName(
+            graph.partition_metrics(edges_t, "edges")), f"metrics__g{g_new}")
+        self.timings[f"graph__g{g_new}"] = round(time.time() - t0, 3)
+
+        # ---- the commit point: one atomic pointer replace ----
+        new_log = {"batches": sorted(log["batches"] + [b]), "graph_gen": g_new}
+        tmp = f"{self._ingest_log_path()}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_log, f)
+        os.replace(tmp, self._ingest_log_path())
+        # superseded generation: invalidate markers (files are retention-policy GC)
+        if log["graph_gen"]:
+            for stage in self._GRAPH_STAGES:
+                w.invalidate(spark, f"{stage}__g{log['graph_gen']}")
+
+        from functools import reduce
+
+        counts_df = reduce(
+            DataFrame.unionByName,
+            [df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("stage"), "n")
+             for name, df in {"delta_docs": docs, "delta_triples": triples,
+                              "nodes": nodes_t, "edges": edges_t}.items()])
+        counts = {r["stage"]: r["n"] for r in counts_df.collect()}
+        with open(os.path.join(self.workdir, f"ingest_summary_b{b}.json"),
+                  "w") as f:
+            json.dump({"batch": b, "graph_gen": g_new, "counts": counts,
+                       "timings": self.timings}, f, indent=2)
+        return counts
+
+    def _check_ingest_fingerprint(self) -> None:
+        """ingest_delta must run under the SAME config that built the workdir —
+        a different extraction/linking config would merge inconsistently keyed
+        deltas into the graph."""
+        fp_path = os.path.join(self.workdir, "config.json")
+        if not os.path.exists(fp_path):
+            raise ValueError(f"{self.workdir} has no config.json — run() first")
+        with open(fp_path) as f:
+            old = {**self._FP_DEFAULTS, **json.load(f)}
+        fp = self._config_fingerprint()
+        # n_docs describes the BASE generator corpus only; external-docs pipelines
+        # feed deltas by DataFrame, so the content key is batch-scoped, not global
+        drop = ("n_docs", "external_docs")
+        if {k: v for k, v in old.items() if k not in drop} != \
+                {k: v for k, v in fp.items() if k not in drop}:
+            raise ValueError(
+                f"ingest_delta config mismatch over {self.workdir}: {old} != {fp}")
 
     # --- stages ---
     def run(self, resume: bool = True) -> dict[str, int]:
@@ -269,7 +474,9 @@ class KgPipeline:
             bucket_col="bucket",
         )
         edges = self._run_stage(
-            "edges", lambda: graph.build_edges_table(linked_triples, canon, self.n_buckets),
+            "edges",
+            lambda: graph.build_edges_table(linked_triples, canon, self.n_buckets,
+                                            doc_sketch=self.edge_doc_sketch),
             resume, bucket_col="bucket",
         )
         metrics = self._run_stage(

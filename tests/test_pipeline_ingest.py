@@ -1,0 +1,127 @@
+"""Durable incremental ingest on the pipeline's stage tables
+(KgPipeline.ingest_delta): per-batch corpus tables + generation-swapped graph
+tables committed by ONE atomic ingest_log.json replace — the parquet stand-in for
+an Iceberg snapshot commit. Equality contract: after any number of ingests, every
+``table(stage)`` read is bit-identical to a fresh ``run()`` over the concatenated
+corpus (edges in sketch mode on every column including the HLL n_docs estimate —
+the operator-level exactness argument in operators/incremental.py)."""
+
+import json
+import os
+
+import pytest
+
+from lingvo_spark_kg.operators.docsgen import generate_docs
+from lingvo_spark_kg.pipeline import KgPipeline
+
+N_BASE, N_DELTA = 300, 80
+
+
+def _rows(df, cols=None):
+    if cols is not None:
+        df = df.select(*cols)
+    return sorted(tuple(r) for r in df.collect())
+
+
+EDGE_COLS = ("src_id", "pred", "dst_id", "n_occurrences", "avg_confidence",
+             "n_docs", "example_doc_id")
+
+
+def _full_pipeline(spark, wd, n_docs, **kw):
+    p = KgPipeline(spark, wd, n_docs=n_docs, edge_doc_sketch=True, **kw)
+    p.run(resume=False)
+    return p
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    """One base run + one committed delta ingest, reused by several tests."""
+    wd = str(tmp_path_factory.mktemp("kg_ingest"))
+    p = _full_pipeline(spark, wd, N_BASE)
+    counts = p.ingest_delta(generate_docs(spark, N_DELTA, start=N_BASE))
+    return p, counts
+
+
+def test_ingest_equals_full_run(spark, ingested, tmp_path_factory):
+    p, counts = ingested
+    ref = _full_pipeline(
+        spark, str(tmp_path_factory.mktemp("kg_ingest_ref")), N_BASE + N_DELTA)
+    for stage, cols in (("edges", EDGE_COLS), ("nodes", None), ("links", None),
+                        ("canonical_map", None), ("triples_raw", None),
+                        ("docs", None), ("media_spans", None)):
+        assert _rows(p.table(stage), cols) == _rows(ref.table(stage), cols), stage
+    assert counts["delta_docs"] == N_DELTA
+
+
+def test_second_batch_accumulates(spark, ingested, tmp_path_factory):
+    p, _ = ingested
+    wd2 = str(tmp_path_factory.mktemp("kg_ingest_twice"))
+    p2 = _full_pipeline(spark, wd2, N_BASE)
+    p2.ingest_delta(generate_docs(spark, N_DELTA // 2, start=N_BASE))
+    p2.ingest_delta(generate_docs(spark, N_DELTA - N_DELTA // 2,
+                                  start=N_BASE + N_DELTA // 2))
+    log = json.load(open(os.path.join(wd2, "ingest_log.json")))
+    assert log == {"batches": [1, 2], "graph_gen": 2}
+    assert _rows(p2.table("edges"), EDGE_COLS) == _rows(p.table("edges"), EDGE_COLS)
+    assert _rows(p2.table("triples_raw")) == _rows(p.table("triples_raw"))
+
+
+def test_crash_before_commit_preserves_previous_state(spark, tmp_path_factory):
+    """A failure anywhere before the ingest_log replace must leave the previous
+    generation fully readable, and the same-batch retry must converge to the same
+    result as an uninterrupted ingest."""
+    wd = str(tmp_path_factory.mktemp("kg_ingest_crash"))
+    p = _full_pipeline(spark, wd, N_BASE)
+    edges_before = _rows(p.table("edges"), EDGE_COLS)
+
+    real_write = p.writer.write
+    def exploding_write(df, table, **kw):
+        if table.startswith("edges__g"):
+            raise RuntimeError("injected crash before commit")
+        return real_write(df, table, **kw)
+
+    p.writer.write = exploding_write
+    with pytest.raises(RuntimeError, match="injected"):
+        p.ingest_delta(generate_docs(spark, N_DELTA, start=N_BASE), batch_id=1)
+    p.writer.write = real_write
+    # nothing committed: pointer unchanged, reads serve the old generation
+    assert p._ingest_log() == {"batches": [], "graph_gen": 0}
+    assert _rows(p.table("edges"), EDGE_COLS) == edges_before
+
+    p.ingest_delta(generate_docs(spark, N_DELTA, start=N_BASE), batch_id=1)
+    ref = _full_pipeline(
+        spark, str(tmp_path_factory.mktemp("kg_ingest_crash_ref")),
+        N_BASE + N_DELTA)
+    assert _rows(p.table("edges"), EDGE_COLS) == _rows(ref.table("edges"), EDGE_COLS)
+
+
+def test_guards(spark, ingested, tmp_path_factory):
+    p, _ = ingested
+    # re-committing an applied batch id must raise (idempotence is retry-scoped)
+    with pytest.raises(ValueError, match="already committed"):
+        p.ingest_delta(generate_docs(spark, 10, start=9999), batch_id=1)
+    # a plain resume over an ingested workdir must refuse
+    with pytest.raises(ValueError, match="ingested delta batches"):
+        KgPipeline(p.spark, p.workdir, n_docs=N_BASE,
+                   edge_doc_sketch=True).run(resume=True)
+    # sketchless edge tables are not mergeable
+    wd = str(tmp_path_factory.mktemp("kg_ingest_nosketch"))
+    pn = KgPipeline(spark, wd, n_docs=50)
+    pn.run(resume=False)
+    with pytest.raises(ValueError, match="edge_doc_sketch"):
+        pn.ingest_delta(generate_docs(spark, 10, start=50))
+    # a config drift between run() and ingest_delta must refuse
+    pd = KgPipeline(spark, p.workdir, n_docs=N_BASE, edge_doc_sketch=True,
+                    link_fuzzy=True)
+    with pytest.raises(ValueError, match="config mismatch"):
+        pd.ingest_delta(generate_docs(spark, 10, start=9999))
+
+
+def test_rebuild_from_scratch_clears_ingest_state(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("kg_ingest_rebuild"))
+    p = _full_pipeline(spark, wd, 100)
+    p.ingest_delta(generate_docs(spark, 30, start=100))
+    p2 = _full_pipeline(spark, wd, 100)  # resume=False rebuild, same config
+    assert p2._ingest_log() == {"batches": [], "graph_gen": 0}
+    ref = _full_pipeline(spark, str(tmp_path_factory.mktemp("kg_rebuild_ref")), 100)
+    assert _rows(p2.table("edges"), EDGE_COLS) == _rows(ref.table("edges"), EDGE_COLS)
