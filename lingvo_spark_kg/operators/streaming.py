@@ -93,6 +93,44 @@ def stream_docs_to_triples(spark: SparkSession, input_dir: str, output_dir: str,
     )
 
 
+def stream_docs_to_kg(spark: SparkSession, input_dir: str, pipeline,
+                      checkpoint_dir: str, max_files_per_trigger: int = 16):
+    """A continuously MAINTAINED knowledge graph: file-source ``readStream`` of
+    docs → ``KgPipeline.ingest_delta`` per micro-batch — each trigger merges its
+    documents into the graph layer with delta+vocabulary work
+    (operators/incremental.py), never a base re-scan. Returns the StreamingQuery.
+
+    Exactly-once composition: foreachBatch is at-least-once, but the streaming
+    batch id is stable across replays and the file-source checkpoint replays the
+    SAME files — so mapping spark's batch id onto the ingest batch id and passing
+    ``if_committed='skip'`` makes a replayed trigger a no-op against the already
+    ATOMICALLY committed ``ingest_log.json`` generation. Empty triggers are
+    skipped without consuming an ingest generation.
+
+    The pipeline's workdir must be dedicated to this stream (its base ``run()``
+    done, ``edge_doc_sketch=True``): interleaving manual ``ingest_delta`` calls
+    with a live stream would collide with the spark-batch-id → ingest-id mapping
+    (same single-writer rule Iceberg imposes on compacting committers)."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline.ingest_delta(batch_df, batch_id=batch_id + 1,
+                              if_committed="skip")
+
+    return (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_streamed_triples(spark: SparkSession, output_dir: str) -> DataFrame:
     """Read the streaming sink back in the BATCH triples_raw shape: partition
     discovery adds an int ``batch_id`` column (the per-micro-batch directory key)

@@ -277,8 +277,8 @@ class KgPipeline:
         self.timings[name] = round(time.time() - t0, 3)
         return w.read(self.spark, name)
 
-    def ingest_delta(self, delta_docs: DataFrame,
-                     batch_id: int | None = None) -> dict[str, int]:
+    def ingest_delta(self, delta_docs: DataFrame, batch_id: int | None = None,
+                     if_committed: str = "error") -> dict[str, int]:
         """Apply a delta batch of documents to a completed workdir with
         delta + vocabulary work — never a base-corpus re-scan (the continuous-ingest
         mode of a web-scale KG; cost model in docs/SCALE.md "Incremental
@@ -325,6 +325,13 @@ class KgPipeline:
         b = batch_id if batch_id is not None else (
             max(log["batches"], default=0) + 1)
         if b in log["batches"]:
+            # if_committed='skip' is the at-least-once replay contract for
+            # streaming (operators/streaming.stream_docs_to_kg): a replayed
+            # micro-batch carries the SAME batch id and — by the file-source
+            # checkpoint — the SAME documents, so dropping it is exactly-once.
+            # The manual API keeps raising: a human reusing an id is a bug.
+            if if_committed == "skip":
+                return {}
             raise ValueError(f"batch {b} is already committed in {self.workdir}")
         g_new = log["graph_gen"] + 1
         sfx = f"__b{b}"

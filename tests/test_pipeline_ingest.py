@@ -117,6 +117,41 @@ def test_guards(spark, ingested, tmp_path_factory):
         pd.ingest_delta(generate_docs(spark, 10, start=9999))
 
 
+def test_streaming_kg_ingest(spark, ingested, tmp_path_factory):
+    """stream_docs_to_kg: the file-source stream drives ingest_delta per
+    micro-batch — the continuously-maintained graph converges to the same state
+    as the batch-ingested (≡ fresh full run) pipeline, and a restart on the same
+    checkpoint replays nothing."""
+    from pyspark.sql import functions as F
+
+    from lingvo_spark_kg.operators.streaming import stream_docs_to_kg
+
+    ref, _ = ingested
+    base = tmp_path_factory.mktemp("kg_stream_ingest")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    wd = str(base / "wd")
+    p = _full_pipeline(spark, wd, N_BASE)
+
+    delta = generate_docs(spark, N_DELTA, start=N_BASE).cache()
+    split = f"doc-{N_BASE + N_DELTA // 2:08d}"
+    delta.where(F.col("doc_id") < split).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    delta.where(F.col("doc_id") >= split).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_docs_to_kg(spark, in_dir, p, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    log = p._ingest_log()
+    assert log["graph_gen"] == len(log["batches"]) >= 1
+    assert _rows(p.table("edges"), EDGE_COLS) == _rows(ref.table("edges"), EDGE_COLS)
+    assert _rows(p.table("docs")) == _rows(ref.table("docs"))
+
+    # restart on the same checkpoint: no new files → no new generations
+    q2 = stream_docs_to_kg(spark, in_dir, p, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    assert p._ingest_log() == log
+
+
 def test_rebuild_from_scratch_clears_ingest_state(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("kg_ingest_rebuild"))
     p = _full_pipeline(spark, wd, 100)
