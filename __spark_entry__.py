@@ -308,6 +308,17 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rank") * F.lit(1e9)).cast("long").alias("rank_e9"))
 
 
+def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop predicate-path mining over the materialized edges table
+    (graph.predicate_paths): one self-equi-join keyed on the mid entity + one
+    hash aggregate per predicate bigram, round-trip cycles excluded — the
+    relation-template discovery pass next to pagerank/degree_stats. Oracle =
+    the same self-join in plain SQL over the golden edges parquet."""
+    from lingvo_spark_kg.operators.graph import predicate_paths
+
+    return predicate_paths(q_kg_edges(spark, sf_dir), include_cycles=False)
+
+
 def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-maintenance gate (operators/incremental.py): materialize the
     graph state over the FIRST 80% of the corpus, then apply the remaining 20% as
@@ -1161,14 +1172,19 @@ def q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.unionByName(win)
 
 
-def q_ann_lsh_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-table LSH (the deliberately recall-poor baseline) + multi-table
-    multiprobe LSH under one variant column (operators/ann.py)."""
+def q_ann_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN index families under one variant column (operators/ann.py):
+    single-table LSH (the deliberately recall-poor baseline), multi-table
+    multiprobe LSH (the production path), and IVF (coarse-centroid cells,
+    n_probe=4 of 16) — one driver row per the 50-row cap, each arm checked
+    against its own oracle (inline hyperplane SQL / golden / golden)."""
     a = q_ann_lsh(spark, sf_dir).select(
         F.lit("single").alias("variant"), "query_id", "vec_id", "cosine", "rank")
     b = q_ann_lsh_multi(spark, sf_dir).select(
         F.lit("multi").alias("variant"), "query_id", "vec_id", "cosine", "rank")
-    return a.unionByName(b)
+    c = q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine", "rank")
+    return a.unionByName(b).unionByName(c)
 
 
 def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_degree": q_kg_degree,
         "kg_pagerank": q_kg_pagerank,
+        "kg_paths": q_kg_paths,
         "kg_edges_incremental": q_kg_edges_incremental,
         "pack_contexts": q_pack_contexts,
         "kg_invariant": q_kg_invariant,
@@ -1272,8 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": q_neardup_pairs,
         "dedup_survivors": q_dedup_survivors,
         "ann_topk": q_ann_topk,
-        "ann_lsh_all": q_ann_lsh_all,
-        "ann_ivf": q_ann_ivf,
+        "ann_all": q_ann_all,
         "emb_neardup": q_emb_neardup,
         "prf_metrics": q_prf_all,
         "vocab_build": q_vocab_build,
@@ -1361,15 +1377,18 @@ def _golden_oracles() -> dict[str, str]:
         UNION ALL
         SELECT *, 'real' AS variant FROM read_parquet('{paths["media_frames_real"]}')
     """
-    # single-table + multi-table LSH under one variant column (the single-table SQL
-    # oracle embeds the hyperplanes; the multi-table side is a golden)
-    del out["ann_lsh_multi"]
-    out["ann_lsh_all"] = f"""
+    # the three ANN index families under one variant column (the single-table SQL
+    # oracle embeds the hyperplanes; the multi-table and IVF sides are goldens)
+    del out["ann_lsh_multi"], out["ann_ivf"]
+    out["ann_all"] = f"""
         SELECT 'single' AS variant, query_id, vec_id, cosine, rank
         FROM ({_ann_lsh_oracle()})
         UNION ALL
         SELECT 'multi' AS variant, query_id, vec_id, cosine, rank
         FROM read_parquet('{paths["ann_lsh_multi"]}')
+        UNION ALL
+        SELECT 'ivf' AS variant, query_id, vec_id, cosine, rank
+        FROM read_parquet('{paths["ann_ivf"]}')
     """
     # the DNN-regimen edges query is checked against the SAME golden the lexicon
     # path uses — the trained demo models reproduce the lexicon regimen, so a green
@@ -1415,6 +1434,23 @@ def _golden_oracles() -> dict[str, str]:
     # (graph.pagerank), unrolled as a CTE chain over the golden edges —
     # engine-vs-engine on the iteration itself, no golden mirror
     out["kg_pagerank"] = _pagerank_oracle_sql(paths["kg_edges"])
+    # 2-hop predicate paths: the same self-join in plain SQL over the golden edges
+    # (cycles a→m→a excluded like the Spark side; SUM over BIGINT products is
+    # HUGEINT in DuckDB → cast back; example_path compares byte-wise in both
+    # engines — ASCII digit strings)
+    out["kg_paths"] = f"""
+        WITH e AS (SELECT src_id, pred, dst_id, n_occurrences
+                   FROM read_parquet('{paths["kg_edges"]}'))
+        SELECT e1.pred AS pred_1, e2.pred AS pred_2,
+               COUNT(*) AS n_paths,
+               COUNT(DISTINCT e1.dst_id) AS n_mid,
+               CAST(SUM(e1.n_occurrences * e2.n_occurrences) AS BIGINT) AS support_w,
+               MIN(CAST(e1.src_id AS VARCHAR) || '|' || CAST(e1.dst_id AS VARCHAR)
+                   || '|' || CAST(e2.dst_id AS VARCHAR)) AS example_path
+        FROM e e1 JOIN e e2 ON e1.dst_id = e2.src_id
+        WHERE e1.src_id <> e2.dst_id
+        GROUP BY e1.pred, e2.pred
+    """
     # S2: not a golden mirror — a pure-SQL reshape of the shared raw CoNLL line
     # table (sentence segments from the running blank-line count, tab split,
     # per-segment token positions), checked engine-against-engine

@@ -133,6 +133,60 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def predicate_paths(edges: DataFrame, include_cycles: bool = False,
+                    max_mid_fanout: int | None = None) -> DataFrame:
+    """2-hop relation-path mining over the materialized edges table: for every
+    edge pair ``a -pred_1-> m -pred_2-> b`` count the composite paths per
+    ``(pred_1, pred_2)`` → the predicate-bigram statistics a KG curation loop
+    reads to discover composable relation templates (e.g. works_at ∘ located_in
+    ⇒ a candidate works_in rule) — beyond-reference graph analytics like
+    ``pagerank``/``degree_stats`` (SURVEY.md §2.1 S11).
+
+    → (pred_1, pred_2, n_paths, n_mid, support_w, example_path) where ``n_mid``
+    is the distinct mid-entity count, ``support_w`` weights each path by
+    ``n_occurrences(e1) · n_occurrences(e2)``, and ``example_path`` is the
+    lexicographic-min ``"a|m|b"`` string (deterministic, engine-portable — both
+    engines compare ASCII digit strings byte-wise).
+
+    ``include_cycles=False`` (default) drops round-trips ``a → m → a`` —
+    reciprocal alias edges would otherwise dominate every bigram.
+
+    Scale shape: ONE self-equi-join keyed on the mid entity id plus one
+    map-side-combinable hash aggregate — never a cartesian product. The join
+    fan-out per mid is in_deg(m)·out_deg(m), so hub entities blow up
+    quadratically at web scale; ``max_mid_fanout`` bounds it by computing the
+    per-node (in_deg, out_deg) frame (two map-side-combinable aggregates over
+    the edges table, output is node-bounded ≪ edge-bounded) and semi-join
+    filtering BOTH join sides to mids with in_deg·out_deg ≤ the cap — the
+    standard hub cut of path mining, applied BEFORE the shuffle so the dropped
+    volume never moves. AQE's skew-join split handles the surviving skew."""
+    e1 = edges.select(F.col("src_id").alias("a"), F.col("pred").alias("pred_1"),
+                      F.col("dst_id").alias("m"),
+                      F.col("n_occurrences").cast("long").alias("w1"))
+    e2 = edges.select(F.col("src_id").alias("m"), F.col("pred").alias("pred_2"),
+                      F.col("dst_id").alias("b"),
+                      F.col("n_occurrences").cast("long").alias("w2"))
+    if max_mid_fanout is not None:
+        out_deg = edges.groupBy(F.col("src_id").alias("m")).agg(
+            F.count(F.lit(1)).alias("out_deg"))
+        in_deg = edges.groupBy(F.col("dst_id").alias("m")).agg(
+            F.count(F.lit(1)).alias("in_deg"))
+        # only nodes with BOTH in- and out-edges can be mids (inner join)
+        keep = (in_deg.join(out_deg, "m")
+                .where(F.col("in_deg") * F.col("out_deg") <= max_mid_fanout)
+                .select("m"))
+        e1 = e1.join(keep, "m", "left_semi")
+        e2 = e2.join(keep, "m", "left_semi")
+    paths = e1.join(e2, "m")
+    if not include_cycles:
+        paths = paths.where(F.col("a") != F.col("b"))
+    return (paths.groupBy("pred_1", "pred_2")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths"),
+                 F.countDistinct("m").cast("long").alias("n_mid"),
+                 F.sum(F.col("w1") * F.col("w2")).cast("long").alias("support_w"),
+                 F.min(F.concat_ws("|", "a", "m", "b")).alias("example_path")))
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
              checkpoint_every: int = 5,
              weight_col: str = "n_occurrences") -> DataFrame:

@@ -238,3 +238,67 @@ def test_pagerank_empty_edges(spark):
 
     df = spark.createDataFrame([], "src_id long, dst_id long, n_occurrences long")
     assert pagerank(df).count() == 0
+
+
+def test_predicate_paths_exact_small_graph(spark):
+    """graph.predicate_paths vs hand-enumerated paths on a small digraph:
+    cycle exclusion, distinct-mid counting, weighted support, and the
+    lexicographic-min example string."""
+    from lingvo_spark_kg.operators.graph import predicate_paths
+
+    edges = [  # (src, dst, pred, n_occurrences)
+        (1, 2, "p", 3), (2, 3, "q", 2), (2, 4, "q", 5),
+        (10, 2, "p", 1),           # second path into mid 2
+        (5, 6, "p", 1), (6, 5, "q", 7),   # pure round-trip: excluded by default
+        (3, 1, "r", 1),            # q∘r chain through mid 3
+    ]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {(r["pred_1"], r["pred_2"]):
+           (r["n_paths"], r["n_mid"], r["support_w"], r["example_path"])
+           for r in predicate_paths(df).collect()}
+    # p∘q through mid 2: (1,2,3) (1,2,4) (10,2,3) (10,2,4); p∘q via 5→6→5 is a cycle
+    # q∘r through mid 3: (2,3,1); r∘p through mid 1: (3,1,2)
+    # example is the LEXICOGRAPHIC min of "a|m|b": "10|2|3" < "1|2|3" ('0' < '|')
+    assert got == {
+        ("p", "q"): (4, 1, 3 * 2 + 3 * 5 + 1 * 2 + 1 * 5, "10|2|3"),
+        ("q", "r"): (1, 1, 2 * 1, "2|3|1"),
+        ("r", "p"): (1, 1, 1 * 3, "3|1|2"),
+    }
+    with_cycles = {(r["pred_1"], r["pred_2"]): r["n_paths"]
+                   for r in predicate_paths(df, include_cycles=True).collect()}
+    assert with_cycles[("p", "q")] == 5      # the 5→6→5 round-trip re-enters
+    assert with_cycles[("q", "p")] == 1      # 6→5→6
+
+
+def test_predicate_paths_hub_fanout_cut(spark):
+    """max_mid_fanout drops hub mids BEFORE the join: result equals running the
+    full operator on the edge set with the hub's edges removed as a mid."""
+    from lingvo_spark_kg.operators.graph import predicate_paths
+
+    # hub node 100: 3 in-edges × 4 out-edges = fanout 12; quiet mid 200: 1×1
+    edges = [(s, 100, "into", 1) for s in (1, 2, 3)]
+    edges += [(100, d, "outof", 1) for d in (11, 12, 13, 14)]
+    edges += [(7, 200, "a", 2), (200, 8, "b", 3)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    full = {(r["pred_1"], r["pred_2"]): r["n_paths"]
+            for r in predicate_paths(df).collect()}
+    assert full == {("into", "outof"): 12, ("a", "b"): 1}
+    cut = {(r["pred_1"], r["pred_2"]): r["n_paths"]
+           for r in predicate_paths(df, max_mid_fanout=4).collect()}
+    assert cut == {("a", "b"): 1}
+
+
+def test_predicate_paths_plan_shape(spark):
+    """One keyed self-join + partial-agg hash aggregate; never a cartesian."""
+    from lingvo_spark_kg.operators.graph import predicate_paths
+
+    df = spark.createDataFrame(
+        [(1, 2, "p", 1), (2, 3, "q", 1)],
+        "src_id long, dst_id long, pred string, n_occurrences long")
+    plan = predicate_paths(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # string-min + countDistinct agg buffers compile to SortAggregate — still a
+    # two-phase (partial → final) aggregate; the pin is "an aggregate, no window"
+    assert "Aggregate(" in plan and "Window" not in plan
