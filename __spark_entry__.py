@@ -284,12 +284,34 @@ def q_kg_edges_dnn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph analytics over the materialized edges: weighted node degree →
-    log2-bucketed histogram (graph.degree_stats) — the power-law summary a KG
-    curation pass reads before hub cuts."""
+    """Graph local-structure analytics over the materialized edges, two arms
+    under one variant column (50-row driver cap):
+
+    - ``bucket``: weighted node degree → log2-bucketed histogram
+      (graph.degree_stats) — the power-law summary a KG curation pass reads
+      before hub cuts. Oracle = the pure-Python golden mirror (unchanged).
+    - ``triangle``: per-node triangle participation counts
+      (graph.triangle_counts, degree-ordered wedge closing) — the local-density
+      signal separating organically-connected neighborhoods from star-shaped
+      extraction noise. Oracle = a brute-force ordered-triple self-join in plain
+      SQL over the golden edges parquet (engine-vs-engine; any strict total
+      order enumerates the same triangles, so collation cannot drift).
+
+    The edges frame is lazily localCheckpoint-ed so the extraction pipeline
+    runs once and both arms read the materialized RDD."""
     from lingvo_spark_kg.operators import graph
 
-    return graph.degree_stats(q_kg_edges(spark, sf_dir))
+    edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=False)
+    null_l = F.lit(None).cast("long")
+    buckets = graph.degree_stats(edges).select(
+        F.lit("bucket").alias("variant"), "degree_bucket", "n_nodes",
+        "max_degree", F.lit(None).cast("string").alias("node_id"),
+        null_l.alias("n_triangles"))
+    tri = graph.triangle_counts(edges).select(
+        F.lit("triangle").alias("variant"), null_l.alias("degree_bucket"),
+        null_l.alias("n_nodes"), null_l.alias("max_degree"),
+        "node_id", "n_triangles")
+    return buckets.unionByName(tri)
 
 
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,6 +1451,32 @@ def _golden_oracles() -> dict[str, str]:
         SELECT a.canonical_id, r.mention_norm AS label,
                r.mention_type AS node_type, a.n_mentions, a.n_surfaces, a.entity_id
         FROM agg a JOIN ranked r ON r.canonical_id = a.canonical_id AND r.rn = 1
+    """
+    # Graph local structure, two arms under one variant column: the degree
+    # histogram arm reads the pure-Python golden mirror (unchanged signal); the
+    # triangle arm is a brute-force ordered-triple self-join over the golden
+    # edges — engine-vs-engine vs Spark's degree-ordered wedge closing. Ordered
+    # enumeration counts each triangle once under ANY strict total order, so
+    # the two engines' string collations cannot drift the counts.
+    out["kg_degree"] = f"""
+        WITH e AS (SELECT src_id, dst_id FROM read_parquet('{paths["kg_edges"]}')),
+        und AS (SELECT DISTINCT LEAST(src_id, dst_id) AS u,
+                       GREATEST(src_id, dst_id) AS v
+                FROM e WHERE src_id <> dst_id),
+        t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+        tri AS (SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS node_id FROM t UNION ALL
+                      SELECT b FROM t UNION ALL SELECT c FROM t)
+                GROUP BY node_id)
+        SELECT 'bucket' AS variant, degree_bucket, n_nodes, max_degree,
+               CAST(NULL AS VARCHAR) AS node_id, CAST(NULL AS BIGINT) AS n_triangles
+        FROM read_parquet('{paths["kg_degree"]}')
+        UNION ALL
+        SELECT 'triangle' AS variant, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), node_id, n_triangles
+        FROM tri
     """
     # PageRank: the same 20-iteration weighted recurrence the Spark operator runs
     # (graph.pagerank), unrolled as a CTE chain over the golden edges —

@@ -187,6 +187,55 @@ def predicate_paths(edges: DataFrame, include_cycles: bool = False,
                  F.min(F.concat_ws("|", "a", "m", "b")).alias("example_path")))
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the (undirected view of the)
+    edges table → (node_id, n_triangles); the global triangle count is
+    Σ n_triangles / 3. Clustering-structure analytics next to
+    ``degree_stats``/``pagerank``/``predicate_paths`` — the local-density signal
+    a KG curation loop reads to separate organically-connected entity
+    neighborhoods from star-shaped extraction noise (hubs with many mutually
+    unconnected neighbors score 0).
+
+    Degree-ordered node-iterator (Schank's algorithm, the standard distributed
+    formulation): canonicalize to a distinct undirected edge set, rank nodes by
+    (degree, id), ORIENT every edge from lower to higher rank, build wedges by
+    self-joining oriented edges on their source, and close each wedge with one
+    more equi-join against the oriented edge set. Orientation bounds each
+    node's oriented out-degree by O(√m) on any graph, so the wedge frame —
+    the only super-linear intermediate — is O(m^1.5) worst-case instead of the
+    Σ deg² a naive wedge build produces on hub-skewed KGs; every step is an
+    equi-join or a map-side-combinable aggregate, never a cartesian. Each
+    triangle materializes exactly once (ranks strictly ordered a < b < c)."""
+    und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                        F.greatest("src_id", "dst_id").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    # total rank order = (degree, node id): strict, total, degree-aligned
+    a_rk = deg.select(F.col("node").alias("u"), F.struct(
+        F.col("degree"), F.col("node")).alias("rk_u"))
+    b_rk = deg.select(F.col("node").alias("v"), F.struct(
+        F.col("degree"), F.col("node")).alias("rk_v"))
+    ranked = und.join(a_rk, "u").join(b_rk, "v")
+    oriented = ranked.select(
+        F.when(F.col("rk_u") < F.col("rk_v"), F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(F.col("rk_u") < F.col("rk_v"), F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(F.col("rk_u") < F.col("rk_v"), F.col("rk_u")).otherwise(F.col("rk_v")).alias("rk_lo"),
+        F.when(F.col("rk_u") < F.col("rk_v"), F.col("rk_v")).otherwise(F.col("rk_u")).alias("rk_hi"),
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"),
+                         F.col("rk_hi").alias("rk_b"))
+    w2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"),
+                         F.col("rk_hi").alias("rk_c"))
+    wedges = (w1.join(w2, "a").where(F.col("rk_b") < F.col("rk_c"))
+              .select("a", "b", "c"))
+    closer = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closer, ["b", "c"])
+    return (tri.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
              checkpoint_every: int = 5,
              weight_col: str = "n_occurrences") -> DataFrame:

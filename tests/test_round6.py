@@ -302,3 +302,63 @@ def test_predicate_paths_plan_shape(spark):
     # string-min + countDistinct agg buffers compile to SortAggregate — still a
     # two-phase (partial → final) aggregate; the pin is "an aggregate, no window"
     assert "Aggregate(" in plan and "Window" not in plan
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 has 4 triangles, every node in 3; a star hub has none; duplicate /
+    reversed / self-loop edge rows collapse into the undirected simple graph."""
+    from lingvo_spark_kg.operators.graph import triangle_counts
+
+    k4 = [(a, b, "p", 1) for a in range(4) for b in range(4) if a != b]
+    noise = [(0, 0, "p", 1), (1, 0, "p", 9), (2, 1, "p", 3)]  # loop + dups
+    star = [(100, d, "p", 1) for d in range(101, 106)]
+    df = spark.createDataFrame(
+        k4 + noise + star, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {r["node_id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}   # star nodes absent (0 triangles)
+    assert sum(got.values()) // 3 == 4
+
+
+def test_triangle_counts_matches_duckdb_bruteforce(spark):
+    """Degree-ordered wedge closing vs a brute-force ordered triple join in
+    DuckDB on a deterministic pseudo-random graph (hash-derived edges — hub
+    skew included by construction)."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import triangle_counts
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(30), rng.randrange(30), "p", 1) for _ in range(250)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {r["node_id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d)"
+                % ",".join(f"({s},{d})" for s, d, _, _ in edges))
+    ref = con.execute("""
+        WITH u AS (SELECT DISTINCT LEAST(s,d) AS u, GREATEST(s,d) AS v
+                   FROM e WHERE s <> d),
+        t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM u e1 JOIN u e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN u e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT node_id, COUNT(*) AS n FROM (
+            SELECT a AS node_id FROM t UNION ALL
+            SELECT b FROM t UNION ALL SELECT c FROM t)
+        GROUP BY node_id
+    """).fetchall()
+    assert got == {n: c for n, c in ref}
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+def test_triangle_counts_plan_no_cartesian(spark):
+    from lingvo_spark_kg.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(1, 2, "p", 1), (2, 3, "p", 1), (3, 1, "p", 1)],
+        "src_id long, dst_id long, pred string, n_occurrences long")
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
