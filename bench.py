@@ -271,6 +271,38 @@ def run_pagerank_bench(spark) -> dict:
             "edge_iters_per_sec": round(n_edges * n_iter / sec, 1)}
 
 
+def run_triangles_bench(spark) -> dict:
+    """Triangle-counting section: graph.triangle_counts' degree-ordered wedge
+    closing on the SAME Zipf-hub shape the pagerank section uses — the hub is
+    exactly where orientation pays: the highest-degree node takes every incident
+    edge as its IN side, so its oriented out-degree is 0 and the wedge frame
+    stays O(m^1.5)-bounded instead of C(hub_degree, 2). Metric is edges/sec
+    through the full count, comparable round-over-round."""
+    from pyspark.sql import functions as F
+
+    from lingvo_spark_kg.operators.graph import triangle_counts
+
+    # hash-derived endpoints (a LINEAR map mod n makes dst a function of src —
+    # out-degree 1, zero triangles); 2M edges / 50k nodes ≈ avg degree 80, so the
+    # random part alone closes ~10^5 triangles and the count is a hard signal
+    n_edges, n_nodes = 2_000_000, 50_000
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src_id"),
+        F.when(F.pmod("id", 5) == 0, F.lit(0))  # hub dst: 20% of in-edges
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)))
+        .alias("dst_id"),
+        (F.pmod("id", 4) + 1).alias("n_occurrences")).persist()
+    edges.count()
+    try:
+        sec, row = _time(lambda: triangle_counts(edges)
+                         .agg(F.sum("n_triangles").alias("s")).collect()[0])
+        n_tri = int(row["s"] or 0) // 3
+    finally:
+        edges.unpersist()
+    return {"n_edges": n_edges, "n_nodes": n_nodes, "n_triangles": n_tri,
+            "sec": sec, "edges_per_sec": round(n_edges / sec, 1)}
+
+
 def run_incremental_bench(spark, n_base: int, n_delta: int) -> dict:
     """Incremental-maintenance section (operators/incremental.py): time a FULL
     graph recompute over base+delta docs vs applying only the delta to the
@@ -501,6 +533,7 @@ def main() -> None:
     skew = run_skew_join(spark)
     ann = run_ann_quality(spark, sf_dir)
     pr_bench = run_pagerank_bench(spark)
+    tri_bench = run_triangles_bench(spark)
     # incremental maintenance: 2x the bench corpus as base, 10% of it as the delta
     incr = run_incremental_bench(spark, n_base=n_docs * 2, n_delta=n_docs // 5)
     pipelines: dict[str, dict] = {}
@@ -536,6 +569,7 @@ def main() -> None:
         "skew": skew,
         "ann": ann,
         "pagerank": pr_bench,
+        "triangles": tri_bench,
         "incremental": incr,
         "pipelines": pipelines,
         "sf": sf,
@@ -557,6 +591,7 @@ def main() -> None:
                  if k in skew},
         "ann": ann,
         "pagerank": pr_bench,
+        "triangles": tri_bench,
         "incremental": incr,
         "pipelines": {name: p.get("total_sec") for name, p in pipelines.items()},
     }))
