@@ -236,6 +236,62 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
 
 
+def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
+                 seed: int = 42) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the (undirected view of the) edges
+    table → exploded (start_id, walk_idx, step, node_id) rows, step 0 = start —
+    the standard KG → graph-embedding training-data export (walk sequences feed
+    a skip-gram trainer exactly like token windows feed word2vec).
+
+    DETERMINISTIC walks, not sampled: the next hop from the current node is the
+    neighbor minimizing md5(seed:start:walk:step:neighbor). An argmin of a
+    uniform hash over the neighbor set IS a uniform choice per (walk, step) —
+    DeepWalk's transition kernel — but reproducible across runs, engines and
+    partitionings, which makes the operator oracle-checkable (the same argmin is
+    expressible as a ROW_NUMBER window in plain SQL) and the emitted corpus
+    stable under retries (the property an exactly-once training pipeline needs).
+
+    Shape per step: one equi-join of the (nodes × n_walks)-bounded frontier
+    against the edge-bounded neighbor table + one map-side-combinable min-struct
+    aggregate — walk_len fixed small, so the whole plan is walk_len keyed
+    joins, never a cartesian. The neighbor table is localCheckpoint-ed once and
+    reused by every step. Walks sitting on a hub at the same step skew the
+    frontier join key; that is the AQE skew-join case (same head-entity shape as
+    linking). Undirected neighbor view: no dead ends (every non-isolated node
+    has a neighbor), so every walk runs full length."""
+    und = (edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+           .where(F.col("u") != F.col("v")))
+    nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+            .distinct().localCheckpoint(eager=False))
+    frontier = (nbrs.select("node").distinct()
+                .select(F.col("node").alias("start_id"),
+                        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
+                        .alias("walk_idx")))
+    steps = [frontier.select(
+        "start_id", "walk_idx", F.lit(0).alias("step"),
+        F.col("start_id").alias("node_id"))]
+    cur = frontier.select("start_id", "walk_idx",
+                          F.col("start_id").alias("cur"))
+    for t in range(1, walk_len + 1):
+        pick = (cur.join(nbrs, cur["cur"] == nbrs["node"])
+                .groupBy("start_id", "walk_idx")
+                .agg(F.min(F.struct(
+                    F.md5(F.concat_ws(
+                        ":", F.lit(seed), "start_id", "walk_idx",
+                        F.lit(t), "nbr")).alias("h"),
+                    F.col("nbr").alias("nbr"))).alias("pick")))
+        cur = pick.select("start_id", "walk_idx",
+                          F.col("pick.nbr").alias("cur"))
+        steps.append(cur.select(
+            "start_id", "walk_idx", F.lit(t).alias("step"),
+            F.col("cur").alias("node_id")))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
              checkpoint_every: int = 5,
              weight_col: str = "n_occurrences") -> DataFrame:

@@ -362,3 +362,102 @@ def test_triangle_counts_plan_no_cartesian(spark):
     plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _walk_oracle_sql(n_walks: int, walk_len: int, seed: int) -> str:
+    """graph.random_walks unrolled in plain SQL over a table e(s, d): per step,
+    the argmin-of-md5 next hop as a ROW_NUMBER window (ties broken by nbr, like
+    Spark's min-struct)."""
+    def h(t):
+        return (f"md5(CAST({seed} AS VARCHAR) || ':' || CAST(f.start_id AS VARCHAR)"
+                f" || ':' || CAST(f.walk_idx AS VARCHAR) || ':' || CAST({t} AS VARCHAR)"
+                " || ':' || CAST(n.nbr AS VARCHAR))")
+
+    ctes = [
+        "und AS (SELECT s AS u, d AS v FROM e WHERE s <> d)",
+        "nbrs AS (SELECT u AS node, v AS nbr FROM und"
+        " UNION SELECT v AS node, u AS nbr FROM und)",
+        f"w AS (SELECT DISTINCT node AS start_id, gs.i AS walk_idx"
+        f" FROM nbrs, generate_series(0, {n_walks - 1}) gs(i))",
+        "f0 AS (SELECT start_id, walk_idx, start_id AS cur FROM w)",
+    ]
+    for t in range(1, walk_len + 1):
+        ctes.append(
+            f"f{t} AS (SELECT start_id, walk_idx, nbr AS cur FROM ("
+            f"SELECT f.start_id, f.walk_idx, n.nbr, row_number() OVER ("
+            f"PARTITION BY f.start_id, f.walk_idx ORDER BY {h(t)}, n.nbr) AS rn"
+            f" FROM f{t - 1} f JOIN nbrs n ON n.node = f.cur) WHERE rn = 1)")
+    selects = ["SELECT start_id, walk_idx, 0 AS step, start_id AS node_id FROM f0"]
+    for t in range(1, walk_len + 1):
+        selects.append(f"SELECT start_id, walk_idx, {t} AS step, cur AS node_id"
+                       f" FROM f{t}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def test_random_walks_matches_duckdb(spark):
+    """Deterministic argmin-of-md5 walks vs the same recurrence unrolled as
+    ROW_NUMBER windows in DuckDB on a seeded random graph — cross-engine parity
+    of every (start, walk, step, node) row."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import random_walks
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(25), rng.randrange(25), "p", 1) for _ in range(120)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {tuple(r) for r in
+           random_walks(df, n_walks=3, walk_len=5, seed=11).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d)"
+                % ",".join(f"({s},{d})" for s, d, _, _ in edges))
+    ref = {tuple(r) for r in
+           con.execute(_walk_oracle_sql(n_walks=3, walk_len=5, seed=11)).fetchall()}
+    assert got == ref and len(got) > 0
+
+
+def test_random_walks_structure(spark):
+    """Every walk runs full length, starts at its start node, and every
+    consecutive (node, next) pair is an edge of the undirected simple graph;
+    different walk_idx from the same start diverge somewhere on a connected
+    graph (hash includes the walk index)."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import random_walks
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(12), rng.randrange(12), "p", 1) for _ in range(60)]
+    und = {frozenset((s, d)) for s, d, _, _ in edges if s != d}
+    nodes = {n for e in und for n in e}
+    walks: dict[tuple, dict] = {}
+    rows = random_walks(spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long"),
+        n_walks=2, walk_len=4, seed=5).collect()
+    for r in rows:
+        walks.setdefault((r["start_id"], r["walk_idx"]), {})[r["step"]] = r["node_id"]
+    assert len(walks) == 2 * len(nodes)
+    diverged = 0
+    for (start, _w), seq in walks.items():
+        assert sorted(seq) == [0, 1, 2, 3, 4]    # full length, no gaps
+        assert seq[0] == start
+        for t in range(4):
+            assert frozenset((seq[t], seq[t + 1])) in und
+    for start in nodes:
+        if any(walks[(start, 0)][t] != walks[(start, 1)][t] for t in range(5)):
+            diverged += 1
+    assert diverged > len(nodes) // 2   # walk_idx actually varies the hash
+
+
+def test_random_walks_plan_no_cartesian(spark):
+    from lingvo_spark_kg.operators.graph import random_walks
+
+    df = spark.createDataFrame(
+        [(1, 2, "p", 1), (2, 3, "p", 1)],
+        "src_id long, dst_id long, pred string, n_occurrences long")
+    plan = (random_walks(df, n_walks=1, walk_len=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
