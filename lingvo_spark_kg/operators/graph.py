@@ -292,6 +292,31 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
     return out
 
 
+def skip_gram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """random_walks output → aggregated skip-gram training pairs
+    (center_id, context_id, n_pairs): every ordered (center, context) node pair
+    co-occurring within ``window`` steps on the same walk, counted corpus-wide —
+    the input a word2vec/node2vec trainer consumes (n_pairs is the example
+    weight; aggregating here instead of emitting raw pairs is the map-side
+    combine that keeps the training corpus node-pair-bounded instead of
+    walk-volume-bounded).
+
+    One self-equi-join keyed on (start_id, walk_idx) — per-walk fanout is
+    (walk_len+1)², a small constant, never a cartesian — followed by one
+    two-phase count aggregate. The walks frame is localCheckpoint-ed so the
+    iterative walk plan is not executed once per join side."""
+    w = walks.localCheckpoint(eager=False)
+    a = w.select("start_id", "walk_idx", F.col("step").alias("step_a"),
+                 F.col("node_id").alias("center_id"))
+    b = w.select("start_id", "walk_idx", F.col("step").alias("step_b"),
+                 F.col("node_id").alias("context_id"))
+    return (a.join(b, ["start_id", "walk_idx"])
+            .where((F.abs(F.col("step_a") - F.col("step_b")) <= window)
+                   & (F.col("step_a") != F.col("step_b")))
+            .groupBy("center_id", "context_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
              checkpoint_every: int = 5,
              weight_col: str = "n_occurrences") -> DataFrame:

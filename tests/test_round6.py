@@ -461,3 +461,134 @@ def test_random_walks_plan_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skip_gram_pairs_matches_duckdb(spark):
+    """Walks → windowed co-occurrence pairs vs the same self-join in DuckDB over
+    the SAME walk rows (walks themselves already pinned cross-engine above)."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import random_walks, skip_gram_pairs
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(20), rng.randrange(20), "p", 1) for _ in range(90)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    walks = random_walks(df, n_walks=2, walk_len=4, seed=1)
+    rows = walks.collect()
+    got = {(r["center_id"], r["context_id"]): r["n_pairs"]
+           for r in skip_gram_pairs(walks, window=2).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT * FROM (VALUES %s) t(s, wi, st, n)"
+                % ",".join(f"({r['start_id']},{r['walk_idx']},{r['step']},{r['node_id']})"
+                           for r in rows))
+    ref = {(c, x): n for c, x, n in con.execute("""
+        SELECT a.n AS center, b.n AS context, COUNT(*) AS n_pairs
+        FROM w a JOIN w b ON a.s = b.s AND a.wi = b.wi
+        WHERE abs(a.st - b.st) <= 2 AND a.st <> b.st
+        GROUP BY 1, 2
+    """).fetchall()}
+    assert got == ref and len(got) > 0
+    # symmetric by construction: (c, x) and (x, c) counts match
+    assert all(got[(c, x)] == got[(x, c)] for (c, x) in got)
+
+
+def test_skip_gram_pairs_plan_no_cartesian(spark):
+    from lingvo_spark_kg.operators.graph import random_walks, skip_gram_pairs
+
+    df = spark.createDataFrame(
+        [(1, 2, "p", 1), (2, 3, "p", 1)],
+        "src_id long, dst_id long, pred string, n_occurrences long")
+    plan = (skip_gram_pairs(random_walks(df, n_walks=1, walk_len=2))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sg_loss_gradcheck():
+    """Numerical gradcheck of the skip-gram negative-sampling kernel — every
+    element of both embedding matrices, central differences."""
+    import numpy as np
+
+    from lingvo_spark_kg.operators.node2vec import negative_ids, sg_loss_and_grads
+
+    rng = np.random.RandomState(0)
+    v, d, b, k = 6, 3, 5, 2
+    w_in = rng.randn(v, d) * 0.3
+    w_out = rng.randn(v, d) * 0.3
+    c = rng.randint(0, v, size=b)
+    x = rng.randint(0, v, size=b)
+    w = rng.randint(1, 4, size=b).astype(np.float64)
+    neg = negative_ids(c, x, k, v, seed=3, epoch=1)
+    _, grads = sg_loss_and_grads(w_in, w_out, c, x, w, neg)
+
+    eps = 1e-6
+    for name, mat in (("w_in", w_in), ("w_out", w_out)):
+        for i in range(v):
+            for j in range(d):
+                orig = mat[i, j]
+                mat[i, j] = orig + eps
+                lp, _ = sg_loss_and_grads(w_in, w_out, c, x, w, neg)
+                mat[i, j] = orig - eps
+                lm, _ = sg_loss_and_grads(w_in, w_out, c, x, w, neg)
+                mat[i, j] = orig
+                num = (lp - lm) / (2 * eps)
+                assert abs(num - grads[name][i, j]) < 1e-5, (name, i, j)
+
+
+def test_node2vec_end_to_end_cluster_structure(spark):
+    """Full chain on a barbell graph (two K6 cliques + one bridge): walks →
+    skip-gram pairs → trained embeddings must place intra-clique pairs closer
+    (mean cosine) than cross-clique pairs, and loss must decrease."""
+    import itertools
+
+    import numpy as np
+
+    from lingvo_spark_kg.operators.graph import random_walks, skip_gram_pairs
+    from lingvo_spark_kg.operators.node2vec import train_node_embeddings
+
+    clique_a = list(itertools.combinations(range(6), 2))
+    clique_b = list(itertools.combinations(range(6, 12), 2))
+    edges = [(a, b, "p", 1) for a, b in clique_a + clique_b] + [(5, 6, "p", 1)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    pairs = skip_gram_pairs(random_walks(df, n_walks=6, walk_len=6, seed=2),
+                            window=2)
+    emb_df, hist = train_node_embeddings(pairs, dim=8, epochs=40, lr=0.1,
+                                         n_neg=4, seed=1, n_partitions=4)
+    assert hist[-1]["loss_per_pair"] < hist[0]["loss_per_pair"]
+    emb = {r["node_id"]: np.array(r["embedding"]) for r in emb_df.collect()}
+    assert len(emb) == 12
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    intra = [cos(emb[a], emb[b]) for a, b in clique_a + clique_b]
+    inter = [cos(emb[a], emb[b]) for a in range(6) for b in range(6, 12)]
+    assert np.mean(intra) > np.mean(inter) + 0.2, (np.mean(intra), np.mean(inter))
+
+
+def test_node2vec_bit_deterministic_across_runs(spark):
+    """Same pairs, same n_partitions → bit-identical embeddings and history
+    (hash-partitioned sorted corpus + balanced-tree fold + hash negatives)."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import random_walks, skip_gram_pairs
+    from lingvo_spark_kg.operators.node2vec import train_node_embeddings
+
+    rng = random.Random(4)
+    edges = [(rng.randrange(15), rng.randrange(15), "p", 1) for _ in range(70)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    pairs = skip_gram_pairs(random_walks(df, n_walks=2, walk_len=4), window=2)
+    runs = []
+    for _ in range(2):
+        emb_df, hist = train_node_embeddings(pairs, dim=4, epochs=3, lr=0.05,
+                                             n_neg=2, seed=7, n_partitions=3)
+        runs.append(({r["node_id"]: tuple(r["embedding"])
+                      for r in emb_df.collect()}, hist))
+    assert runs[0][0] == runs[1][0]   # exact float equality — bit determinism
+    assert runs[0][1] == runs[1][1]
