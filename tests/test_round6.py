@@ -592,3 +592,43 @@ def test_node2vec_bit_deterministic_across_runs(spark):
                       for r in emb_df.collect()}, hist))
     assert runs[0][0] == runs[1][0]   # exact float equality — bit determinism
     assert runs[0][1] == runs[1][1]
+
+
+def test_node_embeddings_feed_ann_operators(spark):
+    """The trained embedding table plugs straight into the existing ANN surface:
+    cosine_topk_brute finds each barbell node's nearest neighbors inside its own
+    clique, and embedding_neardup over the same table runs without reshaping —
+    the KG → walks → pairs → embeddings → similarity chain is schema-closed."""
+    import itertools
+
+    from lingvo_spark_kg.operators.ann import cosine_topk_brute, embedding_neardup
+    from lingvo_spark_kg.operators.graph import random_walks, skip_gram_pairs
+    from lingvo_spark_kg.operators.node2vec import train_node_embeddings
+
+    clique_a = list(itertools.combinations(range(6), 2))
+    clique_b = list(itertools.combinations(range(6, 12), 2))
+    edges = [(a, b, "p", 1) for a, b in clique_a + clique_b] + [(5, 6, "p", 1)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    pairs = skip_gram_pairs(random_walks(df, n_walks=6, walk_len=6, seed=2),
+                            window=2)
+    emb_df, _ = train_node_embeddings(pairs, dim=8, epochs=40, lr=0.1,
+                                      n_neg=4, seed=1, n_partitions=4)
+    vecs = emb_df.select(F.col("node_id").alias("vec_id"), "embedding")
+    queries = emb_df.select(F.col("node_id").alias("query_id"), "embedding")
+
+    topk = cosine_topk_brute(vecs, queries, k=4).collect()
+    same_side = 0
+    total = 0
+    for r in topk:
+        if r["rank"] == 1:          # rank 1 is the node itself (cosine 1.0)
+            continue
+        total += 1
+        if (r["query_id"] < 6) == (r["vec_id"] < 6):
+            same_side += 1
+    assert total == 12 * 3
+    assert same_side >= total - 2   # neighbors live in the query's own clique
+
+    # near-dup over the same table: runs and only ever pairs same-clique nodes
+    nd = embedding_neardup(vecs, dim=8, threshold=0.9).collect()
+    assert all((r["vec_a"] < 6) == (r["vec_b"] < 6) for r in nd)
