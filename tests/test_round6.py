@@ -632,3 +632,63 @@ def test_node_embeddings_feed_ann_operators(spark):
     # near-dup over the same table: runs and only ever pairs same-clique nodes
     nd = embedding_neardup(vecs, dim=8, threshold=0.9).collect()
     assert all((r["vec_a"] < 6) == (r["vec_b"] < 6) for r in nd)
+
+
+def _brute_coreness(pairs):
+    """Reference peel: repeatedly remove the minimum-degree vertex; a vertex's
+    coreness is the max degree-at-removal seen so far (standard algorithm)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    k = 0
+    while deg:
+        v = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in adj[v]:
+            if u in deg and u != v:
+                deg[u] -= 1
+                adj[u].discard(v)
+        del deg[v]
+    return core
+
+
+def test_coreness_matches_brute_force_peel(spark):
+    """Iterated neighborhood h-index vs the sequential peel on a seeded random
+    graph with a planted K6 (coreness 5 island) plus a pendant chain
+    (coreness 1 tail)."""
+    import itertools
+    import random
+
+    from lingvo_spark_kg.operators.graph import coreness
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(18), rng.randrange(18), "p", 1) for _ in range(45)]
+    edges += [(a, b, "p", 1) for a, b in itertools.combinations(range(100, 106), 2)]
+    edges += [(200, 201, "p", 1), (201, 202, "p", 1), (202, 203, "p", 1)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {r["node_id"]: r["coreness"] for r in coreness(df).collect()}
+    ref = _brute_coreness([(s, d) for s, d, _, _ in edges])
+    assert got == ref
+    assert all(got[n] == 5 for n in range(100, 106))   # planted clique shell
+    assert got[200] == got[203] == 1                    # pendant chain shell
+
+
+def test_coreness_plan_no_cartesian(spark):
+    from lingvo_spark_kg.operators.graph import coreness
+
+    df = spark.createDataFrame(
+        [(1, 2, "p", 1), (2, 3, "p", 1), (3, 1, "p", 1)],
+        "src_id long, dst_id long, pred string, n_occurrences long")
+    out = coreness(df, max_iter=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert {r["coreness"] for r in out.collect()} == {2}   # a triangle is 2-core
