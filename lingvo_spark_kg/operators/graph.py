@@ -237,33 +237,60 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, weighted: bool = False,
+                 weight_col: str = "n_occurrences",
+                 weight_cap: int = 64) -> DataFrame:
     """DeepWalk-style random-walk corpus over the (undirected view of the) edges
     table → exploded (start_id, walk_idx, step, node_id) rows, step 0 = start —
     the standard KG → graph-embedding training-data export (walk sequences feed
     a skip-gram trainer exactly like token windows feed word2vec).
 
     DETERMINISTIC walks, not sampled: the next hop from the current node is the
-    neighbor minimizing md5(seed:start:walk:step:neighbor). An argmin of a
-    uniform hash over the neighbor set IS a uniform choice per (walk, step) —
-    DeepWalk's transition kernel — but reproducible across runs, engines and
-    partitionings, which makes the operator oracle-checkable (the same argmin is
-    expressible as a ROW_NUMBER window in plain SQL) and the emitted corpus
-    stable under retries (the property an exactly-once training pipeline needs).
+    (neighbor, replica) minimizing md5(seed:start:walk:step:neighbor:replica).
+    An argmin of a uniform hash over the candidate set IS a uniform choice per
+    (walk, step) — DeepWalk's transition kernel — but reproducible across runs,
+    engines and partitionings, which makes the operator oracle-checkable (the
+    same argmin is expressible as a ROW_NUMBER window in plain SQL) and the
+    emitted corpus stable under retries (the property an exactly-once training
+    pipeline needs).
+
+    ``weighted=True`` makes the transition probability proportional to the
+    summed undirected edge weight (``weight_col``, capped at ``weight_cap``):
+    each neighbor carries min(weight, cap) hash REPLICAS, so the argmin is an
+    exact uniform draw over the weight-expanded multiset — weight-proportional
+    sampling with only integer/md5 comparisons, no float ordering to drift
+    between engines (Spark and the SQL oracle compare identical hex strings).
+    The cap bounds the replica blow-up on hot edges (transition odds saturate
+    at cap:1, the standard truncation); unweighted mode is replica=1
+    everywhere, the same code path.
 
     Shape per step: one equi-join of the (nodes × n_walks)-bounded frontier
-    against the edge-bounded neighbor table + one map-side-combinable min-struct
-    aggregate — walk_len fixed small, so the whole plan is walk_len keyed
-    joins, never a cartesian. The neighbor table is localCheckpoint-ed once and
-    reused by every step. Walks sitting on a hub at the same step skew the
-    frontier join key; that is the AQE skew-join case (same head-entity shape as
-    linking). Undirected neighbor view: no dead ends (every non-isolated node
-    has a neighbor), so every walk runs full length."""
-    und = (edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+    against the (edge × ≤cap)-bounded neighbor table + one map-side-combinable
+    min-struct aggregate — walk_len fixed small, so the whole plan is walk_len
+    keyed joins, never a cartesian. The neighbor table is localCheckpoint-ed
+    once and reused by every step. Walks sitting on a hub at the same step skew
+    the frontier join key; that is the AQE skew-join case (same head-entity
+    shape as linking). Undirected neighbor view: no dead ends (every
+    non-isolated node has a neighbor), so every walk runs full length."""
+    w_expr = (F.col(weight_col).cast("long") if weighted
+              else F.lit(1).cast("long"))
+    und = (edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"),
+                        w_expr.alias("w"))
            .where(F.col("u") != F.col("v")))
-    nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-            .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-            .distinct().localCheckpoint(eager=False))
+    sym = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
+           .unionAll(und.select(F.col("v").alias("node"),
+                                F.col("u").alias("nbr"), "w")))
+    per_pair = (sym.groupBy("node", "nbr")
+                .agg(F.sum("w").alias("w")) if weighted
+                else sym.select("node", "nbr").distinct()
+                .select("node", "nbr", F.lit(1).cast("long").alias("w")))
+    nbrs = (per_pair.select(
+        "node", "nbr",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.least(F.col("w"),
+                                                   F.lit(weight_cap)))))
+        .alias("rep"))
+        .localCheckpoint(eager=False))
     frontier = (nbrs.select("node").distinct()
                 .select(F.col("node").alias("start_id"),
                         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
@@ -279,7 +306,7 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
                 .agg(F.min(F.struct(
                     F.md5(F.concat_ws(
                         ":", F.lit(seed), "start_id", "walk_idx",
-                        F.lit(t), "nbr")).alias("h"),
+                        F.lit(t), "nbr", "rep")).alias("h"),
                     F.col("nbr").alias("nbr"))).alias("pick")))
         cur = pick.select("start_id", "walk_idx",
                           F.col("pick.nbr").alias("cur"))

@@ -364,19 +364,30 @@ def test_triangle_counts_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def _walk_oracle_sql(n_walks: int, walk_len: int, seed: int) -> str:
-    """graph.random_walks unrolled in plain SQL over a table e(s, d): per step,
-    the argmin-of-md5 next hop as a ROW_NUMBER window (ties broken by nbr, like
-    Spark's min-struct)."""
+def _walk_oracle_sql(n_walks: int, walk_len: int, seed: int,
+                     weighted: bool = False, cap: int = 64) -> str:
+    """graph.random_walks unrolled in plain SQL over a table e(s, d[, w]): per
+    step, the argmin-of-md5 next hop over the weight-replica-expanded neighbor
+    multiset as a ROW_NUMBER window (ties broken by nbr, like Spark's
+    min-struct)."""
     def h(t):
         return (f"md5(CAST({seed} AS VARCHAR) || ':' || CAST(f.start_id AS VARCHAR)"
                 f" || ':' || CAST(f.walk_idx AS VARCHAR) || ':' || CAST({t} AS VARCHAR)"
-                " || ':' || CAST(n.nbr AS VARCHAR))")
+                " || ':' || CAST(n.nbr AS VARCHAR) || ':' || CAST(n.rep AS VARCHAR))")
 
+    w_src = "w" if weighted else "1 AS w"
+    per_pair = ("SELECT node, nbr, CAST(SUM(w) AS BIGINT) AS w FROM sym"
+                " GROUP BY 1, 2" if weighted
+                else "SELECT node, nbr, 1 AS w FROM (SELECT DISTINCT node, nbr FROM sym)")
     ctes = [
-        "und AS (SELECT s AS u, d AS v FROM e WHERE s <> d)",
-        "nbrs AS (SELECT u AS node, v AS nbr FROM und"
-        " UNION SELECT v AS node, u AS nbr FROM und)",
+        f"und AS (SELECT s AS u, d AS v, {w_src} FROM e WHERE s <> d)",
+        "sym AS (SELECT u AS node, v AS nbr, w FROM und"
+        " UNION ALL SELECT v AS node, u AS nbr, w FROM und)",
+        f"pp AS ({per_pair})",
+        # unnest(range(...)) instead of lateral generate_series: this DuckDB
+        # rejects column parameters on lateral table functions
+        f"nbrs AS (SELECT node, nbr,"
+        f" unnest(range(1, GREATEST(1, LEAST(w, {cap})) + 1)) AS rep FROM pp)",
         f"w AS (SELECT DISTINCT node AS start_id, gs.i AS walk_idx"
         f" FROM nbrs, generate_series(0, {n_walks - 1}) gs(i))",
         "f0 AS (SELECT start_id, walk_idx, start_id AS cur FROM w)",
@@ -692,3 +703,49 @@ def test_coreness_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert {r["coreness"] for r in out.collect()} == {2}   # a triangle is 2-core
+
+
+def test_random_walks_weighted_matches_duckdb(spark):
+    """Weight-proportional transitions (replica-expanded argmin) vs the same
+    recurrence in DuckDB with lateral generate_series replicas — exact row
+    parity including the summed-undirected-weight aggregation."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import random_walks
+
+    rng = random.Random(21)
+    edges = [(rng.randrange(15), rng.randrange(15), "p", rng.randrange(1, 9))
+             for _ in range(60)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {tuple(r) for r in
+           random_walks(df, n_walks=2, walk_len=4, seed=5, weighted=True,
+                        weight_cap=16).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, w)"
+                % ",".join(f"({s},{d},{w})" for s, d, _, w in edges))
+    ref = {tuple(r) for r in con.execute(
+        _walk_oracle_sql(n_walks=2, walk_len=4, seed=5, weighted=True,
+                         cap=16)).fetchall()}
+    assert got == ref and len(got) > 0
+
+
+def test_random_walks_weight_bias(spark):
+    """A 31:1 edge-weight split from a 2-neighbor center must pull the first
+    hop to the heavy neighbor in ~31/32 of walks (exact uniform draw over the
+    replica multiset)."""
+    from lingvo_spark_kg.operators.graph import random_walks
+
+    edges = [(0, 1, "p", 1), (0, 2, "p", 31)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    rows = random_walks(df, n_walks=64, walk_len=1, seed=3, weighted=True,
+                        weight_cap=64).collect()
+    first_hops = [r["node_id"] for r in rows
+                  if r["start_id"] == 0 and r["step"] == 1]
+    assert len(first_hops) == 64
+    heavy = sum(1 for n in first_hops if n == 2)
+    assert heavy >= 52   # E[heavy] = 62; 52 is ~5 sigma below
