@@ -515,3 +515,63 @@ class KgPipeline:
         with open(os.path.join(self.workdir, "run_summary.json"), "w") as f:
             json.dump({"counts": counts, "timings": self.timings}, f, indent=2)
         return counts
+
+    def analytics(self, resume: bool = True, pagerank_iters: int = 20,
+                  n_walks: int = 2, walk_len: int = 4, window: int = 2,
+                  weighted_walks: bool = True, embedding_dim: int = 16,
+                  embedding_epochs: int = 5, embedding_partitions: int = 8,
+                  seed: int = 42) -> dict[str, int]:
+        """Post-run graph-analytics stages over the committed edges table, each a
+        durable resumable stage table like run()'s (same writer/resume contract):
+
+        - ``an_pagerank``  (node_id, rank)            — graph.pagerank
+        - ``an_coreness``  (node_id, coreness)        — graph.coreness
+        - ``an_triangles`` (node_id, n_triangles)     — graph.triangle_counts
+        - ``an_paths``     (pred_1, pred_2, ...)      — graph.predicate_paths
+        - ``an_walks``     (start_id, walk_idx, step, node_id) — random_walks
+          (weight-proportional over n_occurrences when ``weighted_walks``)
+        - ``an_pairs``     (center_id, context_id, n_pairs)    — skip_gram_pairs
+        - ``an_embeddings`` (node_id, embedding)      — node2vec skip-gram NSG
+
+        Reads the LOGICAL edges table (latest committed generation), so analytics
+        run after ``ingest_delta`` see the maintained graph; re-running after a
+        new ingest requires ``resume=False`` (stage tables are point-in-time
+        snapshots of the generation they were computed from — the staleness
+        contract of any derived table). Walk/embedding stages chain off the
+        WRITTEN tables, so a resumed call never retrains on different walks."""
+        from .operators import node2vec
+        from .operators.graph import (coreness, pagerank, predicate_paths,
+                                      random_walks, skip_gram_pairs,
+                                      triangle_counts)
+
+        edges = self.table("edges")
+        pr = self._run_stage(
+            "an_pagerank", lambda: pagerank(edges, n_iter=pagerank_iters), resume)
+        core = self._run_stage("an_coreness", lambda: coreness(edges), resume)
+        tri = self._run_stage("an_triangles", lambda: triangle_counts(edges),
+                              resume)
+        paths = self._run_stage("an_paths", lambda: predicate_paths(edges),
+                                resume)
+        walks = self._run_stage(
+            "an_walks",
+            lambda: random_walks(edges, n_walks=n_walks, walk_len=walk_len,
+                                 seed=seed, weighted=weighted_walks), resume)
+        pairs = self._run_stage(
+            "an_pairs", lambda: skip_gram_pairs(walks, window=window), resume)
+        emb = self._run_stage(
+            "an_embeddings",
+            lambda: node2vec.train_node_embeddings(
+                pairs, dim=embedding_dim, epochs=embedding_epochs, seed=seed,
+                n_partitions=embedding_partitions)[0],
+            resume)
+
+        from functools import reduce
+
+        frames = {"an_pagerank": pr, "an_coreness": core, "an_triangles": tri,
+                  "an_paths": paths, "an_walks": walks, "an_pairs": pairs,
+                  "an_embeddings": emb}
+        counts_df = reduce(
+            DataFrame.unionByName,
+            [df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("stage"), "n") for name, df in frames.items()])
+        return {r["stage"]: r["n"] for r in counts_df.collect()}

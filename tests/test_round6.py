@@ -749,3 +749,31 @@ def test_random_walks_weight_bias(spark):
     assert len(first_hops) == 64
     heavy = sum(1 for n in first_hops if n == 2)
     assert heavy >= 52   # E[heavy] = 62; 52 is ~5 sigma below
+
+
+def test_pipeline_analytics_stages_and_resume(spark, tmp_path):
+    """KgPipeline.analytics() writes the seven analytics stage tables over the
+    committed edges, chains walks → pairs → embeddings off the WRITTEN tables,
+    and a resumed call recomputes nothing (timings untouched) while returning
+    identical counts; embeddings cover every walked node at the requested dim."""
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path / "wd")
+    p = KgPipeline(spark, wd, n_docs=60, seed=1)
+    p.run(resume=True)
+    counts = p.analytics(resume=True, pagerank_iters=5, embedding_epochs=2,
+                         embedding_dim=4, embedding_partitions=2)
+    assert set(counts) == {"an_pagerank", "an_coreness", "an_triangles",
+                           "an_paths", "an_walks", "an_pairs", "an_embeddings"}
+    assert counts["an_pagerank"] == counts["an_coreness"] > 0
+    n_nodes_walked = counts["an_walks"] // (2 * (4 + 1))  # n_walks*(walk_len+1)
+    assert counts["an_embeddings"] == n_nodes_walked > 0
+
+    emb = p.table("an_embeddings").collect()
+    assert all(len(r["embedding"]) == 4 for r in emb)
+
+    p2 = KgPipeline(spark, wd, n_docs=60, seed=1)
+    counts2 = p2.analytics(resume=True, pagerank_iters=5, embedding_epochs=2,
+                           embedding_dim=4, embedding_partitions=2)
+    assert counts2 == counts
+    assert "an_embeddings" not in p2.timings  # resumed, not retrained
