@@ -319,6 +319,104 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
     return out
 
 
+def biased_random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
+                        seed: int = 42, return_mult: int = 1,
+                        common_mult: int = 1, explore_mult: int = 1,
+                        weighted: bool = False,
+                        weight_col: str = "n_occurrences",
+                        weight_cap: int = 16) -> DataFrame:
+    """node2vec-style SECOND-ORDER walks (Grover & Leskovec 2016): the next-hop
+    distribution depends on the previous node — candidates are classed as
+    ``return`` (x == prev, the 1/p arm), ``common`` (x adjacent to prev, the
+    BFS-ish arm) or ``explore`` (the 1/q DFS-ish arm) and their transition mass
+    is scaled by the corresponding INTEGER multiplier. Integer multipliers
+    instead of node2vec's real-valued 1/p, 1/q keep the replica-expansion trick
+    exact: a candidate carries min(w, cap) × mult hash replicas, the argmin of
+    md5(seed:start:walk:step:nbr:rep) over the expanded multiset IS the biased
+    draw, and the SQL oracle compares identical hex strings — no float
+    normalization to drift between engines. (Any rational p, q is expressible:
+    scale all three multipliers by the common denominator.)
+
+    Step 1 has no previous node and draws first-order (all candidates class
+    ``explore``). Per step the plan is: frontier ⋈ neighbor-weights on cur
+    (keyed), a LEFT SEMI-shaped classification join against the same neighbor
+    table on (prev, nbr) to detect the common-neighbor class (equi-join, never
+    cartesian), replica explode (≤ cap × max-mult per candidate, a constant),
+    and one min-struct aggregate. The frontier carries (cur, prev) — the
+    second-order state node2vec needs; everything else matches random_walks
+    (localCheckpoint-ed neighbor table, AQE-skew caveat on hub frontiers,
+    full-length walks on the undirected view)."""
+    for name, m in (("return_mult", return_mult), ("common_mult", common_mult),
+                    ("explore_mult", explore_mult)):
+        if not isinstance(m, int) or m < 0 or m > 64:
+            raise ValueError(f"{name} must be an int in [0, 64], got {m!r}")
+    if explore_mult == 0 and (return_mult == 0 or common_mult == 0):
+        raise ValueError("at least explore_mult or both other arms must be > 0")
+    w_expr = (F.col(weight_col).cast("long") if weighted
+              else F.lit(1).cast("long"))
+    und = (edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"),
+                        w_expr.alias("w"))
+           .where(F.col("u") != F.col("v")))
+    sym = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
+           .unionAll(und.select(F.col("v").alias("node"),
+                                F.col("u").alias("nbr"), "w")))
+    # unweighted: parallel multi-predicate rows must NOT accumulate mass (max of
+    # the all-ones column = 1); weighted: total undirected weight, capped
+    agg_w = F.sum("w") if weighted else F.max("w")
+    per_pair = (sym.groupBy("node", "nbr").agg(
+        F.greatest(F.lit(1), F.least(agg_w, F.lit(weight_cap)))
+        .alias("w"))
+        .localCheckpoint(eager=False))
+    frontier = (per_pair.select("node").distinct()
+                .select(F.col("node").alias("start_id"),
+                        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
+                        .alias("walk_idx")))
+    steps = [frontier.select(
+        "start_id", "walk_idx", F.lit(0).alias("step"),
+        F.col("start_id").alias("node_id"))]
+    # (cur, prev): prev is NULL at step 1 → every candidate classes as explore
+    cur = frontier.select(
+        "start_id", "walk_idx", F.col("start_id").alias("cur"),
+        F.lit(None).cast(per_pair.schema["node"].dataType).alias("prev"))
+    prev_adj = per_pair.select(F.col("node").alias("prev"),
+                               F.col("nbr").alias("nbr"),
+                               F.lit(1).alias("is_common"))
+    for t in range(1, walk_len + 1):
+        cand = (cur.join(per_pair, cur["cur"] == per_pair["node"])
+                .join(prev_adj, ["prev", "nbr"], "left"))
+        classed = cand.select(
+            "start_id", "walk_idx", "nbr",
+            (F.col("w") * F.when(F.col("nbr") == F.col("prev"),
+                                 F.lit(return_mult))
+             .when(F.col("is_common").isNotNull(), F.lit(common_mult))
+             .otherwise(F.lit(explore_mult))).alias("n_rep"))
+        picked = (classed.where(F.col("n_rep") > 0)
+                  .select("start_id", "walk_idx", "nbr",
+                          F.explode(F.sequence(F.lit(1), F.col("n_rep")))
+                          .alias("rep"))
+                  .groupBy("start_id", "walk_idx")
+                  .agg(F.min(F.struct(
+                      F.md5(F.concat_ws(
+                          ":", F.lit(seed), "start_id", "walk_idx",
+                          F.lit(t), "nbr", "rep")).alias("h"),
+                      F.col("nbr").alias("nbr"))).alias("pick")))
+        nxt = picked.select(
+            "start_id", "walk_idx", F.col("pick.nbr").alias("cur"))
+        # zero-mass dead ends (all arms multiplied to 0) terminate the walk —
+        # inner-join semantics drop those frontier rows
+        steps.append(nxt.select(
+            "start_id", "walk_idx", F.lit(t).alias("step"),
+            F.col("cur").alias("node_id")))
+        cur = (nxt.join(cur.select("start_id", "walk_idx",
+                                   F.col("cur").alias("prev")),
+                        ["start_id", "walk_idx"])
+               .select("start_id", "walk_idx", "cur", "prev"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def coreness(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     """K-core decomposition over the (undirected simple view of the) edges table
     → (node_id, coreness): the largest k such that the node survives in the

@@ -777,3 +777,114 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path):
                            embedding_dim=4, embedding_partitions=2)
     assert counts2 == counts
     assert "an_embeddings" not in p2.timings  # resumed, not retrained
+
+
+def _biased_walk_oracle_sql(n_walks: int, walk_len: int, seed: int,
+                            rm: int, cm: int, em: int, cap: int = 16) -> str:
+    """graph.biased_random_walks unrolled in plain SQL over e(s, d): per step,
+    classify candidates against the previous node (return / common-neighbor /
+    explore), expand to w×mult replicas, pick argmin-of-md5."""
+    def h(t):
+        return (f"md5(CAST({seed} AS VARCHAR) || ':' || CAST(q.start_id AS VARCHAR)"
+                f" || ':' || CAST(q.walk_idx AS VARCHAR) || ':' || CAST({t} AS VARCHAR)"
+                " || ':' || CAST(q.nbr AS VARCHAR) || ':' || CAST(q.rep AS VARCHAR))")
+
+    ctes = [
+        "und AS (SELECT s AS u, d AS v, 1 AS w FROM e WHERE s <> d)",
+        "sym AS (SELECT u AS node, v AS nbr, w FROM und"
+        " UNION ALL SELECT v AS node, u AS nbr, w FROM und)",
+        f"pp AS (SELECT node, nbr, GREATEST(1, LEAST(MAX(w), {cap})) AS w"
+        " FROM sym GROUP BY 1, 2)",
+        f"wk AS (SELECT DISTINCT node AS start_id, gs.i AS walk_idx"
+        f" FROM pp, generate_series(0, {n_walks - 1}) gs(i))",
+        "f0 AS (SELECT start_id, walk_idx, start_id AS cur,"
+        " CAST(NULL AS BIGINT) AS prev FROM wk)",
+    ]
+    for t in range(1, walk_len + 1):
+        ctes.append(f"""c{t} AS (
+            SELECT f.start_id, f.walk_idx, f.cur, f.prev, n.nbr,
+                   n.w * (CASE WHEN n.nbr = f.prev THEN {rm}
+                               WHEN p2.nbr IS NOT NULL THEN {cm}
+                               ELSE {em} END) AS n_rep
+            FROM f{t - 1} f JOIN pp n ON n.node = f.cur
+            LEFT JOIN pp p2 ON p2.node = f.prev AND p2.nbr = n.nbr)""")
+        ctes.append(f"""f{t} AS (
+            SELECT start_id, walk_idx, nbr AS cur, cur AS prev FROM (
+                SELECT q.*, row_number() OVER (
+                    PARTITION BY q.start_id, q.walk_idx
+                    ORDER BY {h(t)}, q.nbr) AS rn
+                FROM (SELECT c.*, unnest(range(1, n_rep + 1)) AS rep
+                      FROM c{t} c WHERE n_rep > 0) q) WHERE rn = 1)""")
+    selects = ["SELECT start_id, walk_idx, 0 AS step, start_id AS node_id FROM f0"]
+    for t in range(1, walk_len + 1):
+        selects.append(f"SELECT start_id, walk_idx, {t} AS step, cur AS node_id"
+                       f" FROM f{t}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def test_biased_walks_match_duckdb(spark):
+    """Second-order biased walks vs the same recurrence in DuckDB (candidate
+    classification left-join + replica unnest + argmin window) — exact row
+    parity on a seeded random graph with asymmetric multipliers."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import biased_random_walks
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(14), rng.randrange(14), "p", 1) for _ in range(50)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {tuple(r) for r in biased_random_walks(
+        df, n_walks=2, walk_len=4, seed=9, return_mult=4, common_mult=2,
+        explore_mult=1).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d)"
+                % ",".join(f"({s},{d})" for s, d, _, _ in edges))
+    ref = {tuple(r) for r in con.execute(_biased_walk_oracle_sql(
+        n_walks=2, walk_len=4, seed=9, rm=4, cm=2, em=1)).fetchall()}
+    assert got == ref and len(got) > 0
+
+
+def test_biased_walks_unit_mults_reduce_to_first_order(spark):
+    """With all three multipliers = 1 (node2vec p = q = 1) the second-order walk
+    IS the first-order walk — and the hash scheme is shared, so the two
+    operators must emit IDENTICAL rows."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import biased_random_walks, random_walks
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(12), rng.randrange(12), "p", 1) for _ in range(40)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    a = {tuple(r) for r in random_walks(df, n_walks=2, walk_len=3, seed=6).collect()}
+    b = {tuple(r) for r in biased_random_walks(
+        df, n_walks=2, walk_len=3, seed=6).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_biased_walks_return_bias(spark):
+    """A 64:1 return multiplier on a 10-leaf star: step 2 from the hub (prev =
+    the starting leaf) should return to the start in ~64/73 of walks."""
+    from lingvo_spark_kg.operators.graph import biased_random_walks
+
+    edges = [(100, leaf, "p", 1) for leaf in range(10)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    rows = biased_random_walks(df, n_walks=16, walk_len=2, seed=2,
+                               return_mult=64, explore_mult=1).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault((r["start_id"], r["walk_idx"]), {})[r["step"]] = r["node_id"]
+    returns = total = 0
+    for (start, _w), seq in by_walk.items():
+        if start == 100:
+            continue          # walks starting at the hub have no forced step-1
+        assert seq[1] == 100  # leaf's only neighbor is the hub
+        total += 1
+        returns += int(seq[2] == start)
+    assert total == 160
+    assert returns >= 120     # E = 140.3 (64/73); 120 is far below any noise
