@@ -888,3 +888,35 @@ def test_biased_walks_return_bias(spark):
         returns += int(seq[2] == start)
     assert total == 160
     assert returns >= 120     # E = 140.3 (64/73); 120 is far below any noise
+
+
+def test_analytics_point_in_time_across_ingest(spark, tmp_path):
+    """Analytics tables are point-in-time snapshots of the graph generation they
+    were computed from: after ingest_delta commits a new generation, a resumed
+    analytics() still returns the OLD tables, and analytics(resume=False)
+    recomputes over the maintained graph — matching a fresh full-corpus run's
+    analytics node set exactly (pagerank node ids)."""
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    kw = dict(pagerank_iters=5, embedding_epochs=1, embedding_dim=4,
+              embedding_partitions=2)
+    wd = str(tmp_path / "wd")
+    p = KgPipeline(spark, wd, n_docs=50, seed=1, edge_doc_sketch=True)
+    p.run()
+    before = p.analytics(resume=True, **kw)
+    p.ingest_delta(generate_docs(spark, 20, start=50))
+
+    stale = p.analytics(resume=True, **kw)
+    assert stale == before                      # resumed = old generation
+
+    fresh = p.analytics(resume=False, **kw)
+    nodes_fresh = {r["node_id"] for r in p.table("an_pagerank").collect()}
+
+    wd2 = str(tmp_path / "wd2")
+    p2 = KgPipeline(spark, wd2, n_docs=70, seed=1, edge_doc_sketch=True)
+    p2.run()
+    p2.analytics(resume=True, **kw)
+    nodes_full = {r["node_id"] for r in p2.table("an_pagerank").collect()}
+    assert nodes_fresh == nodes_full            # maintained graph ≡ full graph
+    assert fresh["an_pagerank"] == len(nodes_full)
