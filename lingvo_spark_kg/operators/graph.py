@@ -495,7 +495,8 @@ def skip_gram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
 
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
              checkpoint_every: int = 5,
-             weight_col: str = "n_occurrences") -> DataFrame:
+             weight_col: str = "n_occurrences",
+             sources: list | None = None) -> DataFrame:
     """Weighted PageRank over the materialized edges table → (node_id, rank):
     the node-importance analytics pass a KG curation loop runs before hub cuts and
     entity-priority decisions (companion to ``degree_stats``; beyond-reference
@@ -516,7 +517,16 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
     (canonicalize.py), without which 20 chained iterations compound into an
     exponentially deep plan. The only driver-side values are the node count and
     the per-iteration 1-row dangling-mass aggregate (broadcast back, never
-    collected into a loop over rows)."""
+    collected into a loop over rows).
+
+    ``sources`` switches to PERSONALIZED PageRank (random walk with restart) —
+    the standard KG entity-relatedness query ("what is close to THESE
+    entities"): the teleport vector concentrates on the source set (1/|S| each)
+    instead of being uniform, dangling mass restarts through the same vector,
+    and ranks initialize at the teleport vector. The uniform path below is kept
+    byte-for-byte unchanged (its float op ORDER is gated bit-exactly against
+    the driver's unrolled DuckDB oracle); the PPR branch shares the
+    share/dangling machinery with a teleport column joined in."""
     e = edges.select("src_id", "dst_id", F.col(weight_col).cast("double").alias("w"))
     nodes = (e.select(F.col("src_id").alias("node_id"))
              .unionByName(e.select(F.col("dst_id").alias("node_id")))
@@ -529,6 +539,36 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
              .select("src_id", "dst_id", (F.col("w") / F.col("out_w")).alias("share"))
              .localCheckpoint(eager=True))
     src_nodes = out_w.select(F.col("src_id").alias("node_id"))
+    if sources is not None:
+        if not sources:
+            raise ValueError("sources must be a non-empty list (or None)")
+        spark = edges.sparkSession
+        t = 1.0 / len(sources)
+        tele_df = F.broadcast(spark.createDataFrame(
+            [(s,) for s in set(sources)],
+            nodes.schema).withColumn("t", F.lit(t)))
+        tele = (nodes.join(tele_df, "node_id", "left")
+                .select("node_id", F.coalesce(F.col("t"), F.lit(0.0)).alias("t"))
+                .localCheckpoint(eager=True))
+        if tele.agg(F.sum("t")).collect()[0][0] == 0.0:
+            raise ValueError("no source node appears in the edge set")
+        ranks = tele.select("node_id", F.col("t").alias("rank"))
+        for i in range(n_iter):
+            contrib = (share.join(ranks, share["src_id"] == ranks["node_id"])
+                       .groupBy(F.col("dst_id").alias("node_id"))
+                       .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
+            dangling = (ranks.join(src_nodes, "node_id", "left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")))
+            ranks = (tele.join(contrib, "node_id", "left")
+                     .crossJoin(F.broadcast(dangling))
+                     .select("node_id",
+                             (F.lit(1.0 - damping) * F.col("t")
+                              + F.lit(damping)
+                              * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                 + F.col("dmass") * F.col("t"))).alias("rank")))
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(n_iter):

@@ -920,3 +920,48 @@ def test_analytics_point_in_time_across_ingest(spark, tmp_path):
     nodes_full = {r["node_id"] for r in p2.table("an_pagerank").collect()}
     assert nodes_fresh == nodes_full            # maintained graph ≡ full graph
     assert fresh["an_pagerank"] == len(nodes_full)
+
+
+def test_personalized_pagerank_matches_dense_numpy(spark):
+    """pagerank(sources=...) vs an independent dense NumPy random-walk-with-
+    restart on a seeded weighted digraph: same teleport-vector convention
+    (restart mass 1/|S|, dangling mass restarts through the teleport vector,
+    ranks init at the vector). Also pins: total mass 1, zero rank on a
+    component unreachable from the sources, and source locality (restart mass
+    keeps sources above the global-PageRank ordering of far nodes)."""
+    import random
+
+    import numpy as np
+
+    from lingvo_spark_kg.operators.graph import pagerank
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(10), rng.randrange(10), "p", rng.randrange(1, 5))
+             for _ in range(35)]
+    edges += [(20, 21, "p", 2), (21, 20, "p", 1)]   # island unreachable from S
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    d, n_iter, srcs = 0.85, 15, [2, 5]
+    got = {r["node_id"]: r["rank"] for r in
+           pagerank(df, damping=d, n_iter=n_iter, sources=srcs).collect()}
+
+    nodes = sorted({n for s, dd, _, _ in edges for n in (s, dd)})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, dd, _, w in edges:
+        W[idx[s], idx[dd]] += w   # self-loops kept — the operator keeps them too
+    out = W.sum(axis=1)
+    t = np.zeros(n)
+    for s in srcs:
+        t[idx[s]] = 1.0 / len(srcs)
+    r = t.copy()
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    for _ in range(n_iter):
+        dmass = r[out == 0].sum()
+        r = (1 - d) * t + d * (P.T @ r + dmass * t)
+    for node, i in idx.items():
+        assert abs(got[node] - r[i]) < 1e-12, node
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[20] == got[21] == 0.0            # unreachable island: zero mass
+    assert all(got[s] > 0 for s in srcs)
