@@ -417,6 +417,61 @@ def biased_random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
     return out
 
 
+def neighbor_similarity(edges: DataFrame, min_common: int = 1,
+                        max_center_degree: int | None = 1000) -> DataFrame:
+    """Link-prediction scores over the (undirected simple view of the) edges
+    table: for every non-adjacent-or-adjacent node pair sharing ≥ ``min_common``
+    neighbors, emit (node_a, node_b, n_common, deg_a, deg_b, jaccard_num,
+    jaccard_den, is_edge) with node_a < node_b — the common-neighbors /
+    Jaccard candidate ranking a KG-completion pass consumes (Liben-Nowell &
+    Kleinberg 2003). Jaccard = jaccard_num / jaccard_den is emitted as the
+    INTEGER pair (n_common, deg_a + deg_b - n_common) so the score is exact and
+    any SQL oracle compares integers, never floats.
+
+    Pair enumeration is the wedge build: self-join the neighbor table on the
+    CENTER node, count per (a, b). Σ C(deg, 2) is hub-quadratic, so
+    ``max_center_degree`` drops high-degree wedge centers BEFORE the self-join
+    (one degree aggregate + a semi-join, the predicate_paths hub-cut shape) —
+    the standard relevance cut too: co-occurring in a celebrity's neighborhood
+    is uninformative. Degrees reported are full degrees (cut centers still
+    count as neighbors; they just stop generating pairs). ``is_edge`` marks
+    already-connected pairs (1/0) via a left join against the edge set, letting
+    the caller split "strengthen existing edge" from "predict missing edge"
+    without a second pass. Equi-joins + map-side-combinable aggregates only."""
+    und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                        F.greatest("src_id", "dst_id").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
+    nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .unionAll(und.select(F.col("v").alias("node"),
+                                 F.col("u").alias("nbr"))))
+    deg = (nbrs.groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+           .localCheckpoint(eager=False))
+    centers = nbrs
+    if max_center_degree is not None:
+        ok = deg.where(F.col("degree") <= max_center_degree).select("node")
+        centers = nbrs.join(ok, "node", "left_semi")
+    a = centers.select(F.col("node").alias("center"), F.col("nbr").alias("a"))
+    b = centers.select(F.col("node").alias("center"), F.col("nbr").alias("b"))
+    pairs = (a.join(b, "center").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+             .where(F.col("n_common") >= min_common))
+    deg_a = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    deg_b = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    linked = und.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                        F.lit(1).alias("is_edge"))
+    return (pairs.join(deg_a, "a").join(deg_b, "b")
+            .join(linked, ["a", "b"], "left")
+            .select(F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+                    "n_common", "deg_a", "deg_b",
+                    F.col("n_common").alias("jaccard_num"),
+                    (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+                    .alias("jaccard_den"),
+                    F.coalesce(F.col("is_edge"), F.lit(0)).alias("is_edge")))
+
+
 def coreness(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     """K-core decomposition over the (undirected simple view of the) edges table
     → (node_id, coreness): the largest k such that the node survives in the

@@ -965,3 +965,72 @@ def test_personalized_pagerank_matches_dense_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[20] == got[21] == 0.0            # unreachable island: zero mass
     assert all(got[s] > 0 for s in srcs)
+
+
+def test_neighbor_similarity_matches_duckdb(spark):
+    """Wedge-built common-neighbor / Jaccard pairs (with the hub cut) vs the
+    same computation in plain SQL — exact integer parity on a seeded random
+    graph with a planted hub that exceeds max_center_degree."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import neighbor_similarity
+
+    rng = random.Random(41)
+    edges = [(rng.randrange(16), rng.randrange(16), "p", 1) for _ in range(50)]
+    edges += [(99, leaf, "p", 1) for leaf in range(12)]   # hub degree 12 > cut
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {tuple(r) for r in
+           neighbor_similarity(df, min_common=1, max_center_degree=8).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d)"
+                % ",".join(f"({s},{d})" for s, d, _, _ in edges))
+    ref = {tuple(r) for r in con.execute("""
+        WITH und AS (SELECT DISTINCT LEAST(s,d) AS u, GREATEST(s,d) AS v
+                     FROM e WHERE s <> d),
+        nbrs AS (SELECT u AS node, v AS nbr FROM und
+                 UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT node, COUNT(*)::BIGINT AS degree FROM nbrs GROUP BY 1),
+        ctr AS (SELECT n.* FROM nbrs n JOIN deg USING (node)
+                WHERE deg.degree <= 8),
+        pr AS (SELECT x.nbr AS a, y.nbr AS b, COUNT(*)::BIGINT AS n_common
+               FROM ctr x JOIN ctr y ON x.node = y.node AND x.nbr < y.nbr
+               GROUP BY 1, 2 HAVING COUNT(*) >= 1)
+        SELECT pr.a AS node_a, pr.b AS node_b, pr.n_common,
+               da.degree AS deg_a, db.degree AS deg_b,
+               pr.n_common AS jaccard_num,
+               da.degree + db.degree - pr.n_common AS jaccard_den,
+               CASE WHEN und.u IS NOT NULL THEN 1 ELSE 0 END AS is_edge
+        FROM pr JOIN deg da ON da.node = pr.a
+        JOIN deg db ON db.node = pr.b
+        LEFT JOIN und ON und.u = pr.a AND und.v = pr.b
+    """).fetchall()}
+    assert got == ref and len(got) > 0
+    # the hub's wedges are cut: no pair owes its existence to center 99 alone
+    # (hub leaves 10, 11 share only the hub → must be absent)
+    assert not any(a == 10 and b == 11 for a, b, *_ in got)
+
+
+def test_neighbor_similarity_known_values(spark):
+    """Square 0-1-2-3-0 plus diagonal 0-2: the non-edge (1, 3) shares both 0
+    and 2 → n_common 2, jaccard 2/(3+2-2)... degrees: 0,2 have 3; 1,3 have 2;
+    (1,3): num 2, den 2+2-2=2 → jaccard 1.0, is_edge 0."""
+    from lingvo_spark_kg.operators.graph import neighbor_similarity
+
+    edges = [(0, 1, "p", 1), (1, 2, "p", 1), (2, 3, "p", 1), (3, 0, "p", 1),
+             (0, 2, "p", 1)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    rows = {(r["node_a"], r["node_b"]): r
+            for r in neighbor_similarity(df).collect()}
+    r13 = rows[(1, 3)]
+    assert (r13["n_common"], r13["jaccard_num"], r13["jaccard_den"],
+            r13["is_edge"]) == (2, 2, 2, 0)
+    r02 = rows[(0, 2)]
+    assert r02["is_edge"] == 1 and r02["n_common"] == 2  # shares 1 and 3
+    plan = neighbor_similarity(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
