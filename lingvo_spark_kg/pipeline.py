@@ -532,6 +532,8 @@ class KgPipeline:
           (weight-proportional over n_occurrences when ``weighted_walks``)
         - ``an_pairs``     (center_id, context_id, n_pairs)    — skip_gram_pairs
         - ``an_embeddings`` (node_id, embedding)      — node2vec skip-gram NSG
+        - ``an_linkpred``  (node_a, node_b, n_common, ..., is_edge)
+          — neighbor_similarity (common-neighbor / Jaccard candidates)
 
         Reads the LOGICAL edges table (latest committed generation), so analytics
         run after ``ingest_delta`` see the maintained graph; re-running after a
@@ -540,9 +542,9 @@ class KgPipeline:
         contract of any derived table). Walk/embedding stages chain off the
         WRITTEN tables, so a resumed call never retrains on different walks."""
         from .operators import node2vec
-        from .operators.graph import (coreness, pagerank, predicate_paths,
-                                      random_walks, skip_gram_pairs,
-                                      triangle_counts)
+        from .operators.graph import (coreness, neighbor_similarity, pagerank,
+                                      predicate_paths, random_walks,
+                                      skip_gram_pairs, triangle_counts)
 
         edges = self.table("edges")
         pr = self._run_stage(
@@ -564,12 +566,14 @@ class KgPipeline:
                 pairs, dim=embedding_dim, epochs=embedding_epochs, seed=seed,
                 n_partitions=embedding_partitions)[0],
             resume)
+        linkpred = self._run_stage(
+            "an_linkpred", lambda: neighbor_similarity(edges), resume)
 
         from functools import reduce
 
         frames = {"an_pagerank": pr, "an_coreness": core, "an_triangles": tri,
                   "an_paths": paths, "an_walks": walks, "an_pairs": pairs,
-                  "an_embeddings": emb}
+                  "an_embeddings": emb, "an_linkpred": linkpred}
         counts_df = reduce(
             DataFrame.unionByName,
             [df.agg(F.count(F.lit(1)).alias("n")).select(

@@ -764,7 +764,8 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path):
     counts = p.analytics(resume=True, pagerank_iters=5, embedding_epochs=2,
                          embedding_dim=4, embedding_partitions=2)
     assert set(counts) == {"an_pagerank", "an_coreness", "an_triangles",
-                           "an_paths", "an_walks", "an_pairs", "an_embeddings"}
+                           "an_paths", "an_walks", "an_pairs", "an_embeddings",
+                           "an_linkpred"}
     assert counts["an_pagerank"] == counts["an_coreness"] > 0
     n_nodes_walked = counts["an_walks"] // (2 * (4 + 1))  # n_walks*(walk_len+1)
     assert counts["an_embeddings"] == n_nodes_walked > 0
