@@ -417,6 +417,76 @@ def biased_random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
     return out
 
 
+def components(edges: DataFrame, max_iter: int = 25,
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """Connected components of the KG edge graph → (node_id, component) with
+    component = min reachable node id — the fragmentation read a curation pass
+    takes before deciding whether extraction produced one knowledge graph or an
+    archipelago. Thin adapter over the gated iterative CC engine
+    (canonicalize.connected_components: checkpointed ping-pong loop, durable
+    resume via ``checkpoint_dir``, convergence-observed)."""
+    from .canonicalize import connected_components
+
+    e = edges.select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+    comp = connected_components(e, max_iter=max_iter,
+                                checkpoint_dir=checkpoint_dir)
+    return comp.select(F.col("v").alias("node_id"), "component")
+
+
+def neighborhood_function(edges: DataFrame, max_hops: int = 8,
+                          lg_config_k: int = 14,
+                          converge_ratio: float = 1.001) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna 2011, "HyperANF: approximating the
+    neighbourhood function of very large graphs on a budget"): the neighborhood
+    function N(h) = Σ_v |ball(v, h)| of the (undirected view of the) edges
+    table, estimated with Datasketches HLL sketches → (hop, est_pairs) rows,
+    hop 0 = the node count. N(h)'s saturation point reads off the effective
+    diameter — the "how many hops connect this KG" health metric that is
+    EXACTLY the computation that cannot be done exactly at scale (per-node
+    reachable SETS are quadratic state; HLL balls are a few KB each).
+
+    Per hop: every node's ball sketch is the HLL union of its own sketch and
+    its neighbors' previous sketches — one equi-join of the (node, sketch)
+    frame against the edge list + one ``hll_union_agg`` (map-side-combinable,
+    the whole point of sketches) + one 1-row global estimate sum. The sketch
+    frame is localCheckpoint-ed per hop (node-bounded rows, lineage cut like
+    every iterative operator here). Early exit when N(h) grows by less than
+    ``converge_ratio`` (diameter reached); HLL is deterministic for fixed
+    inputs, so the output is stable run-to-run. Accuracy ~1.04/√2^lg_config_k
+    (≈0.8% at the default 14) — tests bound it against exact BFS."""
+    und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                        F.greatest("src_id", "dst_id").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    sym = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(und.select(F.col("v").alias("node"),
+                                F.col("u").alias("nbr")))
+           .localCheckpoint(eager=False))
+    spark = edges.sparkSession
+    balls = (sym.select("node").distinct()
+             .groupBy("node")
+             .agg(F.hll_sketch_agg(F.col("node").cast("string"),
+                                   F.lit(lg_config_k)).alias("sk"))
+             .localCheckpoint())
+    rows = [(0, int(balls.agg(
+        F.sum(F.hll_sketch_estimate("sk"))).collect()[0][0] or 0))]
+    for h in range(1, max_hops + 1):
+        nbr_sk = (sym.join(balls.select(F.col("node").alias("nbr"),
+                                        F.col("sk").alias("nbr_sk")), "nbr")
+                  .groupBy("node")
+                  .agg(F.hll_union_agg("nbr_sk").alias("merged")))
+        balls = (balls.join(nbr_sk, "node", "left")
+                 .select("node",
+                         F.when(F.col("merged").isNull(), F.col("sk"))
+                         .otherwise(F.hll_union("sk", "merged")).alias("sk"))
+                 .localCheckpoint())
+        n_h = int(balls.agg(
+            F.sum(F.hll_sketch_estimate("sk"))).collect()[0][0] or 0)
+        rows.append((h, n_h))
+        if n_h <= rows[-2][1] * converge_ratio:
+            break
+    return spark.createDataFrame(rows, "hop int, est_pairs long")
+
+
 def neighbor_similarity(edges: DataFrame, min_common: int = 1,
                         max_center_degree: int | None = 1000) -> DataFrame:
     """Link-prediction scores over the (undirected simple view of the) edges

@@ -534,6 +534,9 @@ class KgPipeline:
         - ``an_embeddings`` (node_id, embedding)      — node2vec skip-gram NSG
         - ``an_linkpred``  (node_a, node_b, n_common, ..., is_edge)
           — neighbor_similarity (common-neighbor / Jaccard candidates)
+        - ``an_components`` (node_id, component)      — graph.components
+        - ``an_nfunc``     (hop, est_pairs)           — neighborhood_function
+          (HyperANF HLL balls; the effective-diameter read)
 
         Reads the LOGICAL edges table (latest committed generation), so analytics
         run after ``ingest_delta`` see the maintained graph; re-running after a
@@ -542,7 +545,9 @@ class KgPipeline:
         contract of any derived table). Walk/embedding stages chain off the
         WRITTEN tables, so a resumed call never retrains on different walks."""
         from .operators import node2vec
-        from .operators.graph import (coreness, neighbor_similarity, pagerank,
+        from .operators.graph import (components, coreness,
+                                      neighbor_similarity,
+                                      neighborhood_function, pagerank,
                                       predicate_paths, random_walks,
                                       skip_gram_pairs, triangle_counts)
 
@@ -568,12 +573,17 @@ class KgPipeline:
             resume)
         linkpred = self._run_stage(
             "an_linkpred", lambda: neighbor_similarity(edges), resume)
+        comp = self._run_stage(
+            "an_components", lambda: components(edges), resume)
+        nfunc = self._run_stage(
+            "an_nfunc", lambda: neighborhood_function(edges), resume)
 
         from functools import reduce
 
         frames = {"an_pagerank": pr, "an_coreness": core, "an_triangles": tri,
                   "an_paths": paths, "an_walks": walks, "an_pairs": pairs,
-                  "an_embeddings": emb, "an_linkpred": linkpred}
+                  "an_embeddings": emb, "an_linkpred": linkpred,
+                  "an_components": comp, "an_nfunc": nfunc}
         counts_df = reduce(
             DataFrame.unionByName,
             [df.agg(F.count(F.lit(1)).alias("n")).select(

@@ -765,7 +765,8 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path):
                          embedding_dim=4, embedding_partitions=2)
     assert set(counts) == {"an_pagerank", "an_coreness", "an_triangles",
                            "an_paths", "an_walks", "an_pairs", "an_embeddings",
-                           "an_linkpred"}
+                           "an_linkpred", "an_components", "an_nfunc"}
+    assert counts["an_components"] == counts["an_pagerank"]
     assert counts["an_pagerank"] == counts["an_coreness"] > 0
     n_nodes_walked = counts["an_walks"] // (2 * (4 + 1))  # n_walks*(walk_len+1)
     assert counts["an_embeddings"] == n_nodes_walked > 0
@@ -1035,3 +1036,56 @@ def test_neighbor_similarity_known_values(spark):
     plan = neighbor_similarity(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_components_two_islands(spark):
+    """graph.components over the edges adapter: two disjoint islands label by
+    their min node id (string ids — the KG's canonical-id type)."""
+    from lingvo_spark_kg.operators.graph import components
+
+    edges = [("b", "a", "p", 1), ("b", "c", "p", 1), ("x", "y", "p", 1)]
+    df = spark.createDataFrame(
+        edges, "src_id string, dst_id string, pred string, n_occurrences long")
+    got = {r["node_id"]: r["component"] for r in components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_neighborhood_function_matches_exact_bfs(spark):
+    """HLL neighborhood function vs exact per-node BFS ball sizes on a seeded
+    random graph: every hop's estimate within 5% (lg_config_k=14 → ~0.8%
+    expected), hop sequence non-decreasing, saturates at n_reachable_pairs."""
+    import random
+    from collections import deque
+
+    from lingvo_spark_kg.operators.graph import neighborhood_function
+
+    rng = random.Random(47)
+    edges = [(rng.randrange(40), rng.randrange(40), "p", 1) for _ in range(70)]
+    df = spark.createDataFrame(
+        edges, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {r["hop"]: r["est_pairs"]
+           for r in neighborhood_function(df, max_hops=10).collect()}
+
+    adj = {}
+    for s, d, _, _ in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    exact = {h: 0 for h in range(11)}
+    for v in adj:
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for h in range(11):
+            exact[h] += sum(1 for dd in dist.values() if dd <= h)
+
+    hops = sorted(got)
+    assert got[0] == len(adj)
+    for h in hops:
+        assert abs(got[h] - exact[h]) <= max(2, 0.05 * exact[h]), (h, got[h], exact[h])
+    assert all(got[hops[i]] <= got[hops[i + 1]] for i in range(len(hops) - 1))
