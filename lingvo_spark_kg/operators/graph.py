@@ -711,3 +711,197 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching over the edges table: the core
+    KG query primitive ("find every (author, book, publisher) wired like X").
+    ``patterns`` is a list of (subj, pred, obj) triple patterns; a term that is
+    a string starting with ``?`` is a VARIABLE, anything else a constant matched
+    against src_id / pred / dst_id. Returns one column per variable (named
+    without the ``?``), one row per solution binding — e.g.::
+
+        match_pattern(edges, [("?a", "wrote",     "?b"),
+                              ("?b", "published", "?c")])
+
+    Compilation is joins-all-the-way-down, exactly how a SPARQL engine lowers a
+    BGP onto a relational backend: each pattern becomes a filtered scan of the
+    edges table (constant terms → pushed-down predicates; a variable repeated
+    inside one pattern → an intra-row equality filter), and patterns are
+    combined with equi-joins on their shared variables. Patterns are greedily
+    reordered so every join shares ≥1 variable with the bindings accumulated so
+    far — a disconnected pattern set would be a cartesian product, which is
+    rejected with ``ValueError`` rather than silently planned (the no-cartesian
+    discipline of every operator here). Catalyst then does what it does: the
+    constant-pred scans prune at the parquet reader, AQE picks broadcast sides
+    when a pattern is selective, and each join shuffles only on the shared
+    variable — the right shape at any edge volume.
+
+    Solutions follow bag semantics over the edge rows (SPARQL's); the pipeline
+    edges table is already distinct per (src, pred, dst) so bindings are unique
+    there, but ``distinct=True`` forces set semantics for raw triple lists.
+    Variables bound in a subject/object slot are node ids (long); a variable in
+    the pred slot binds the string predicate — one variable must not mix slots
+    of different types across patterns."""
+    if not patterns:
+        raise ValueError("match_pattern needs at least one triple pattern")
+    slots = ("src_id", "pred", "dst_id")
+
+    def is_var(t):
+        return isinstance(t, str) and t.startswith("?")
+
+    def pat_vars(p):
+        return {t[1:] for t in p if is_var(t)}
+
+    for p in patterns:
+        if len(p) != 3:
+            raise ValueError(f"pattern {p!r} is not a (subj, pred, obj) triple")
+        if not pat_vars(p):
+            raise ValueError(f"pattern {p!r} has no variables; constant-only "
+                             "existence checks are not bindings")
+
+    def compile_one(p):
+        df = edges.select(*slots)
+        seen = {}
+        out = []
+        for slot, term in zip(slots, p):
+            if is_var(term):
+                name = term[1:]
+                if name in seen:          # ?x p ?x → intra-row equality
+                    df = df.where(F.col(slot) == F.col(seen[name]))
+                else:
+                    seen[name] = slot
+                    out.append(F.col(slot).alias(name))
+            else:
+                df = df.where(F.col(slot) == F.lit(term))
+        return df.select(*out), set(seen)
+
+    remaining = list(range(len(patterns)))
+    order = [remaining.pop(0)]
+    bound = pat_vars(patterns[order[0]])
+    while remaining:
+        nxt = next((i for i in remaining if pat_vars(patterns[i]) & bound), None)
+        if nxt is None:
+            raise ValueError(
+                "disconnected pattern set: no remaining pattern shares a "
+                f"variable with {sorted(bound)} — this would be a cartesian "
+                "product; split the query instead")
+        remaining.remove(nxt)
+        order.append(nxt)
+        bound |= pat_vars(patterns[nxt])
+
+    result, have = compile_one(patterns[order[0]])
+    for i in order[1:]:
+        df, vs = compile_one(patterns[i])
+        result = result.join(df, sorted(vs & set(have)))
+        have |= vs
+    first_seen = []
+    for p in patterns:
+        for t in p:
+            if is_var(t) and t[1:] not in first_seen:
+                first_seen.append(t[1:])
+    result = result.select(*first_seen)
+    return result.distinct() if distinct else result
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Community detection over the (undirected simple view of the) edges table
+    via synchronous label propagation (Raghavan, Albert & Kumara 2007, "Near
+    linear time algorithm to detect community structures in large-scale
+    networks") → (node_id, community). Communities are the mesoscale read
+    between components (too coarse: one giant component) and triangles/coreness
+    (too local) — the "which entity neighborhoods form topics" pass a KG
+    curation run takes before sampling or summarizing.
+
+    Every node starts labeled with its own id; each iteration every node adopts
+    the most frequent label among its neighbors PLUS ITSELF. Including the
+    node's own label makes the update a deterministic function with no
+    oscillation escape hatch needed (plain synchronous LPA can 2-cycle on
+    bipartite structure; the self-vote breaks the symmetry) and ties break to
+    the SMALLEST label — the whole update is exact integer voting, so runs are
+    bit-reproducible across partitionings and engines (no random tie-breaks, no
+    floats). Converges when no label changes or at ``max_iter``.
+
+    Per iteration: one equi-join of the neighbor table against the node-bounded
+    label frame, one (node, label) count (map-side combinable), one per-node
+    min-struct argmax — edge-volume shuffles only, never a cartesian; the label
+    frame is localCheckpoint-ed per iteration (CC's lineage discipline). Label
+    counting shuffles on (node, label), which splits hub traffic across the
+    hub's distinct neighbor labels — milder than a plain per-node key."""
+    und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                        F.greatest("src_id", "dst_id").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+            .localCheckpoint(eager=False))
+    labels = (nbrs.select("node").distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr_labels = nbrs.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr")
+        votes = (nbr_labels.select("node", "label")
+                 .unionAll(labels.select("node", "label"))   # the self-vote
+                 .groupBy("node", "label")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        nxt = (votes.groupBy("node")
+               .agg(F.min(F.struct(F.negate(F.col("n")).alias("neg_n"),
+                                   F.col("label").alias("label"))).alias("top"))
+               .select("node", F.col("top.label").alias("label"))
+               .localCheckpoint())
+        changed = (nxt.alias("n").join(labels.alias("p"), "node")
+                   .where(F.col("n.label") != F.col("p.label")).count())
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("node_id"),
+                         F.col("label").alias("community"))
+
+
+def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
+                  directed: bool = False) -> DataFrame:
+    """Multi-source BFS over the edges table → (node_id, distance): the exact
+    hop distance from the nearest source, for every node reachable within
+    ``max_hops``. The point query behind "how far is every entity from this
+    seed set" — provenance radius around trusted seeds, staleness horizons
+    around updated entities, ego-network extraction. Complements
+    neighborhood_function (which estimates the global distance DISTRIBUTION
+    with sketches); this is the exact per-node read for one seed set, linear
+    state where the all-pairs version would be quadratic.
+
+    Standard frontier expansion: per hop, join the (node-bounded) frontier
+    against the adjacency list, anti-join out already-settled nodes, settle the
+    rest at distance h — each hop is one equi-join + one left-anti join +
+    dedup, all on node keys; the settled frame is localCheckpoint-ed per hop.
+    Early exit on an empty frontier (diameter reached). ``directed=True``
+    follows src→dst arcs only; default is the undirected view every other
+    analytics operator here uses."""
+    if not sources:
+        raise ValueError("bfs_distances needs a non-empty source set")
+    spark = edges.sparkSession
+    if directed:
+        adj = (edges.select(F.col("src_id").alias("node"),
+                            F.col("dst_id").alias("nbr"))
+               .where(F.col("node") != F.col("nbr")).distinct())
+    else:
+        und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                            F.greatest("src_id", "dst_id").alias("v"))
+               .where(F.col("u") != F.col("v")).distinct())
+        adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+               .unionAll(und.select(F.col("v").alias("node"),
+                                    F.col("u").alias("nbr"))))
+    adj = adj.localCheckpoint(eager=False)
+    frontier = (spark.createDataFrame([(int(s),) for s in set(sources)],
+                                      "node long")
+                .withColumn("distance", F.lit(0)))
+    settled = frontier.localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (adj.join(frontier.select("node"), "node")
+               .select(F.col("nbr").alias("node")).distinct()
+               .join(settled.select("node"), "node", "left_anti")
+               .withColumn("distance", F.lit(h)))
+        frontier = nxt.localCheckpoint()
+        if frontier.limit(1).count() == 0:
+            break
+        settled = settled.unionAll(frontier).localCheckpoint()
+    return settled.select(F.col("node").alias("node_id"), "distance")

@@ -1,0 +1,199 @@
+"""Round-6 graph-query additions: BGP pattern matching, label-propagation
+communities, multi-source BFS distances — exact parity against DuckDB SQL or a
+NumPy reference implementing the same recurrence, plus plan-shape pins."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(
+        [(s, d, p, 1) for s, d, p in rows],
+        "src_id long, dst_id long, pred string, n_occurrences long")
+
+
+def test_match_pattern_chain_matches_duckdb(spark):
+    """2-hop chain with a constant predicate per hop vs the same self-join in
+    plain SQL, on a seeded random multi-predicate graph."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rng = random.Random(7)
+    preds = ["wrote", "published", "cites"]
+    rows = {(rng.randrange(20), rng.randrange(20), rng.choice(preds))
+            for _ in range(120)}
+    df = _edges_df(spark, sorted(rows))
+    got = {tuple(r) for r in match_pattern(
+        df, [("?a", "wrote", "?b"), ("?b", "published", "?c")]).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"({s},{d},'{p}')" for s, d, p in sorted(rows)))
+    ref = {tuple(r) for r in con.execute("""
+        SELECT x.s AS a, x.d AS b, y.d AS c
+        FROM e x JOIN e y ON x.d = y.s
+        WHERE x.p = 'wrote' AND y.p = 'published'
+    """).fetchall()}
+    assert got == ref and len(got) > 0
+
+
+def test_match_pattern_variable_predicate_and_star(spark):
+    """A star pattern (two patterns sharing the subject) with a predicate
+    variable binds the pred string; column order is first-seen."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "likes"), (1, 3, "knows"),
+                           (4, 2, "likes"), (4, 5, "knows"),
+                           (6, 2, "likes")])
+    out = match_pattern(df, [("?x", "likes", 2), ("?x", "?p", "?y")])
+    assert out.columns == ["x", "p", "y"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(1, "likes", 2), (1, "knows", 3),
+                   (4, "likes", 2), (4, "knows", 5), (6, "likes", 2)}
+
+
+def test_match_pattern_repeated_var_is_intra_row_filter(spark):
+    """?x p ?x selects self-loops only."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 1, "self"), (1, 2, "self"), (3, 3, "self"),
+                           (3, 3, "other")])
+    got = {tuple(r) for r in
+           match_pattern(df, [("?x", "self", "?x")]).collect()}
+    assert got == {(1,), (3,)}
+
+
+def test_match_pattern_reorders_for_connectivity_and_rejects_cartesian(spark):
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "a"), (2, 3, "b"), (3, 4, "c")])
+    # user order ?a-?b, ?c-?d, ?b-?c is disconnected AT STEP 2 but reorderable
+    got = {tuple(r) for r in match_pattern(
+        df, [("?a", "a", "?b"), ("?c", "c", "?d"), ("?b", "b", "?c")]).collect()}
+    assert got == {(1, 2, 3, 4)}
+    with pytest.raises(ValueError, match="disconnected"):
+        match_pattern(df, [("?a", "a", "?b"), ("?c", "c", "?d")])
+    with pytest.raises(ValueError, match="no variables"):
+        match_pattern(df, [(1, "a", 2)])
+    with pytest.raises(ValueError, match="at least one"):
+        match_pattern(df, [])
+
+
+def test_match_pattern_distinct_and_bag_semantics(spark):
+    """Duplicate edge rows duplicate bindings (bag), distinct=True collapses."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "p")]).unionAll(
+        _edges_df(spark, [(1, 2, "p")]))
+    pat = [("?x", "p", "?y")]
+    assert match_pattern(df, pat).count() == 2
+    assert match_pattern(df, pat, distinct=True).count() == 1
+
+
+def test_match_pattern_plan_no_cartesian(spark):
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "a"), (2, 3, "b")])
+    plan = match_pattern(
+        df, [("?a", "a", "?b"), ("?b", "b", "?c")])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge resolve to two communities,
+    each labeled by its minimum member id."""
+    from lingvo_spark_kg.operators.graph import label_propagation
+
+    clique = lambda ids: [(a, b, "p") for a in ids for b in ids if a < b]
+    df = _edges_df(spark, clique([0, 1, 2, 3]) + clique([10, 11, 12, 13])
+                   + [(3, 10, "p")])
+    got = {r["node_id"]: r["community"] for r in label_propagation(df).collect()}
+    assert {got[i] for i in (0, 1, 2, 3)} == {0}
+    assert {got[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_matches_numpy_recurrence(spark):
+    """Bit-exact parity with an independent dense implementation of the same
+    deterministic update (self-vote, max count, min-label tie-break, early
+    exit) on a seeded random graph."""
+    import random
+    from collections import Counter
+
+    from lingvo_spark_kg.operators.graph import label_propagation
+
+    rng = random.Random(23)
+    rows = {(rng.randrange(30), rng.randrange(30), "p") for _ in range(70)}
+    rows = {(s, d, p) for s, d, p in rows if s != d}
+    df = _edges_df(spark, sorted(rows))
+    got = {r["node_id"]: r["community"]
+           for r in label_propagation(df, max_iter=10).collect()}
+
+    adj = {}
+    for s, d, _ in rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {v: v for v in adj}
+    for _ in range(10):
+        nxt = {}
+        for v in adj:
+            votes = Counter(labels[n] for n in adj[v])
+            votes[labels[v]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[v] = best
+        if nxt == labels:
+            break
+        labels = nxt
+    assert got == labels and len(got) == len(adj)
+
+
+def test_bfs_distances_matches_duckdb_recursive_cte(spark):
+    """Undirected multi-source hop distances vs DuckDB's recursive CTE on a
+    seeded random graph; unreachable nodes absent from the output."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import bfs_distances
+
+    rng = random.Random(11)
+    rows = {(rng.randrange(25), rng.randrange(25), "p") for _ in range(40)}
+    rows = {(s, d, p) for s, d, p in rows if s != d}
+    rows |= {(100, 101, "p")}            # island unreachable from sources
+    df = _edges_df(spark, sorted(rows))
+    got = {(r["node_id"], r["distance"])
+           for r in bfs_distances(df, sources=[0, 7]).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d)"
+                % ",".join(f"({s},{d})" for s, d, _ in sorted(rows)))
+    ref = {tuple(r) for r in con.execute("""
+        WITH RECURSIVE adj AS (SELECT s AS node, d AS nbr FROM e WHERE s <> d
+                               UNION SELECT d, s FROM e WHERE s <> d),
+        walk(node, dist) AS (
+            SELECT * FROM (VALUES (0, 0), (7, 0)) t(node, dist)
+            UNION
+            SELECT adj.nbr, walk.dist + 1 FROM walk JOIN adj USING (node)
+            WHERE walk.dist < 25)
+        SELECT node, MIN(dist) FROM walk GROUP BY node
+    """).fetchall()}
+    assert got == ref and (100, 0) not in got
+    assert not any(n in (100, 101) for n, _ in got)
+
+
+def test_bfs_distances_directed_and_max_hops(spark):
+    from lingvo_spark_kg.operators.graph import bfs_distances
+
+    df = _edges_df(spark, [(1, 2, "p"), (2, 3, "p"), (3, 4, "p")])
+    directed = {(r["node_id"], r["distance"])
+                for r in bfs_distances(df, [3], directed=True).collect()}
+    assert directed == {(3, 0), (4, 1)}
+    capped = {(r["node_id"], r["distance"])
+              for r in bfs_distances(df, [1], max_hops=2).collect()}
+    assert capped == {(1, 0), (2, 1), (3, 2)}
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_distances(df, [])
