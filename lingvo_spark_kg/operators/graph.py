@@ -891,8 +891,9 @@ def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
                .unionAll(und.select(F.col("v").alias("node"),
                                     F.col("u").alias("nbr"))))
     adj = adj.localCheckpoint(eager=False)
-    frontier = (spark.createDataFrame([(int(s),) for s in set(sources)],
-                                      "node long")
+    src_type = dict(edges.dtypes)["src_id"]   # ids are opaque — match the type
+    frontier = (spark.createDataFrame([(s,) for s in set(sources)],
+                                      f"node {src_type}")
                 .withColumn("distance", F.lit(0)))
     settled = frontier.localCheckpoint()
     for h in range(1, max_hops + 1):
@@ -905,3 +906,24 @@ def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
             break
         settled = settled.unionAll(frontier).localCheckpoint()
     return settled.select(F.col("node").alias("node_id"), "distance")
+
+
+def predicate_stats(edges: DataFrame) -> DataFrame:
+    """Per-predicate schema summary of the edges table → (pred, n_edges,
+    n_src_nodes, n_dst_nodes, sum_occurrences, max_occurrences): the "what
+    relations does this KG actually contain, and how do they behave" read that
+    precedes any query planning or ontology mapping. Functionality is exposed
+    as exact integers — a predicate is near-functional when n_edges ≈
+    n_src_nodes (each subject has ~one object) and near-inverse-functional
+    when n_edges ≈ n_dst_nodes — so thresholding never touches float division.
+
+    One pass: a single groupBy(pred) with count-distinct on each endpoint.
+    Distinct-counting two columns in one aggregate expands internally; the
+    predicate vocabulary is tiny (verb lemmas), so the expansion shuffles on
+    (pred, endpoint) keys and stays corpus-linear with map-side partials."""
+    return (edges.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("src_id").alias("n_src_nodes"),
+        F.countDistinct("dst_id").alias("n_dst_nodes"),
+        F.sum("n_occurrences").cast("long").alias("sum_occurrences"),
+        F.max("n_occurrences").cast("long").alias("max_occurrences")))

@@ -78,7 +78,8 @@ def to_ntriples(edges: DataFrame, nodes: DataFrame | None = None,
     Output is a plain DataFrame; write with ``df.write.text(path)`` (splits
     line-parallel on read, the format's design point)."""
     node_iri = lambda c: F.concat(F.lit(f"<{base}node/"),
-                                  F.col(c).cast("string"), F.lit(">"))
+                                  _iri_encode(F.col(c).cast("string")),
+                                  F.lit(">"))
     edge_lines = edges.select(F.concat(
         node_iri("src_id"), F.lit(" "),
         F.lit(f"<{base}pred/"), _iri_encode(F.col("pred")), F.lit("> "),
@@ -127,19 +128,18 @@ def parse_ntriples(lines: DataFrame, column: str = "value") -> DataFrame:
 def from_ntriples(lines: DataFrame, base: str = DEFAULT_BASE,
                   column: str = "value") -> DataFrame:
     """Inverse of ``to_ntriples`` for the edge triples: lines under ``base`` →
-    (src_id long, pred string, dst_id long). Label/type/foreign triples are
+    (src_id string, pred string, dst_id string) — ids come back as the strings
+    they were serialized from (the pipeline's canonical ids ARE strings, e.g.
+    ``e:E000123``; a numeric caller casts). Label/type/foreign triples are
     ignored (only ``<base>node/ → <base>pred/ → <base>node/`` rows are edge
-    rows). The decoded pred round-trips exactly through the %-encoding."""
+    rows). Ids and preds round-trip exactly through the %-encoding."""
     t = parse_ntriples(lines, column)
     node_p, pred_p = f"{base}node/", f"{base}pred/"
+    tail = lambda c, p: _iri_decode(F.substring(F.col(c), len(p) + 1, 1 << 20))
     return (t.where((~F.col("is_literal"))
                     & F.col("subj").startswith(node_p)
                     & F.col("pred").startswith(pred_p)
                     & F.col("obj").startswith(node_p))
-            .select(
-                F.substring(F.col("subj"), len(node_p) + 1, 1 << 20)
-                .cast("long").alias("src_id"),
-                _iri_decode(F.substring(F.col("pred"), len(pred_p) + 1,
-                                        1 << 20)).alias("pred"),
-                F.substring(F.col("obj"), len(node_p) + 1, 1 << 20)
-                .cast("long").alias("dst_id")))
+            .select(tail("subj", node_p).alias("src_id"),
+                    tail("pred", pred_p).alias("pred"),
+                    tail("obj", node_p).alias("dst_id")))

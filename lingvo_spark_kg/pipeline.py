@@ -537,6 +537,12 @@ class KgPipeline:
         - ``an_components`` (node_id, component)      — graph.components
         - ``an_nfunc``     (hop, est_pairs)           — neighborhood_function
           (HyperANF HLL balls; the effective-diameter read)
+        - ``an_communities`` (node_id, community)     — label_propagation
+        - ``an_radius``    (node_id, distance)        — bfs_distances from the
+          top-PageRank node (highest rank, min node_id on ties — chained off
+          the WRITTEN an_pagerank table, so the seed is resume-stable): the
+          "how far is everything from the graph's center" read
+        - ``an_preds``     (pred, n_edges, n_src_nodes, ...) — predicate_stats
 
         Reads the LOGICAL edges table (latest committed generation), so analytics
         run after ``ingest_delta`` see the maintained graph; re-running after a
@@ -545,11 +551,12 @@ class KgPipeline:
         contract of any derived table). Walk/embedding stages chain off the
         WRITTEN tables, so a resumed call never retrains on different walks."""
         from .operators import node2vec
-        from .operators.graph import (components, coreness,
-                                      neighbor_similarity,
+        from .operators.graph import (bfs_distances, components, coreness,
+                                      label_propagation, neighbor_similarity,
                                       neighborhood_function, pagerank,
-                                      predicate_paths, random_walks,
-                                      skip_gram_pairs, triangle_counts)
+                                      predicate_paths, predicate_stats,
+                                      random_walks, skip_gram_pairs,
+                                      triangle_counts)
 
         edges = self.table("edges")
         pr = self._run_stage(
@@ -577,15 +584,42 @@ class KgPipeline:
             "an_components", lambda: components(edges), resume)
         nfunc = self._run_stage(
             "an_nfunc", lambda: neighborhood_function(edges), resume)
+        comm = self._run_stage(
+            "an_communities", lambda: label_propagation(edges), resume)
+
+        def build_radius():
+            hub = (pr.orderBy(F.desc("rank"), F.asc("node_id"))
+                   .limit(1).collect())
+            return bfs_distances(edges, [hub[0]["node_id"]])
+
+        radius = self._run_stage("an_radius", build_radius, resume)
+        preds = self._run_stage(
+            "an_preds", lambda: predicate_stats(edges), resume)
 
         from functools import reduce
 
         frames = {"an_pagerank": pr, "an_coreness": core, "an_triangles": tri,
                   "an_paths": paths, "an_walks": walks, "an_pairs": pairs,
                   "an_embeddings": emb, "an_linkpred": linkpred,
-                  "an_components": comp, "an_nfunc": nfunc}
+                  "an_components": comp, "an_nfunc": nfunc,
+                  "an_communities": comm, "an_radius": radius,
+                  "an_preds": preds}
         counts_df = reduce(
             DataFrame.unionByName,
             [df.agg(F.count(F.lit(1)).alias("n")).select(
                 F.lit(name).alias("stage"), "n") for name, df in frames.items()])
         return {r["stage"]: r["n"] for r in counts_df.collect()}
+
+    def export_ntriples(self, path: str, base: str | None = None) -> None:
+        """Dump the committed KG (logical nodes + edges tables — the latest
+        generation after any delta ingests) as a W3C N-Triples text directory:
+        the interchange artifact a triple store / SPARQL endpoint loads. Pure
+        column expressions end-to-end and a line-per-triple format, so both
+        the write here and any later read split line-parallel with zero
+        shuffle (operators/rdf.py). Read back with ``spark.read.text(path)`` →
+        ``rdf.from_ntriples``."""
+        from .operators.rdf import DEFAULT_BASE, to_ntriples
+
+        lines = to_ntriples(self.table("edges"), self.table("nodes"),
+                            base=base or DEFAULT_BASE)
+        lines.write.mode("overwrite").text(path)

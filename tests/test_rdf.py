@@ -14,16 +14,21 @@ HOSTILE_LABELS = [
 ]
 
 
+def _node_id(i):
+    # production canonical ids are strings (e:E000123); include a hostile one
+    return "id with spa ce" if i == 5 else f"e:E{i:06d}"
+
+
 def _tables(spark):
     edges = spark.createDataFrame(
-        [(i, HOSTILE_PREDS[i % len(HOSTILE_PREDS)], (i * 7) % 12, i + 1)
-         for i in range(24)],
-        "src_id long, pred string, dst_id long, n_occurrences long")
+        [(_node_id(i), HOSTILE_PREDS[i % len(HOSTILE_PREDS)],
+          _node_id((i * 7) % 12), i + 1) for i in range(24)],
+        "src_id string, pred string, dst_id string, n_occurrences long")
     nodes = spark.createDataFrame(
-        [(i, HOSTILE_LABELS[i % len(HOSTILE_LABELS)],
+        [(_node_id(i), HOSTILE_LABELS[i % len(HOSTILE_LABELS)],
           "PER" if i % 2 else "t y/pe")
          for i in range(12)],
-        "canonical_id long, label string, node_type string")
+        "canonical_id string, label string, node_type string")
     return edges, nodes
 
 
@@ -135,3 +140,25 @@ def test_lit_escape_property_roundtrip(spark):
         assert r["rt"] == r["t"]
         assert "\n" not in r["esc"] and "\r" not in r["esc"]
         assert "\x00" not in r["esc"]
+
+
+def test_pipeline_export_ntriples_roundtrip(spark, tmp_path):
+    """KgPipeline.export_ntriples dumps the committed graph; reading the dump
+    back recovers the exact edge id/pred set and one label line per node."""
+    from lingvo_spark_kg.operators.rdf import RDFS_LABEL, from_ntriples, parse_ntriples
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path / "wd")
+    p = KgPipeline(spark, wd, n_docs=40, seed=3)
+    p.run(resume=True)
+    out = str(tmp_path / "dump.nt")
+    p.export_ntriples(out)
+
+    lines = spark.read.text(out)
+    back = {tuple(r) for r in from_ntriples(lines).collect()}
+    want = {tuple(r) for r in
+            p.table("edges").select("src_id", "pred", "dst_id").collect()}
+    assert back == want and len(back) > 0
+    n_labels = parse_ntriples(lines).where(
+        F.col("pred") == RDFS_LABEL).count()
+    assert n_labels == p.table("nodes").count()
