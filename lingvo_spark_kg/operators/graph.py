@@ -927,3 +927,32 @@ def predicate_stats(edges: DataFrame) -> DataFrame:
         F.countDistinct("dst_id").alias("n_dst_nodes"),
         F.sum("n_occurrences").cast("long").alias("sum_occurrences"),
         F.max("n_occurrences").cast("long").alias("max_occurrences")))
+
+
+def edge_diff(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """Generation-to-generation KG diff → (src_id, pred, dst_id, status,
+    n_occurrences_old, n_occurrences_new): status ``added`` / ``removed`` /
+    ``changed`` (occurrence count moved) / ``unchanged``. The audit read after
+    every ``ingest_delta``: "what did this batch actually do to the graph" —
+    on a maintained KG the diff is the deliverable a reviewer signs off on,
+    and at 10^12 documents it is also the only affordable one (the full graph
+    is too large to eyeball; the diff is delta-sized).
+
+    One full-outer equi-join on the triple key, nothing else — the key is the
+    natural hash-partition key on both sides, so at scale this is one shuffle
+    of each generation (or zero if both generations were written bucketed by
+    the same key, the Iceberg layout build_edges_table prescribes). Filter
+    ``status != 'unchanged'`` BEFORE collecting/writing: Catalyst pushes that
+    predicate into the post-join project, so the materialized result is
+    delta-sized even though the join touches both generations."""
+    key = ["src_id", "pred", "dst_id"]
+    o = edges_old.select(*key, F.col("n_occurrences").alias("n_occurrences_old"))
+    n = edges_new.select(*key, F.col("n_occurrences").alias("n_occurrences_new"))
+    joined = o.join(n, key, "full_outer")
+    status = (F.when(F.col("n_occurrences_old").isNull(), F.lit("added"))
+              .when(F.col("n_occurrences_new").isNull(), F.lit("removed"))
+              .when(F.col("n_occurrences_old") != F.col("n_occurrences_new"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return joined.select(*key, status.alias("status"),
+                         "n_occurrences_old", "n_occurrences_new")

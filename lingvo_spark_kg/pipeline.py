@@ -254,13 +254,29 @@ class KgPipeline:
         if os.path.exists(self._ingest_log_path()):
             os.remove(self._ingest_log_path())
 
-    def table(self, stage: str) -> DataFrame:
+    def table(self, stage: str, generation: int | None = None) -> DataFrame:
         """The LOGICAL stage table across all committed ingests: graph-layer stages
         resolve to the latest committed generation; corpus-volume stages union the
         base table with every committed batch table. ``linked_triples``/``sentences``
-        /``tagged`` batch tables exist only for configs whose run() writes them."""
+        /``tagged`` batch tables exist only for configs whose run() writes them.
+
+        ``generation=g`` time-travels a GRAPH stage to committed generation ``g``
+        (0 = the base run() output, k = the state after the k-th delta ingest) —
+        the Iceberg ``VERSION AS OF`` analog; raises if ``g`` was expired or never
+        committed (``generations()`` lists what is readable)."""
         w = self._writer()
         log = self._ingest_log()
+        if generation is not None:
+            if stage not in self._GRAPH_STAGES:
+                raise ValueError(
+                    f"generation reads apply to graph stages {self._GRAPH_STAGES},"
+                    f" not {stage!r} (corpus stages are append-only; slice by batch)")
+            if generation not in self.generations():
+                raise ValueError(
+                    f"generation {generation} is not readable (committed: "
+                    f"{self.generations()}) — expired or never committed")
+            name = stage if generation == 0 else f"{stage}__g{generation}"
+            return w.read(self.spark, name)
         if stage in self._GRAPH_STAGES and log["graph_gen"]:
             return w.read(self.spark, f"{stage}__g{log['graph_gen']}")
         df = w.read(self.spark, stage)
@@ -269,6 +285,49 @@ class KgPipeline:
             if w.done(self.spark, t):
                 df = df.unionByName(w.read(self.spark, t))
         return df
+
+    def generations(self) -> list[int]:
+        """Readable graph generations, oldest first: 0 (the base run) plus every
+        committed delta generation not yet reclaimed by expire_generations()."""
+        w = self._writer()
+        log = self._ingest_log()
+        out = [0] if w.done(self.spark, "edges") else []
+        out += [g for g in range(1, log["graph_gen"] + 1)
+                if w.done(self.spark, f"edges__g{g}")]
+        return out
+
+    def expire_generations(self, keep: int = 1) -> list[int]:
+        """The retention job (Iceberg ``expire_snapshots``): delete all superseded
+        delta generations except the newest ``keep``, returning what was expired.
+        The CURRENT generation is never expired, and neither is generation 0 —
+        its unsuffixed tables double as run()'s resume state (they are
+        marker-guarded by the config fingerprint, not by the ingest log)."""
+        import shutil
+
+        w = self._writer()
+        deltas = [g for g in self.generations() if g > 0]
+        expired = deltas[:-max(1, keep)]      # newest keep (≥ the current) stay
+        for g in expired:
+            for stage in self._GRAPH_STAGES:
+                w.invalidate(self.spark, f"{stage}__g{g}")
+                p = os.path.join(self.workdir, f"{stage}__g{g}")
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+        return expired
+
+    def diff_generations(self, gen_old: int, gen_new: int | None = None,
+                         changes_only: bool = True) -> DataFrame:
+        """The post-ingest audit read: what did the graph gain / lose / change
+        between two committed generations (default: vs the current one) —
+        operators/graph.edge_diff over the two time-travel edge reads, filtered
+        to real changes unless ``changes_only=False``."""
+        from .operators.graph import edge_diff
+
+        if gen_new is None:
+            gen_new = self._ingest_log()["graph_gen"]
+        out = edge_diff(self.table("edges", generation=gen_old),
+                        self.table("edges", generation=gen_new))
+        return out.where(F.col("status") != "unchanged") if changes_only else out
 
     def _batch_stage(self, name: str, build) -> DataFrame:
         w = self._writer()
@@ -293,8 +352,10 @@ class KgPipeline:
         overwrites the orphaned tables; a re-ingest of an already-committed batch
         id raises. Batch identity — "is this the same delta I already applied?" —
         is the caller's offset-tracking responsibility, as with any append log.
-        Superseded generations are only marker-invalidated; storage reclamation is
-        the deployment's retention job (Iceberg: ``expire_snapshots``).
+        Superseded generations STAY READABLE (``table(stage, generation=g)`` —
+        the Iceberg time-travel analog); storage reclamation is the explicit
+        retention call :meth:`expire_generations` (Iceberg:
+        ``expire_snapshots``), never a side effect of the commit.
 
         Equality contract: after N ingests, every ``table(stage)`` read is
         bit-identical to a fresh ``run()`` over the concatenated corpus — for
@@ -380,10 +441,9 @@ class KgPipeline:
         with open(tmp, "w") as f:
             json.dump(new_log, f)
         os.replace(tmp, self._ingest_log_path())
-        # superseded generation: invalidate markers (files are retention-policy GC)
-        if log["graph_gen"]:
-            for stage in self._GRAPH_STAGES:
-                w.invalidate(spark, f"{stage}__g{log['graph_gen']}")
+        # the superseded generation's markers stay: it remains readable via
+        # table(stage, generation=g) until expire_generations() reclaims it —
+        # the Iceberg snapshot model (commit moves the pointer, expire deletes)
 
         from functools import reduce
 

@@ -197,3 +197,46 @@ def test_bfs_distances_directed_and_max_hops(spark):
     assert capped == {(1, 0), (2, 1), (3, 2)}
     with pytest.raises(ValueError, match="non-empty"):
         bfs_distances(df, [])
+
+
+def test_edge_diff_statuses(spark):
+    from lingvo_spark_kg.operators.graph import edge_diff
+
+    old = spark.createDataFrame(
+        [(1, "p", 2, 3), (1, "p", 3, 1), (2, "q", 3, 5)],
+        "src_id long, pred string, dst_id long, n_occurrences long")
+    new = spark.createDataFrame(
+        [(1, "p", 2, 3), (1, "p", 3, 4), (9, "r", 1, 2)],
+        "src_id long, pred string, dst_id long, n_occurrences long")
+    got = {tuple(r) for r in edge_diff(old, new).collect()}
+    assert got == {
+        (1, "p", 2, "unchanged", 3, 3),
+        (1, "p", 3, "changed", 1, 4),
+        (2, "q", 3, "removed", 5, None),
+        (9, "r", 1, "added", None, 2),
+    }
+
+
+def test_predicate_stats_matches_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import predicate_stats
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(12), rng.choice("abc"), rng.randrange(12),
+             rng.randrange(1, 9)) for _ in range(60)]
+    df = spark.createDataFrame(
+        rows, "src_id long, pred string, dst_id long, n_occurrences long")
+    got = {tuple(r) for r in predicate_stats(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(s BIGINT, p VARCHAR, d BIGINT, occ BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?,?,?,?)", rows)
+    ref = {tuple(r) for r in con.execute("""
+        SELECT p, COUNT(*)::BIGINT, COUNT(DISTINCT s)::BIGINT,
+               COUNT(DISTINCT d)::BIGINT, CAST(SUM(occ) AS BIGINT),
+               MAX(occ)::BIGINT
+        FROM e GROUP BY p
+    """).fetchall()}
+    assert got == ref and len(got) == 3

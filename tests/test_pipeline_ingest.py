@@ -160,3 +160,59 @@ def test_rebuild_from_scratch_clears_ingest_state(spark, tmp_path_factory):
     assert p2._ingest_log() == {"batches": [], "graph_gen": 0}
     ref = _full_pipeline(spark, str(tmp_path_factory.mktemp("kg_rebuild_ref")), 100)
     assert _rows(p2.table("edges"), EDGE_COLS) == _rows(ref.table("edges"), EDGE_COLS)
+
+
+def test_time_travel_generations_and_diff(spark, tmp_path_factory):
+    """Superseded generations stay readable: table(generation=g) time-travels,
+    generation 0 edges == the pre-ingest base edges, diff_generations reports
+    exactly the edge rows the delta added/changed (DuckDB full-outer parity),
+    and expire_generations reclaims old deltas but never the current one."""
+    import duckdb
+
+    wd = str(tmp_path_factory.mktemp("kg_tt"))
+    p = _full_pipeline(spark, wd, 120)
+    base_edges = _rows(p.table("edges"), EDGE_COLS)
+    p.ingest_delta(generate_docs(spark, 40, start=120))
+    p.ingest_delta(generate_docs(spark, 40, start=160))
+    assert p.generations() == [0, 1, 2]
+
+    # gen-0 read is bit-identical to the pre-ingest state; latest == default
+    assert _rows(p.table("edges", generation=0), EDGE_COLS) == base_edges
+    assert (_rows(p.table("edges", generation=2), EDGE_COLS)
+            == _rows(p.table("edges"), EDGE_COLS))
+
+    # diff vs DuckDB full-outer join on the triple key
+    got = sorted(tuple(r) for r in p.diff_generations(0).collect())
+    con = duckdb.connect()
+    old = [(r[0], r[1], r[2], r[3]) for r in base_edges]
+    new = [(r[0], r[1], r[2], r[3])
+           for r in _rows(p.table("edges"), EDGE_COLS)]
+    for name, rows in (("o", old), ("n", new)):
+        con.execute(f"CREATE TABLE {name}(s VARCHAR, p VARCHAR, d VARCHAR, "
+                    "occ BIGINT)")
+        con.executemany(f"INSERT INTO {name} VALUES (?,?,?,?)", rows)
+    ref = sorted(tuple(r) for r in con.execute("""
+        SELECT COALESCE(o.s, n.s), COALESCE(o.p, n.p), COALESCE(o.d, n.d),
+               CASE WHEN o.s IS NULL THEN 'added'
+                    WHEN n.s IS NULL THEN 'removed'
+                    WHEN o.occ <> n.occ THEN 'changed'
+                    ELSE 'unchanged' END,
+               o.occ, n.occ
+        FROM o FULL OUTER JOIN n ON o.s = n.s AND o.p = n.p AND o.d = n.d
+    """).fetchall() if r[3] != "unchanged")
+    assert got == ref and len(got) > 0
+
+    # errors: non-graph stage, expired/unknown generation
+    with pytest.raises(ValueError, match="graph stages"):
+        p.table("docs", generation=1)
+    with pytest.raises(ValueError, match="not readable"):
+        p.table("edges", generation=9)
+
+    # retention: expire deltas except the newest; gen 0 and current survive
+    assert p.expire_generations(keep=1) == [1]
+    assert p.generations() == [0, 2]
+    assert not os.path.isdir(os.path.join(wd, "edges__g1"))
+    with pytest.raises(ValueError, match="not readable"):
+        p.table("edges", generation=1)
+    assert (_rows(p.table("edges"), EDGE_COLS)
+            == _rows(p.table("edges", generation=2), EDGE_COLS))
