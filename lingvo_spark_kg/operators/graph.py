@@ -859,7 +859,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
 
 
 def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
-                  directed: bool = False) -> DataFrame:
+                  directed: bool = False, parents: bool = False) -> DataFrame:
     """Multi-source BFS over the edges table → (node_id, distance): the exact
     hop distance from the nearest source, for every node reachable within
     ``max_hops``. The point query behind "how far is every entity from this
@@ -875,7 +875,13 @@ def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
     dedup, all on node keys; the settled frame is localCheckpoint-ed per hop.
     Early exit on an empty frontier (diameter reached). ``directed=True``
     follows src→dst arcs only; default is the undirected view every other
-    analytics operator here uses."""
+    analytics operator here uses.
+
+    ``parents=True`` adds a ``parent`` column — the predecessor on ONE
+    shortest path (the min-id frontier neighbor, so the whole shortest-path
+    tree is deterministic and engine-portable; sources get NULL). Following
+    ``parent`` pointers upward reconstructs an actual path, the evidence a
+    "how are these two entities related" query has to show."""
     if not sources:
         raise ValueError("bfs_distances needs a non-empty source set")
     spark = edges.sparkSession
@@ -895,17 +901,28 @@ def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
     frontier = (spark.createDataFrame([(s,) for s in set(sources)],
                                       f"node {src_type}")
                 .withColumn("distance", F.lit(0)))
+    if parents:
+        frontier = frontier.withColumn("parent",
+                                       F.lit(None).cast(src_type))
     settled = frontier.localCheckpoint()
     for h in range(1, max_hops + 1):
-        nxt = (adj.join(frontier.select("node"), "node")
-               .select(F.col("nbr").alias("node")).distinct()
-               .join(settled.select("node"), "node", "left_anti")
+        reached = adj.join(frontier.select("node"), "node")
+        if parents:
+            nxt = (reached.groupBy(F.col("nbr").alias("child"))
+                   .agg(F.min("node").alias("parent"))
+                   .withColumnRenamed("child", "node"))
+        else:
+            nxt = reached.select(F.col("nbr").alias("node")).distinct()
+        nxt = (nxt.join(settled.select("node"), "node", "left_anti")
                .withColumn("distance", F.lit(h)))
+        if parents:
+            nxt = nxt.select("node", "distance", "parent")
         frontier = nxt.localCheckpoint()
         if frontier.limit(1).count() == 0:
             break
         settled = settled.unionAll(frontier).localCheckpoint()
-    return settled.select(F.col("node").alias("node_id"), "distance")
+    cols = ["distance", "parent"] if parents else ["distance"]
+    return settled.select(F.col("node").alias("node_id"), *cols)
 
 
 def predicate_stats(edges: DataFrame) -> DataFrame:
@@ -956,3 +973,27 @@ def edge_diff(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
               .otherwise(F.lit("unchanged")))
     return joined.select(*key, status.alias("status"),
                          "n_occurrences_old", "n_occurrences_new")
+
+
+def ego_subgraph(edges: DataFrame, sources: list, k: int = 2,
+                 directed: bool = False) -> DataFrame:
+    """The induced subgraph on the k-hop ball around ``sources`` — every edge
+    row (all columns kept) whose BOTH endpoints sit within ``k`` hops of the
+    seed set. The extraction read behind "show me the neighborhood of this
+    entity": debugging an extraction, exporting a review sample, or feeding a
+    subgraph to an in-memory tool that could never hold the full KG.
+
+    Composition, not a new engine: :func:`bfs_distances` computes the
+    ball (frontier-bounded, see its cost note), then two left-semi joins
+    restrict the edges table to it. The semi-joins are ball-keyed — at scale
+    the output is neighborhood-sized while the scan prunes on the bucketed
+    src_id layout; never corpus-volume state."""
+    ball = (bfs_distances(edges, sources, max_hops=k, directed=directed)
+            .select(F.col("node_id").alias("node"))
+            .localCheckpoint(eager=False))
+    return (edges
+            .join(ball.withColumnRenamed("node", "src_id"), "src_id",
+                  "left_semi")
+            .join(ball.withColumnRenamed("node", "dst_id"), "dst_id",
+                  "left_semi")
+            .select(*edges.columns))

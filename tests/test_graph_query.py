@@ -240,3 +240,60 @@ def test_predicate_stats_matches_duckdb(spark):
         FROM e GROUP BY p
     """).fetchall()}
     assert got == ref and len(got) == 3
+
+
+def test_bfs_parents_shortest_path_tree(spark):
+    """parents=True emits a deterministic shortest-path tree: every parent is
+    a min-id neighbor one hop closer, sources have NULL parents, and following
+    parents from any node reaches a source in exactly `distance` steps."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import bfs_distances
+
+    rng = random.Random(17)
+    rows = {(rng.randrange(20), rng.randrange(20), "p") for _ in range(35)}
+    rows = {(s, d, p) for s, d, p in rows if s != d}
+    df = _edges_df(spark, sorted(rows))
+    out = {r["node_id"]: (r["distance"], r["parent"])
+           for r in bfs_distances(df, [0], parents=True).collect()}
+    plain = {(r["node_id"], r["distance"])
+             for r in bfs_distances(df, [0]).collect()}
+    assert {(n, d) for n, (d, _) in out.items()} == plain
+    assert out[0] == (0, None)
+
+    adj = {}
+    for s, d, _ in rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for n, (d, par) in out.items():
+        if d == 0:
+            assert par is None
+            continue
+        # parent is THE min-id neighbor at distance d-1
+        closer = [m for m in adj[n] if m in out and out[m][0] == d - 1]
+        assert par == min(closer)
+        # walking up reaches the source in d steps
+        cur, steps = n, 0
+        while out[cur][1] is not None:
+            cur = out[cur][1]
+            steps += 1
+        assert cur == 0 and steps == d
+
+
+def test_ego_subgraph_induced_edges(spark):
+    """k-hop ego subgraph == edges whose endpoints BOTH lie in the BFS ball
+    (checked against the ball from bfs_distances), all columns preserved."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import bfs_distances, ego_subgraph
+
+    rng = random.Random(29)
+    rows = sorted({(rng.randrange(30), rng.randrange(30), "p")
+                   for _ in range(45)})
+    df = _edges_df(spark, rows)
+    sub = ego_subgraph(df, [3], k=2)
+    assert sub.columns == df.columns
+    ball = {r["node_id"] for r in bfs_distances(df, [3], max_hops=2).collect()}
+    got = {(r["src_id"], r["dst_id"]) for r in sub.collect()}
+    want = {(s, d) for s, d, _ in rows if s in ball and d in ball}
+    assert got == want and 0 < len(got) < len(rows)
