@@ -10,7 +10,9 @@ full passes (raw runs included under "raw_runs") — single runs on this host sw
 One-shot sections next to the medians (each its own JSON key, excluded from
 ``value`` so the headline total stays comparable round-over-round): ``skew`` (plain
 vs salted join wall clock on a 60%-hub-key fixture), ``ann`` (recall@10 per ANN
-variant vs brute force + hof-vs-arrow bucket kernel at 100k vectors), ``pipelines``
+variant vs brute force + hof-vs-arrow bucket kernel at 100k vectors),
+``graph_query`` (BGP / label-propagation / BFS / N-Triples on the 2M-edge
+Zipf-hub graph), ``pipelines``
 (full 9-stage checkpointed runs at 10× the bench corpus — lexicon, DNN-numpy and
 DNN-ONNX regimens with per-stage timings; the DNN pair is the TRAINED demo artifact,
 model/demo.py). ``SPARK_GRAFT_BENCH_PIPELINE_DOCS=0`` skips the pipeline runs.
@@ -483,6 +485,48 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> d
     return out
 
 
+def run_graph_query_bench(spark) -> dict:
+    """Graph-QUERY section: the round-6 query layer timed on the Zipf-hub shape
+    the pagerank section uses (2M edges / 200k nodes, hub drawing 20% of
+    in-edges, 3 predicates). Four reads: a 2-hop BGP with constant predicates
+    (match_pattern — one mid-keyed self-join), 3 label-propagation iterations
+    (edge-volume voting joins), a 4-hop multi-source BFS from the hub
+    (frontier-bounded), and the N-Triples export expression (zero-shuffle
+    codegen map; lines/sec is the interchange-throughput read)."""
+    from pyspark.sql import functions as F
+
+    from lingvo_spark_kg.operators.graph import (bfs_distances,
+                                                 label_propagation,
+                                                 match_pattern)
+    from lingvo_spark_kg.operators.rdf import to_ntriples
+
+    n_edges, n_nodes = 2_000_000, 200_000
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src_id"),
+        F.when(F.pmod("id", 5) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)))
+        .alias("dst_id"),
+        F.concat(F.lit("p"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)))
+        .alias("pred"),
+        (F.pmod("id", 4) + 1).alias("n_occurrences")).persist()
+    edges.count()
+    try:
+        bgp_sec, n_sol = _time(lambda: match_pattern(
+            edges, [("?a", "p0", "?b"), ("?b", "p1", "?c")]).count())
+        lpa_sec, _ = _time(lambda: label_propagation(edges, max_iter=3).count())
+        bfs_sec, n_reached = _time(
+            lambda: bfs_distances(edges, [0], max_hops=4).count())
+        nt_sec, n_lines = _time(lambda: to_ntriples(edges).count())
+    finally:
+        edges.unpersist()
+    return {"n_edges": n_edges, "n_nodes": n_nodes,
+            "bgp_2hop_sec": bgp_sec, "bgp_solutions": n_sol,
+            "lpa_3iter_sec": lpa_sec,
+            "bfs_4hop_sec": bfs_sec, "bfs_reached": n_reached,
+            "ntriples_sec": nt_sec,
+            "ntriples_lines_per_sec": round(n_lines / nt_sec, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -534,6 +578,7 @@ def main() -> None:
     ann = run_ann_quality(spark, sf_dir)
     pr_bench = run_pagerank_bench(spark)
     tri_bench = run_triangles_bench(spark)
+    gq_bench = run_graph_query_bench(spark)
     # incremental maintenance: 2x the bench corpus as base, 10% of it as the delta
     incr = run_incremental_bench(spark, n_base=n_docs * 2, n_delta=n_docs // 5)
     pipelines: dict[str, dict] = {}
@@ -570,6 +615,7 @@ def main() -> None:
         "ann": ann,
         "pagerank": pr_bench,
         "triangles": tri_bench,
+        "graph_query": gq_bench,
         "incremental": incr,
         "pipelines": pipelines,
         "sf": sf,
@@ -592,6 +638,7 @@ def main() -> None:
         "ann": ann,
         "pagerank": pr_bench,
         "triangles": tri_bench,
+        "graph_query": gq_bench,
         "incremental": incr,
         "pipelines": {name: p.get("total_sec") for name, p in pipelines.items()},
     }))
