@@ -297,3 +297,48 @@ def test_ego_subgraph_induced_edges(spark):
     got = {(r["src_id"], r["dst_id"]) for r in sub.collect()}
     want = {(s, d) for s, d, _ in rows if s in ball and d in ball}
     assert got == want and 0 < len(got) < len(rows)
+
+
+def test_transitive_closure_matches_duckdb(spark):
+    """Closure pairs + exact min hop distance vs a recursive CTE, on a seeded
+    random digraph with a cycle and a pred filter."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import transitive_closure
+
+    rng = random.Random(37)
+    rows = sorted({(rng.randrange(18), rng.randrange(18),
+                    rng.choice(["in", "other"])) for _ in range(30)}
+                  | {(1, 2, "in"), (2, 3, "in"), (3, 1, "in")})  # a cycle
+    df = _edges_df(spark, rows)
+    got = {tuple(r) for r in transitive_closure(df, pred="in").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"({s},{d},'{p}')" for s, d, p in rows))
+    ref = {tuple(r) for r in con.execute("""
+        WITH RECURSIVE walk(s, d, dist) AS (
+            SELECT s, d, 1 FROM e WHERE p = 'in' AND s <> d
+            UNION
+            SELECT walk.s, e.d, walk.dist + 1 FROM walk
+            JOIN e ON e.s = walk.d AND e.p = 'in'
+            WHERE walk.dist < 20)
+        SELECT s, d, CAST(MIN(dist) AS BIGINT) FROM walk GROUP BY s, d
+    """).fetchall()}
+    assert got == ref and len(got) > len([r for r in rows if r[2] == "in"])
+    # the planted cycle closes onto itself at the cycle length
+    assert (1, 1, 3) in got
+
+
+def test_transitive_closure_chain_log_rounds(spark):
+    """A 9-node chain closes with exact distances (doubling reaches depth 8 in
+    3 rounds; distances are min-hop, not doubled artifacts)."""
+    from lingvo_spark_kg.operators.graph import transitive_closure
+
+    df = _edges_df(spark, [(i, i + 1, "p") for i in range(8)])
+    got = {(r["src_id"], r["dst_id"]): r["distance"]
+           for r in transitive_closure(df).collect()}
+    assert len(got) == 8 * 9 // 2
+    assert all(got[(a, b)] == b - a for a, b in got)
