@@ -742,7 +742,14 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> D
     there, but ``distinct=True`` forces set semantics for raw triple lists.
     Variables bound in a subject/object slot are node ids (long); a variable in
     the pred slot binds the string predicate — one variable must not mix slots
-    of different types across patterns."""
+    of different types across patterns.
+
+    A constant predicate ending in ``+`` is the SPARQL property path ``p+``:
+    the pattern matches pairs connected by ≥1 hop of that predicate — compiled
+    as a :func:`transitive_closure` scan joined like any other pattern (e.g.
+    ``("?x", "located_in+", C)`` = everything transitively inside C). The
+    ``+`` suffix is reserved syntax; closure output is set-semantics by
+    construction."""
     if not patterns:
         raise ValueError("match_pattern needs at least one triple pattern")
     slots = ("src_id", "pred", "dst_id")
@@ -761,10 +768,21 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> D
                              "existence checks are not bindings")
 
     def compile_one(p):
-        df = edges.select(*slots)
+        subj, pred_t, obj = p
+        if (isinstance(pred_t, str) and not is_var(pred_t)
+                and pred_t.endswith("+")):
+            # SPARQL property path p+ : this pattern's scan is the closure of
+            # predicate p (transitive_closure, log-round doubling), matched on
+            # its (src, dst) endpoints; the pred slot is consumed by the path
+            df = transitive_closure(edges, pred=pred_t[:-1]) \
+                .select("src_id", "dst_id")
+            terms = ((("src_id", subj), ("dst_id", obj)))
+        else:
+            df = edges.select(*slots)
+            terms = tuple(zip(slots, p))
         seen = {}
         out = []
-        for slot, term in zip(slots, p):
+        for slot, term in terms:
             if is_var(term):
                 name = term[1:]
                 if name in seen:          # ?x p ?x → intra-row equality

@@ -670,6 +670,17 @@ class KgPipeline:
                 F.lit(name).alias("stage"), "n") for name, df in frames.items()])
         return {r["stage"]: r["n"] for r in counts_df.collect()}
 
+    def query(self, patterns: list, distinct: bool = False) -> DataFrame:
+        """Run a basic graph pattern against the committed KG (the latest edges
+        generation) — ``graph.match_pattern`` over ``table("edges")``::
+
+            p.query([("?who", "возглавлять", "?org"),
+                     ("?org", "located_in+", some_city_id)])
+        """
+        from .operators.graph import match_pattern
+
+        return match_pattern(self.table("edges"), patterns, distinct=distinct)
+
     def export_ntriples(self, path: str, base: str | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest
         generation after any delta ingests) as a W3C N-Triples text directory:

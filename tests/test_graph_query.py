@@ -342,3 +342,42 @@ def test_transitive_closure_chain_log_rounds(spark):
            for r in transitive_closure(df).collect()}
     assert len(got) == 8 * 9 // 2
     assert all(got[(a, b)] == b - a for a, b in got)
+
+
+def test_match_pattern_property_path_plus(spark):
+    """A 'p+' predicate term matches via the transitive closure and joins
+    like any pattern: everything transitively inside node 4, plus its label
+    edge — vs the same recursive closure + join in DuckDB."""
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = [(1, 2, "in"), (2, 3, "in"), (3, 4, "in"), (9, 4, "in"),
+            (5, 4, "other"), (1, 7, "tag"), (9, 8, "tag"), (2, 8, "tag")]
+    df = _edges_df(spark, rows)
+    got = {tuple(r) for r in match_pattern(
+        df, [("?x", "in+", 4), ("?x", "tag", "?t")]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"({s},{d},'{p}')" for s, d, p in rows))
+    ref = {tuple(r) for r in con.execute("""
+        WITH RECURSIVE c(s, d) AS (
+            SELECT s, d FROM e WHERE p = 'in' AND s <> d
+            UNION SELECT c.s, e.d FROM c JOIN e ON e.s = c.d AND e.p = 'in')
+        SELECT c.s, t.d FROM c JOIN e t ON t.s = c.s AND t.p = 'tag'
+        WHERE c.d = 4
+    """).fetchall()}
+    assert got == ref == {(1, 7), (9, 8), (2, 8)}
+
+
+def test_pipeline_query_sugar(spark, tmp_path):
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path / "wd")
+    p = KgPipeline(spark, wd, n_docs=30, seed=4)
+    p.run(resume=True)
+    pred = p.table("edges").select("pred").first()["pred"]
+    out = p.query([("?s", pred, "?o")])
+    assert out.columns == ["s", "o"]
+    assert out.count() == p.table("edges").where(
+        F.col("pred") == pred).count()
