@@ -747,9 +747,11 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> D
     A constant predicate ending in ``+`` is the SPARQL property path ``p+``:
     the pattern matches pairs connected by ≥1 hop of that predicate — compiled
     as a :func:`transitive_closure` scan joined like any other pattern (e.g.
-    ``("?x", "located_in+", C)`` = everything transitively inside C). The
-    ``+`` suffix is reserved syntax; closure output is set-semantics by
-    construction."""
+    ``("?x", "located_in+", C)`` = everything transitively inside C). A
+    leading ``^`` is the SPARQL INVERSE path: ``("?x", "^wrote", B)`` matches
+    where the stored edge runs B→?x. The two compose (``"^p+"`` = inverse of
+    the closure). ``+``/``^`` are reserved syntax; closure output is
+    set-semantics by construction."""
     if not patterns:
         raise ValueError("match_pattern needs at least one triple pattern")
     slots = ("src_id", "pred", "dst_id")
@@ -769,6 +771,11 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> D
 
     def compile_one(p):
         subj, pred_t, obj = p
+        inverse = (isinstance(pred_t, str) and not is_var(pred_t)
+                   and pred_t.startswith("^"))
+        if inverse:
+            pred_t = pred_t[1:]
+            subj, obj = obj, subj          # ^p : the stored edge runs obj→subj
         if (isinstance(pred_t, str) and not is_var(pred_t)
                 and pred_t.endswith("+")):
             # SPARQL property path p+ : this pattern's scan is the closure of
@@ -776,7 +783,11 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> D
             # its (src, dst) endpoints; the pred slot is consumed by the path
             df = transitive_closure(edges, pred=pred_t[:-1]) \
                 .select("src_id", "dst_id")
-            terms = ((("src_id", subj), ("dst_id", obj)))
+            terms = (("src_id", subj), ("dst_id", obj))
+        elif inverse:
+            df = edges.where(F.col("pred") == F.lit(pred_t)) \
+                .select("src_id", "dst_id")
+            terms = (("src_id", subj), ("dst_id", obj))
         else:
             df = edges.select(*slots)
             terms = tuple(zip(slots, p))
@@ -1072,3 +1083,60 @@ def transitive_closure(edges: DataFrame, pred: str | None = None,
         if changed == 0:
             break
     return paths
+
+
+def shortest_paths(edges: DataFrame, sources: list,
+                   weight_col: str | None = None, max_iter: int = 30,
+                   directed: bool = False) -> DataFrame:
+    """Weighted single-source-set shortest distances over the edges table →
+    (node_id, cost): the minimum total edge cost from the nearest source, for
+    every reachable node. With ``weight_col=None`` every edge costs 1 and this
+    degenerates to hop counting (:func:`bfs_distances` is then the cheaper
+    operator — use it); with a cost column (e.g. ``-log p`` pre-quantized to
+    integer micro-units, or plain ``n_occurrences`` inverted upstream) this is
+    the "most reliable connection" read between a seed set and the rest of the
+    KG. Costs must be POSITIVE; keep them integer so min-plus stays exact and
+    any oracle compares integers (the avg_confidence micro-unit discipline).
+
+    Bellman-Ford as iterated min-plus relaxation: per round, one equi-join of
+    the current (node-bounded) cost frame against the adjacency list, one
+    min aggregate merging relaxed candidates with current costs, one changed
+    count — converges in ≤ (longest shortest path in edges) rounds, early-exits
+    when a round improves nothing, and the frame is localCheckpoint-ed per
+    round (the CC lineage discipline). Unlike Dijkstra there is no priority
+    queue to serialize through — every relaxation in a round runs data-parallel,
+    which is the standard distributed trade (more rounds, each embarrassingly
+    parallel)."""
+    if not sources:
+        raise ValueError("shortest_paths needs a non-empty source set")
+    spark = edges.sparkSession
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    arcs = edges.select(F.col("src_id").alias("node"),
+                        F.col("dst_id").alias("nbr"), w.alias("w"))
+    if not directed:
+        arcs = arcs.unionAll(edges.select(
+            F.col("dst_id").alias("node"), F.col("src_id").alias("nbr"),
+            w.alias("w")))
+    arcs = (arcs.where(F.col("node") != F.col("nbr"))
+            .groupBy("node", "nbr").agg(F.min("w").alias("w"))
+            .localCheckpoint(eager=False))
+    src_type = dict(edges.dtypes)["src_id"]
+    dist = (spark.createDataFrame([(s,) for s in set(sources)],
+                                  f"node {src_type}")
+            .withColumn("cost", F.lit(0).cast("long"))
+            .localCheckpoint())
+    for _ in range(max_iter):
+        relaxed = (arcs.join(dist, "node")
+                   .select(F.col("nbr").alias("node"),
+                           (F.col("cost") + F.col("w")).alias("cost")))
+        nxt = (dist.unionAll(relaxed)
+               .groupBy("node").agg(F.min("cost").alias("cost"))
+               .localCheckpoint())
+        changed = (nxt.alias("n").join(dist.alias("p"), "node", "left")
+                   .where(F.col("p.cost").isNull()
+                          | (F.col("n.cost") != F.col("p.cost"))).count())
+        dist = nxt
+        if changed == 0:
+            break
+    return dist.select(F.col("node").alias("node_id"), "cost")

@@ -381,3 +381,78 @@ def test_pipeline_query_sugar(spark, tmp_path):
     assert out.columns == ["s", "o"]
     assert out.count() == p.table("edges").where(
         F.col("pred") == pred).count()
+
+
+def test_new_iterative_ops_plan_no_cartesian(spark):
+    """One-round plan shapes of transitive_closure / label_propagation /
+    ego_subgraph: keyed joins only, never a cartesian or nested-loop."""
+    from lingvo_spark_kg.operators.graph import (ego_subgraph,
+                                                 label_propagation,
+                                                 transitive_closure)
+
+    df = _edges_df(spark, [(1, 2, "p"), (2, 3, "p"), (3, 4, "q")])
+    for out in (transitive_closure(df, max_iter=1),
+                label_propagation(df, max_iter=1),
+                ego_subgraph(df, [1], k=1)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+
+def test_match_pattern_inverse_path(spark):
+    """^p matches against the stored direction reversed; composes with '+'
+    (inverse closure); join with a forward pattern stays correct."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "in"), (2, 3, "in"), (7, 2, "tag")])
+    # ^tag: stored 7→2, so (?x ^tag ?y) binds x=2, y=7
+    got = {tuple(r) for r in match_pattern(df, [("?x", "^tag", "?y")]).collect()}
+    assert got == {(2, 7)}
+    # inverse closure from node 3: everything it transitively contains
+    got = {tuple(r) for r in match_pattern(df, [(3, "^in+", "?x")]).collect()}
+    assert got == {(1,), (2,)}
+    # composed: ancestors of 1 that are tag-targets of 7
+    got = {tuple(r) for r in match_pattern(
+        df, [(1, "in+", "?a"), ("?a", "^tag", 7)]).collect()}
+    assert got == {(2,)}
+
+
+def test_shortest_paths_matches_python_bellman_ford(spark):
+    """Exact weighted distances vs an independent dense Bellman-Ford on a
+    seeded random weighted digraph (undirected view), plus the unweighted
+    degenerate case == bfs hop counts."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import bfs_distances, shortest_paths
+
+    rng = random.Random(43)
+    rows = sorted({(rng.randrange(22), rng.randrange(22)) for _ in range(45)})
+    rows = [(s, d, "p", rng.randrange(1, 10)) for s, d in rows if s != d]
+    df = spark.createDataFrame(
+        rows, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {(r["node_id"], r["cost"]) for r in
+           shortest_paths(df, [0, 5], weight_col="n_occurrences").collect()}
+
+    import math
+    dist = {0: 0, 5: 0}
+    adj = {}
+    for s, d, _, w in rows:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    for _ in range(len(adj)):
+        improved = False
+        for v in list(dist):
+            for n, w in adj.get(v, []):
+                c = dist[v] + w
+                if c < dist.get(n, math.inf):
+                    dist[n] = c
+                    improved = True
+        if not improved:
+            break
+    assert got == set(dist.items()) and len(got) > 2
+
+    hops = {(r["node_id"], r["distance"]) for r in
+            bfs_distances(df, [0, 5]).collect()}
+    unw = {(r["node_id"], r["cost"]) for r in
+           shortest_paths(df, [0, 5]).collect()}
+    assert unw == hops
