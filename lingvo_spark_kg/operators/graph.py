@@ -1140,3 +1140,52 @@ def shortest_paths(edges: DataFrame, sources: list,
         if changed == 0:
             break
     return dist.select(F.col("node").alias("node_id"), "cost")
+
+
+def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Per-community summary over a (node_id, community) assignment (e.g.
+    :func:`label_propagation` output, or components) → (community, n_nodes,
+    n_intra_edges, n_boundary_edges, degree_sum): the exact integer inputs to
+    any partition-quality score — modularity's per-community term is
+    ``n_intra/m − (degree_sum/2m)²`` with ``m = Σ n_intra + Σ n_boundary/2`` —
+    kept as integers so the expensive part is engine-checkable and the float
+    division happens once, caller-side, not per row.
+
+    Two joins attach each undirected edge's endpoint communities; edges then
+    classify as intra (same) or boundary (different, counted toward BOTH
+    sides); degree_sum aggregates the full degree of members. Edge-volume
+    equi-joins + map-side-combinable counts — the assignment frame is
+    node-bounded, and AQE broadcasts it when small."""
+    und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                        F.greatest("src_id", "dst_id").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
+    cu = communities.select(F.col("node_id").alias("u"),
+                            F.col("community").alias("c_u"))
+    cv = communities.select(F.col("node_id").alias("v"),
+                            F.col("community").alias("c_v"))
+    tagged = und.join(cu, "u").join(cv, "v").localCheckpoint(eager=False)
+    intra = (tagged.where(F.col("c_u") == F.col("c_v"))
+             .groupBy(F.col("c_u").alias("community"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_intra_edges")))
+    boundary = (tagged.where(F.col("c_u") != F.col("c_v"))
+                .select(F.explode(F.array("c_u", "c_v")).alias("community"))
+                .groupBy("community")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_boundary_edges")))
+    nbrs = (und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node"))))
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    members = (communities
+               .join(deg, communities["node_id"] == deg["node"], "left")
+               .groupBy("community")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                    F.coalesce(F.sum("deg"), F.lit(0)).cast("long")
+                    .alias("degree_sum")))
+    return (members.join(intra, "community", "left")
+            .join(boundary, "community", "left")
+            .select("community", "n_nodes",
+                    F.coalesce("n_intra_edges", F.lit(0)).cast("long")
+                    .alias("n_intra_edges"),
+                    F.coalesce("n_boundary_edges", F.lit(0)).cast("long")
+                    .alias("n_boundary_edges"),
+                    "degree_sum"))

@@ -456,3 +456,56 @@ def test_shortest_paths_matches_python_bellman_ford(spark):
     unw = {(r["node_id"], r["cost"]) for r in
            shortest_paths(df, [0, 5]).collect()}
     assert unw == hops
+
+
+def test_community_stats_matches_duckdb(spark):
+    """Exact integer community summaries (intra / boundary / degree sums) vs
+    the same classification in SQL, on LPA's own output over a seeded graph;
+    sanity: Σ intra + Σ boundary/2 == m, Σ degree_sum == 2m."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import community_stats, label_propagation
+
+    rng = random.Random(47)
+    rows = sorted({(rng.randrange(20), rng.randrange(20), "p")
+                   for _ in range(50)})
+    rows = [r for r in rows if r[0] != r[1]]
+    df = _edges_df(spark, rows)
+    comm = label_propagation(df, max_iter=5)
+    got = {tuple(r) for r in community_stats(df, comm).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d)"
+                % ",".join(f"({s},{d})" for s, d, _ in rows))
+    con.execute("CREATE TABLE c(n BIGINT, com BIGINT)")
+    con.executemany("INSERT INTO c VALUES (?,?)",
+                    [(r["node_id"], r["community"]) for r in comm.collect()])
+    ref = {tuple(r) for r in con.execute("""
+        WITH und AS (SELECT DISTINCT LEAST(s,d) u, GREATEST(s,d) v FROM e
+                     WHERE s <> d),
+        tg AS (SELECT cu.com cu, cv.com cv FROM und
+               JOIN c cu ON cu.n = und.u JOIN c cv ON cv.n = und.v),
+        intra AS (SELECT cu com, COUNT(*)::BIGINT n FROM tg WHERE cu = cv
+                  GROUP BY 1),
+        bnd AS (SELECT com, COUNT(*)::BIGINT n FROM (
+                  SELECT cu com FROM tg WHERE cu <> cv
+                  UNION ALL SELECT cv FROM tg WHERE cu <> cv) GROUP BY 1),
+        deg AS (SELECT node, COUNT(*)::BIGINT dg FROM (
+                  SELECT u node FROM und UNION ALL SELECT v FROM und)
+                GROUP BY 1),
+        mem AS (SELECT com, COUNT(*)::BIGINT n_nodes,
+                       COALESCE(SUM(dg), 0)::BIGINT degree_sum
+                FROM c LEFT JOIN deg ON deg.node = c.n GROUP BY 1)
+        SELECT mem.com, mem.n_nodes, COALESCE(intra.n, 0), COALESCE(bnd.n, 0),
+               mem.degree_sum
+        FROM mem LEFT JOIN intra ON intra.com = mem.com
+        LEFT JOIN bnd ON bnd.com = mem.com
+    """).fetchall()}
+    assert got == ref and len(got) > 1
+    m = len({(min(s, d), max(s, d)) for s, d, _ in rows})
+    intra_sum = sum(r[2] for r in got)
+    bnd_sum = sum(r[3] for r in got)
+    assert intra_sum + bnd_sum // 2 == m
+    assert sum(r[4] for r in got) == 2 * m
