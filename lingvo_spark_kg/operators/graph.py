@@ -713,7 +713,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
     return ranks
 
 
-def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> DataFrame:
+def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
+                  optional: list | None = None) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over the edges table: the core
     KG query primitive ("find every (author, book, publisher) wired like X").
     ``patterns`` is a list of (subj, pred, obj) triple patterns; a term that is
@@ -751,7 +752,14 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> D
     leading ``^`` is the SPARQL INVERSE path: ``("?x", "^wrote", B)`` matches
     where the stored edge runs B→?x. The two compose (``"^p+"`` = inverse of
     the closure). ``+``/``^`` are reserved syntax; closure output is
-    set-semantics by construction."""
+    set-semantics by construction.
+
+    ``optional=[group, ...]`` is SPARQL OPTIONAL: each group (a pattern list,
+    compiled exactly like the required set) LEFT-joins the solutions on its
+    shared variables — solutions keep their row with NULLs for the group's new
+    variables when the group does not match. Groups apply in order, each
+    against everything bound so far (SPARQL's sequential semantics); a group
+    sharing no variable is rejected like any other cartesian."""
     if not patterns:
         raise ValueError("match_pattern needs at least one triple pattern")
     slots = ("src_id", "pred", "dst_id")
@@ -805,27 +813,44 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False) -> D
                 df = df.where(F.col(slot) == F.lit(term))
         return df.select(*out), set(seen)
 
-    remaining = list(range(len(patterns)))
-    order = [remaining.pop(0)]
-    bound = pat_vars(patterns[order[0]])
-    while remaining:
-        nxt = next((i for i in remaining if pat_vars(patterns[i]) & bound), None)
-        if nxt is None:
-            raise ValueError(
-                "disconnected pattern set: no remaining pattern shares a "
-                f"variable with {sorted(bound)} — this would be a cartesian "
-                "product; split the query instead")
-        remaining.remove(nxt)
-        order.append(nxt)
-        bound |= pat_vars(patterns[nxt])
+    def compile_group(pats):
+        remaining = list(range(len(pats)))
+        order = [remaining.pop(0)]
+        bound = pat_vars(pats[order[0]])
+        while remaining:
+            nxt = next((i for i in remaining if pat_vars(pats[i]) & bound),
+                       None)
+            if nxt is None:
+                raise ValueError(
+                    "disconnected pattern set: no remaining pattern shares a "
+                    f"variable with {sorted(bound)} — this would be a "
+                    "cartesian product; split the query instead")
+            remaining.remove(nxt)
+            order.append(nxt)
+            bound |= pat_vars(pats[nxt])
+        result, have = compile_one(pats[order[0]])
+        for i in order[1:]:
+            df, vs = compile_one(pats[i])
+            result = result.join(df, sorted(vs & set(have)))
+            have |= vs
+        return result, have
 
-    result, have = compile_one(patterns[order[0]])
-    for i in order[1:]:
-        df, vs = compile_one(patterns[i])
-        result = result.join(df, sorted(vs & set(have)))
-        have |= vs
+    result, have = compile_group(patterns)
+    groups = [list(g) for g in (optional or [])]
+    for g in groups:
+        if not g:
+            raise ValueError("an optional group must not be empty")
+        gdf, gvars = compile_group(g)
+        shared = sorted(gvars & have)
+        if not shared:
+            raise ValueError(
+                "an optional group must share ≥1 variable with the required "
+                f"patterns (group binds {sorted(gvars)}) — an unshared group "
+                "would be a cartesian product")
+        result = result.join(gdf, shared, "left")
+        have |= gvars
     first_seen = []
-    for p in patterns:
+    for p in patterns + [p for g in groups for p in g]:
         for t in p:
             if is_var(t) and t[1:] not in first_seen:
                 first_seen.append(t[1:])

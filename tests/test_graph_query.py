@@ -509,3 +509,40 @@ def test_community_stats_matches_duckdb(spark):
     bnd_sum = sum(r[3] for r in got)
     assert intra_sum + bnd_sum // 2 == m
     assert sum(r[4] for r in got) == 2 * m
+
+
+def test_match_pattern_optional_left_join(spark):
+    """OPTIONAL groups left-join on shared variables: unmatched solutions
+    survive with NULLs, matched ones bind — vs the same LEFT JOIN in DuckDB;
+    sequential groups see earlier optional bindings."""
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = [(1, 2, "likes"), (4, 2, "likes"), (6, 2, "likes"),
+            (1, 3, "knows"), (4, 5, "knows"),
+            (3, 9, "tag")]
+    df = _edges_df(spark, rows)
+    out = match_pattern(df, [("?x", "likes", 2)],
+                        optional=[[("?x", "knows", "?y")],
+                                  [("?y", "tag", "?t")]])
+    assert out.columns == ["x", "y", "t"]
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"({s},{d},'{p}')" for s, d, p in rows))
+    ref = {tuple(r) for r in con.execute("""
+        SELECT l.s AS x, k.d AS y, t.d AS t
+        FROM e l
+        LEFT JOIN e k ON k.s = l.s AND k.p = 'knows'
+        LEFT JOIN e t ON t.s = k.d AND t.p = 'tag'
+        WHERE l.p = 'likes' AND l.d = 2
+    """).fetchall()}
+    assert got == ref == {(1, 3, 9), (4, 5, None), (6, None, None)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="share"):
+        match_pattern(df, [("?x", "likes", 2)],
+                      optional=[[("?a", "knows", "?b")]])
+    with _pytest.raises(ValueError, match="empty"):
+        match_pattern(df, [("?x", "likes", 2)], optional=[[]])
