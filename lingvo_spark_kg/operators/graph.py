@@ -1214,3 +1214,40 @@ def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
                     F.coalesce("n_boundary_edges", F.lit(0)).cast("long")
                     .alias("n_boundary_edges"),
                     "degree_sum"))
+
+
+def construct_edges(edges: DataFrame, body: list, head: tuple,
+                    optional: list | None = None) -> DataFrame:
+    """SPARQL CONSTRUCT / rule materialization: match ``body`` (and optional
+    groups) like :func:`match_pattern`, then emit one INFERRED edge per head
+    binding → (src_id, pred, dst_id, n_support). ``head`` is
+    ``(?subj_var, "new_pred", ?obj_var)`` with both variables bound by the
+    body. This is the consumer of :func:`predicate_paths` discoveries: once
+    the bigram stats say ``works_at ∘ located_in`` composes, the rule ::
+
+        construct_edges(edges,
+                        [("?p", "works_at", "?org"), ("?org", "located_in", "?c")],
+                        ("?p", "works_in", "?c"))
+
+    materializes the ``works_in`` edges, with ``n_support`` = how many distinct
+    body bindings derived each pair (the rule-confidence input). Inferred rows
+    dedupe on the (src, pred, dst) key — union them into the edges table (or a
+    new generation) to close the inference loop. Cost = the body match + one
+    (src, dst)-keyed count; nothing beyond the matcher's own shape."""
+    s_var, new_pred, o_var = head
+    for v in (s_var, o_var):
+        if not (isinstance(v, str) and v.startswith("?")):
+            raise ValueError(f"head endpoint {v!r} must be a ?variable")
+    if isinstance(new_pred, str) and new_pred.startswith("?"):
+        raise ValueError("the head predicate must be a constant — a variable "
+                         "predicate would mint one relation per binding")
+    sol = match_pattern(edges, body, optional=optional)
+    for v in (s_var, o_var):
+        if v[1:] not in sol.columns:
+            raise ValueError(f"head variable {v} is not bound by the body "
+                             f"(bound: {sol.columns})")
+    return (sol.groupBy(F.col(s_var[1:]).alias("src_id"),
+                        F.col(o_var[1:]).alias("dst_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
+            .select("src_id", F.lit(new_pred).alias("pred"), "dst_id",
+                    "n_support"))

@@ -546,3 +546,38 @@ def test_match_pattern_optional_left_join(spark):
                       optional=[[("?a", "knows", "?b")]])
     with _pytest.raises(ValueError, match="empty"):
         match_pattern(df, [("?x", "likes", 2)], optional=[[]])
+
+
+def test_construct_edges_rule_materialization(spark):
+    """Rule body → inferred edges with support counts, vs the same join+count
+    in DuckDB; error paths for unbound/variable heads."""
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import construct_edges
+
+    rows = [(1, 10, "works_at"), (2, 10, "works_at"), (3, 11, "works_at"),
+            (10, 100, "located_in"), (11, 100, "located_in"),
+            (10, 200, "located_in"), (5, 6, "other")]
+    df = _edges_df(spark, rows)
+    got = {tuple(r) for r in construct_edges(
+        df, [("?p", "works_at", "?org"), ("?org", "located_in", "?c")],
+        ("?p", "works_in", "?c")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"({s},{d},'{p}')" for s, d, p in rows))
+    ref = {tuple(r) for r in con.execute("""
+        SELECT w.s, 'works_in', l.d, COUNT(*)::BIGINT
+        FROM e w JOIN e l ON l.s = w.d
+        WHERE w.p = 'works_at' AND l.p = 'located_in'
+        GROUP BY 1, 3
+    """).fetchall()}
+    assert got == ref
+    assert (1, "works_in", 100, 1) in got and (1, "works_in", 200, 1) in got
+
+    with pytest.raises(ValueError, match="not bound"):
+        construct_edges(df, [("?p", "works_at", "?org")],
+                        ("?p", "x", "?nope"))
+    with pytest.raises(ValueError, match="must be a constant"):
+        construct_edges(df, [("?p", "?q", "?o")], ("?p", "?q", "?o"))
+    with pytest.raises(ValueError, match="variable"):
+        construct_edges(df, [("?p", "works_at", "?o")], (1, "x", "?o"))
