@@ -1246,6 +1246,11 @@ def construct_edges(edges: DataFrame, body: list, head: tuple,
         if v[1:] not in sol.columns:
             raise ValueError(f"head variable {v} is not bound by the body "
                              f"(bound: {sol.columns})")
+    # SPARQL CONSTRUCT semantics: a solution where a head variable is unbound
+    # (possible when it comes from an OPTIONAL group) produces NO triple —
+    # without this filter a NULL-endpoint edge would leak into the graph
+    sol = sol.where(F.col(s_var[1:]).isNotNull()
+                    & F.col(o_var[1:]).isNotNull())
     return (sol.groupBy(F.col(s_var[1:]).alias("src_id"),
                         F.col(o_var[1:]).alias("dst_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_support"))

@@ -597,3 +597,16 @@ def test_match_pattern_pushes_pred_filter_to_parquet_scan(spark, tmp_path):
         .executedPlan().toString()
     assert "PushedFilters" in plan
     assert "EqualTo(pred,a)" in plan and "EqualTo(pred,b)" in plan
+
+
+def test_construct_edges_skips_unbound_optional_heads(spark):
+    """SPARQL CONSTRUCT: solutions whose head variable is unbound (optional
+    group unmatched) produce NO triple — never a NULL-endpoint edge."""
+    from lingvo_spark_kg.operators.graph import construct_edges
+
+    df = _edges_df(spark, [(1, 2, "a"), (3, 4, "a"), (2, 9, "b")])
+    out = construct_edges(df, [("?x", "a", "?y")],
+                          ("?x", "inferred", "?z"),
+                          optional=[[("?y", "b", "?z")]])
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(1, "inferred", 9, 1)}   # (3,4) has no b-edge → no triple
