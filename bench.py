@@ -516,7 +516,12 @@ def run_graph_query_bench(spark) -> dict:
         lpa_sec, _ = _time(lambda: label_propagation(edges, max_iter=3).count())
         bfs_sec, n_reached = _time(
             lambda: bfs_distances(edges, [0], max_hops=4).count())
-        nt_sec, n_lines = _time(lambda: to_ntriples(edges).count())
+        # sum(length(line)) FORCES the encode: a bare count() lets Catalyst
+        # prune the projection and times nothing but the cached row count
+        nt = to_ntriples(edges)
+        nt_sec, _bytes = _time(lambda: int(nt.agg(
+            F.sum(F.length("line"))).collect()[0][0]))
+        n_lines = n_edges
     finally:
         edges.unpersist()
     return {"n_edges": n_edges, "n_nodes": n_nodes,

@@ -754,12 +754,17 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     the closure). ``+``/``^`` are reserved syntax; closure output is
     set-semantics by construction.
 
-    ``optional=[group, ...]`` is SPARQL OPTIONAL: each group (a pattern list,
-    compiled exactly like the required set) LEFT-joins the solutions on its
-    shared variables — solutions keep their row with NULLs for the group's new
-    variables when the group does not match. Groups apply in order, each
-    against everything bound so far (SPARQL's sequential semantics); a group
-    sharing no variable is rejected like any other cartesian."""
+    ``optional=[group, ...]`` is OPTIONAL as a LEFT JOIN: each group (a
+    pattern list, compiled exactly like the required set) left-joins the
+    solutions on its shared variables — solutions keep their row with NULLs
+    for the group's new variables when the group does not match. Groups apply
+    in order against everything bound so far; a group sharing no variable is
+    rejected like any other cartesian. Semantics note: this is the standard
+    SQL lowering, where a NULL (unbound) join key never matches — a later
+    group joining on a variable an earlier group left NULL yields NULLs, it
+    does NOT re-bind the variable the way SPARQL's compatibility-merge
+    LeftJoin can. Nest dependent patterns in ONE group when you need them to
+    match-or-miss together."""
     if not patterns:
         raise ValueError("match_pattern needs at least one triple pattern")
     slots = ("src_id", "pred", "dst_id")
@@ -770,7 +775,7 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     def pat_vars(p):
         return {t[1:] for t in p if is_var(t)}
 
-    for p in patterns:
+    for p in list(patterns) + [p for g in (optional or []) for p in g]:
         if len(p) != 3:
             raise ValueError(f"pattern {p!r} is not a (subj, pred, obj) triple")
         if not pat_vars(p):
@@ -1082,8 +1087,10 @@ def transitive_closure(edges: DataFrame, pred: str | None = None,
     base = edges
     if pred is not None:
         base = base.where(F.col("pred") == F.lit(pred))
-    paths = (base.select("src_id", "dst_id")
-             .where(F.col("src_id") != F.col("dst_id")).distinct()
+    # self-loop edges STAY: p+ must contain p (a (v, p, v) edge means v
+    # reaches v in one hop) — dropping them would make the transitive pattern
+    # match fewer pairs than the single-hop pattern, which SPARQL forbids
+    paths = (base.select("src_id", "dst_id").distinct()
              .withColumn("distance", F.lit(1).cast("long"))
              .localCheckpoint())
     for _ in range(max_iter):
@@ -1151,6 +1158,7 @@ def shortest_paths(edges: DataFrame, sources: list,
                                   f"node {src_type}")
             .withColumn("cost", F.lit(0).cast("long"))
             .localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         relaxed = (arcs.join(dist, "node")
                    .select(F.col("nbr").alias("node"),
@@ -1164,6 +1172,16 @@ def shortest_paths(edges: DataFrame, sources: list,
         dist = nxt
         if changed == 0:
             break
+    if changed:
+        # the last round still improved something: a cheaper path longer than
+        # max_iter edges may exist — returning silently would present a
+        # truncated relaxation as the minimum
+        import warnings
+
+        warnings.warn(
+            f"shortest_paths stopped at max_iter={max_iter} while costs were "
+            "still improving — returned costs are upper bounds; raise max_iter",
+            stacklevel=2)
     return dist.select(F.col("node").alias("node_id"), "cost")
 
 
@@ -1178,9 +1196,16 @@ def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
 
     Two joins attach each undirected edge's endpoint communities; edges then
     classify as intra (same) or boundary (different, counted toward BOTH
-    sides); degree_sum aggregates the full degree of members. Edge-volume
-    equi-joins + map-side-combinable counts — the assignment frame is
-    node-bounded, and AQE broadcasts it when small."""
+    sides); degree_sum aggregates member degree. Edge-volume equi-joins +
+    map-side-combinable counts — the assignment frame is node-bounded, and AQE
+    broadcasts it when small.
+
+    A PARTIAL assignment (nodes missing from ``communities``) is evaluated on
+    the INDUCED subgraph: edges with an unassigned endpoint are excluded from
+    intra/boundary AND from degree_sum, so the three counts stay mutually
+    consistent and the modularity identities (Σ intra + Σ boundary/2 = m,
+    Σ degree_sum = 2m) hold with m = induced edge count — mixing full degrees
+    with induced edge counts would feed the formula inconsistent inputs."""
     und = (edges.select(F.least("src_id", "dst_id").alias("u"),
                         F.greatest("src_id", "dst_id").alias("v"))
            .where(F.col("u") != F.col("v")).distinct()
@@ -1197,8 +1222,9 @@ def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
                 .select(F.explode(F.array("c_u", "c_v")).alias("community"))
                 .groupBy("community")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_boundary_edges")))
-    nbrs = (und.select(F.col("u").alias("node"))
-            .unionAll(und.select(F.col("v").alias("node"))))
+    # degree over the SAME induced edge set the intra/boundary counts use
+    nbrs = (tagged.select(F.col("u").alias("node"))
+            .unionAll(tagged.select(F.col("v").alias("node"))))
     deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     members = (communities
                .join(deg, communities["node_id"] == deg["node"], "left")

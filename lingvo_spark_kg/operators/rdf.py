@@ -55,7 +55,11 @@ def _lit_unescape(col):
     so both multi-char forms are tokenized behind NUL-prefixed sentinels first
     (escaped text provably contains no NUL: _lit_escape encodes it away), the
     single-char escapes are mapped, and the sentinels resolve last — backslash
-    before NUL, so no sentinel pattern can be re-formed by payload bytes."""
+    before NUL, so no sentinel pattern can be re-formed by payload bytes.
+    Caveat (external input only): a dump whose literals carry RAW NUL bytes
+    (never produced by _lit_escape, and which most serializers escape) would
+    collide with the sentinel space — see parse_ntriples' escape-coverage
+    note."""
     sent_bs, sent_nul = "\x00A", "\x00B"
     out = F.replace(col, F.lit("\\\\"), F.lit(sent_bs))
     out = F.replace(out, F.lit("\\u0000"), F.lit(sent_nul))
@@ -101,24 +105,43 @@ _NT_RE = (r'^\s*<([^>]*)>\s+<([^>]*)>\s+'
           r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)")\s*\.\s*$')
 
 
-def parse_ntriples(lines: DataFrame, column: str = "value") -> DataFrame:
+def parse_ntriples(lines: DataFrame, column: str = "value",
+                   strict: bool = False) -> DataFrame:
     """N-Triples lines → (subj, pred, obj, is_literal): the generic reader for
     an external dump (``spark.read.text`` upstream — line-splittable, so the
     scan parallelizes like any text source). IRIs are returned verbatim
     (un-percent-decoded — they are opaque identifiers at this layer); literal
-    objects are unescaped. Comment / blank lines are dropped; a malformed line
-    raises downstream by producing NULL subj (caller's choice to filter or
-    fail — ``strict`` filtering keeps the reader total)."""
+    objects are unescaped.
+
+    Malformed handling: comment lines (``#``), blank lines, and lines that do
+    not parse are DROPPED by default — the lenient bulk-load mode. Pass
+    ``strict=True`` to FAIL the job on the first non-comment line that does
+    not parse (``raise_error`` inside the plan, so the check is distributed
+    and costs one extra predicate): corruption surfaces instead of shrinking
+    the result silently.
+
+    Escape coverage: this reader unescapes exactly what :func:`to_ntriples`
+    emits — ``\\\\ \\" \\n \\r \\t`` and ``\\u0000`` (NUL). Other ``\\uXXXX`` /
+    ``\\UXXXXXXXX`` escapes an external serializer may produce pass through
+    as raw text rather than decoding (a variable-substitution regexp cannot be
+    expressed as a pure column expression); pre-normalize such dumps if the
+    distinction matters."""
     c = F.col(column)
+    dropped = F.trim(c).startswith("#") | (F.length(F.trim(c)) == 0)
     parsed = lines.select(
         F.regexp_extract(c, _NT_RE, 1).alias("subj"),
         F.regexp_extract(c, _NT_RE, 2).alias("pred"),
         F.regexp_extract(c, _NT_RE, 3).alias("obj_iri"),
         F.regexp_extract(c, _NT_RE, 4).alias("obj_lit"),
         c.rlike(_NT_RE).alias("ok"),
+        dropped.alias("skip"),
         c.alias("_raw"))
-    return (parsed.where(F.col("ok")
-                         & (F.length(F.trim(F.col("_raw"))) > 0))
+    if strict:
+        parsed = parsed.withColumn(
+            "ok", F.when(F.col("ok") | F.col("skip"), F.col("ok"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("malformed N-Triples line: "), F.col("_raw")))))
+    return (parsed.where(F.col("ok") & ~F.col("skip"))
             .select("subj", "pred",
                     F.when(F.col("obj_iri") != "", F.col("obj_iri"))
                     .otherwise(_lit_unescape(F.col("obj_lit"))).alias("obj"),

@@ -37,6 +37,8 @@ class TableWriter(Protocol):
 
     def invalidate(self, spark: SparkSession, table: str) -> None: ...
 
+    def drop(self, spark: SparkSession, table: str) -> None: ...
+
 
 class ParquetTableWriter:
     """Directory-per-table parquet layout under ``root``."""
@@ -96,6 +98,17 @@ class ParquetTableWriter:
             if os.path.exists(mp):
                 os.remove(mp)
 
+    def drop(self, spark: SparkSession, table: str) -> None:
+        """Invalidate AND reclaim the table's storage — the retention primitive
+        (expire_generations). Storage ownership lives HERE, not in the caller:
+        an injected writer with a different layout reclaims its own files."""
+        import shutil
+
+        self.invalidate(spark, table)
+        p = self._path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
 
 class IcebergTableWriter:
     """Iceberg catalog tables (production lake). Requires a configured catalog —
@@ -140,3 +153,7 @@ class IcebergTableWriter:
 
     def invalidate(self, spark: SparkSession, table: str) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {self._full(table)}")
+
+    def drop(self, spark: SparkSession, table: str) -> None:
+        # catalog DROP already reclaims (subject to the lake's GC policy)
+        self.invalidate(spark, table)

@@ -302,17 +302,19 @@ class KgPipeline:
         The CURRENT generation is never expired, and neither is generation 0 —
         its unsuffixed tables double as run()'s resume state (they are
         marker-guarded by the config fingerprint, not by the ingest log)."""
-        import shutil
-
         w = self._writer()
         deltas = [g for g in self.generations() if g > 0]
         expired = deltas[:-max(1, keep)]      # newest keep (≥ the current) stay
         for g in expired:
-            for stage in self._GRAPH_STAGES:
-                w.invalidate(self.spark, f"{stage}__g{g}")
-                p = os.path.join(self.workdir, f"{stage}__g{g}")
-                if os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
+            # edges FIRST: generations() keys on the edges marker, so a crash
+            # mid-expire leaves the generation UNLISTED (time-travel reads fail
+            # fast) rather than listed-but-partially-deleted; any orphaned
+            # sibling dirs are bounded like crashed-ingest orphans.
+            # Storage reclamation goes through the writer seam — an injected
+            # writer owns its own layout (w.drop), never a hardcoded path.
+            for stage in ("edges",) + tuple(
+                    s for s in self._GRAPH_STAGES if s != "edges"):
+                w.drop(self.spark, f"{stage}__g{g}")
         return expired
 
     def diff_generations(self, gen_old: int, gen_new: int | None = None,
@@ -650,6 +652,9 @@ class KgPipeline:
         def build_radius():
             hub = (pr.orderBy(F.desc("rank"), F.asc("node_id"))
                    .limit(1).collect())
+            if not hub:   # empty graph: an empty stage table, like every an_*
+                return (edges.select(F.col("src_id").alias("node_id"))
+                        .withColumn("distance", F.lit(0)).limit(0))
             return bfs_distances(edges, [hub[0]["node_id"]])
 
         radius = self._run_stage("an_radius", build_radius, resume)

@@ -320,7 +320,7 @@ def test_transitive_closure_matches_duckdb(spark):
                 % ",".join(f"({s},{d},'{p}')" for s, d, p in rows))
     ref = {tuple(r) for r in con.execute("""
         WITH RECURSIVE walk(s, d, dist) AS (
-            SELECT s, d, 1 FROM e WHERE p = 'in' AND s <> d
+            SELECT s, d, 1 FROM e WHERE p = 'in'
             UNION
             SELECT walk.s, e.d, walk.dist + 1 FROM walk
             JOIN e ON e.s = walk.d AND e.p = 'in'
@@ -330,6 +330,19 @@ def test_transitive_closure_matches_duckdb(spark):
     assert got == ref and len(got) > len([r for r in rows if r[2] == "in"])
     # the planted cycle closes onto itself at the cycle length
     assert (1, 1, 3) in got
+
+
+def test_transitive_closure_self_loop_is_one_hop(spark):
+    """p+ contains p: a (v, p, v) edge puts (v, v, 1) in the closure, so the
+    transitive pattern never matches fewer pairs than the single-hop one."""
+    from lingvo_spark_kg.operators.graph import match_pattern, transitive_closure
+
+    df = _edges_df(spark, [(1, 1, "p"), (1, 2, "p")])
+    got = {tuple(r) for r in transitive_closure(df, pred="p").collect()}
+    assert got == {(1, 1, 1), (1, 2, 1)}
+    single = {tuple(r) for r in match_pattern(df, [("?x", "p", "?x")]).collect()}
+    plus = {tuple(r) for r in match_pattern(df, [("?x", "p+", "?x")]).collect()}
+    assert single <= plus == {(1,)}
 
 
 def test_transitive_closure_chain_log_rounds(spark):
@@ -610,3 +623,32 @@ def test_construct_edges_skips_unbound_optional_heads(spark):
                           optional=[[("?y", "b", "?z")]])
     got = {tuple(r) for r in out.collect()}
     assert got == {(1, "inferred", 9, 1)}   # (3,4) has no b-edge → no triple
+
+
+def test_match_pattern_optional_groups_are_validated(spark):
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "a")])
+    with pytest.raises(ValueError, match="not a .subj, pred, obj."):
+        match_pattern(df, [("?x", "a", "?y")], optional=[[("?x", "b")]])
+    with pytest.raises(ValueError, match="no variables"):
+        match_pattern(df, [("?x", "a", "?y")], optional=[[(1, "b", 2)]])
+
+
+def test_community_stats_partial_assignment_consistent(spark):
+    """A partial assignment is scored on the induced subgraph: the modularity
+    identities hold with m = induced edge count."""
+    from lingvo_spark_kg.operators.graph import community_stats
+
+    df = _edges_df(spark, [(1, 2, "p"), (2, 3, "p"), (3, 99, "p"),
+                           (99, 98, "p")])
+    comm = spark.createDataFrame([(1, 1), (2, 1), (3, 3)],
+                                 "node_id long, community long")
+    got = {r["community"]: r for r in community_stats(df, comm).collect()}
+    # induced edges: (1,2) intra, (2,3) boundary; (3,99)/(99,98) excluded
+    assert got[1]["n_intra_edges"] == 1 and got[1]["n_boundary_edges"] == 1
+    assert got[3]["n_boundary_edges"] == 1 and got[3]["n_intra_edges"] == 0
+    m = 2
+    assert sum(r["n_intra_edges"] for r in got.values()) \
+        + sum(r["n_boundary_edges"] for r in got.values()) // 2 == m
+    assert sum(r["degree_sum"] for r in got.values()) == 2 * m

@@ -162,3 +162,22 @@ def test_pipeline_export_ntriples_roundtrip(spark, tmp_path):
     n_labels = parse_ntriples(lines).where(
         F.col("pred") == RDFS_LABEL).count()
     assert n_labels == p.table("nodes").count()
+
+
+def test_parse_ntriples_strict_raises_on_malformed(spark):
+    """strict=True fails the job on a malformed non-comment line; comments and
+    blanks stay exempt; lenient mode drops the same line silently."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from lingvo_spark_kg.operators.rdf import parse_ntriples
+
+    good = spark.createDataFrame(
+        [("# comment",), ("",), ('<http://a> <http://b> <http://c> .',)],
+        "value string")
+    assert parse_ntriples(good, strict=True).count() == 1
+    bad = good.unionAll(spark.createDataFrame([("truncated <line",)],
+                                              "value string"))
+    assert parse_ntriples(bad).count() == 1          # lenient: dropped
+    with pytest.raises(SparkRuntimeException, match="malformed N-Triples"):
+        parse_ntriples(bad, strict=True).count()
