@@ -1282,3 +1282,60 @@ def construct_edges(edges: DataFrame, body: list, head: tuple,
             .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
             .select("src_id", F.lit(new_pred).alias("pred"), "dst_id",
                     "n_support"))
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
+                        lg_config_k: int = 14) -> DataFrame:
+    """Per-node harmonic centrality estimate over the (undirected simple view
+    of the) edges table → (node_id, centrality): H(v) = Σ_{u≠v} 1/d(v, u),
+    the standard "how close is this entity to everything" ranking — robust to
+    disconnected graphs where raw closeness is undefined (unreachable nodes
+    contribute 0, not ∞). Estimated per HyperANF (Boldi & Vigna's centrality
+    read of the same sketch stream :func:`neighborhood_function` uses): each
+    node keeps an HLL sketch of its h-ball, and the hop-h shell size
+    |B(v,h)| − |B(v,h−1)| joins the sum at weight 1/h. Exact per-node BFS is
+    quadratic; the sketch stream is one equi-join + one ``hll_union_agg`` per
+    hop with a few KB of state per node — the only affordable shape at KG
+    scale. Error per node ≈ the HLL band (~0.8% at the default lg_k=14, and
+    near-exact below sketch saturation); runs to ``max_hops`` (contributions
+    beyond shrink as 1/h)."""
+    und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                        F.greatest("src_id", "dst_id").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    sym = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(und.select(F.col("v").alias("node"),
+                                F.col("u").alias("nbr")))
+           .localCheckpoint(eager=False))
+    state = (sym.select("node").distinct()
+             .groupBy("node")
+             .agg(F.hll_sketch_agg(F.col("node").cast("string"),
+                                   F.lit(lg_config_k)).alias("sk"))
+             .withColumn("prev_est", F.hll_sketch_estimate("sk"))
+             .withColumn("acc", F.lit(0.0))
+             .localCheckpoint())
+    for h in range(1, max_hops + 1):
+        nbr_sk = (sym.join(state.select(F.col("node").alias("nbr"),
+                                        F.col("sk").alias("nbr_sk")), "nbr")
+                  .groupBy("node")
+                  .agg(F.hll_union_agg("nbr_sk").alias("merged")))
+        state = (state.join(nbr_sk, "node", "left")
+                 .select("node",
+                         F.when(F.col("merged").isNull(), F.col("sk"))
+                         .otherwise(F.hll_union("sk", "merged")).alias("sk"),
+                         "prev_est", "acc"))
+        state = (state.withColumn("est", F.hll_sketch_estimate("sk"))
+                 .withColumn("shell",
+                             F.greatest(F.col("est") - F.col("prev_est"),
+                                        F.lit(0.0)))
+                 .select("node", "sk", F.col("est").alias("prev_est"),
+                         (F.col("acc") + F.col("shell") / F.lit(float(h)))
+                         .alias("acc"), "shell")
+                 .localCheckpoint())
+        # saturation = every ball stopped growing (diameter reached); one
+        # node-bounded aggregate riding the checkpointed frame
+        if (state.agg(F.sum("shell")).collect()[0][0] or 0.0) <= 0.0:
+            break
+        # the next hop's projections select columns explicitly, so the shell
+        # column simply falls out of the plan
+    return state.select(F.col("node").alias("node_id"),
+                        F.col("acc").alias("centrality"))

@@ -652,3 +652,42 @@ def test_community_stats_partial_assignment_consistent(spark):
     assert sum(r["n_intra_edges"] for r in got.values()) \
         + sum(r["n_boundary_edges"] for r in got.values()) // 2 == m
     assert sum(r["degree_sum"] for r in got.values()) == 2 * m
+
+
+def test_harmonic_centrality_bounded_vs_exact_bfs(spark):
+    """HLL-estimated harmonic centrality within 5% of the exact per-node
+    H(v) = sum 1/d(v,u) on a seeded random graph with an island (unreachable
+    nodes contribute 0), and the ranking puts a star hub first."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import harmonic_centrality
+
+    rng = random.Random(53)
+    rows = sorted({(rng.randrange(24), rng.randrange(24), "p")
+                   for _ in range(45)} | {(100, 101, "p")})
+    rows = [r for r in rows if r[0] != r[1]]
+    df = _edges_df(spark, rows)
+    got = {r["node_id"]: r["centrality"]
+           for r in harmonic_centrality(df, max_hops=12).collect()}
+
+    adj = {}
+    for s, d, _ in rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    from collections import deque
+    for v in adj:
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            for n in adj[x]:
+                if n not in dist:
+                    dist[n] = dist[x] + 1
+                    q.append(n)
+        exact = sum(1.0 / d for u, d in dist.items() if d > 0)
+        assert abs(got[v] - exact) <= 0.05 * max(exact, 1.0), (v, got[v], exact)
+
+    star = _edges_df(spark, [(0, i, "p") for i in range(1, 9)])
+    sc = {r["node_id"]: r["centrality"]
+          for r in harmonic_centrality(star, max_hops=4).collect()}
+    assert max(sc, key=sc.get) == 0
