@@ -605,6 +605,8 @@ class KgPipeline:
           the WRITTEN an_pagerank table, so the seed is resume-stable): the
           "how far is everything from the graph's center" read
         - ``an_preds``     (pred, n_edges, n_src_nodes, ...) — predicate_stats
+        - ``an_centrality`` (node_id, centrality)     — harmonic_centrality
+          (HyperANF sketch stream; the closeness ranking)
 
         Reads the LOGICAL edges table (latest committed generation), so analytics
         run after ``ingest_delta`` see the maintained graph; re-running after a
@@ -614,7 +616,8 @@ class KgPipeline:
         WRITTEN tables, so a resumed call never retrains on different walks."""
         from .operators import node2vec
         from .operators.graph import (bfs_distances, components, coreness,
-                                      label_propagation, neighbor_similarity,
+                                      harmonic_centrality, label_propagation,
+                                      neighbor_similarity,
                                       neighborhood_function, pagerank,
                                       predicate_paths, predicate_stats,
                                       random_walks, skip_gram_pairs,
@@ -660,6 +663,8 @@ class KgPipeline:
         radius = self._run_stage("an_radius", build_radius, resume)
         preds = self._run_stage(
             "an_preds", lambda: predicate_stats(edges), resume)
+        centr = self._run_stage(
+            "an_centrality", lambda: harmonic_centrality(edges), resume)
 
         from functools import reduce
 
@@ -668,7 +673,7 @@ class KgPipeline:
                   "an_embeddings": emb, "an_linkpred": linkpred,
                   "an_components": comp, "an_nfunc": nfunc,
                   "an_communities": comm, "an_radius": radius,
-                  "an_preds": preds}
+                  "an_preds": preds, "an_centrality": centr}
         counts_df = reduce(
             DataFrame.unionByName,
             [df.agg(F.count(F.lit(1)).alias("n")).select(
