@@ -863,7 +863,8 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     return result.distinct() if distinct else result
 
 
-def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def label_propagation(edges: DataFrame, max_iter: int = 10,
+                      weighted: bool = False) -> DataFrame:
     """Community detection over the (undirected simple view of the) edges table
     via synchronous label propagation (Raghavan, Albert & Kumara 2007, "Near
     linear time algorithm to detect community structures in large-scale
@@ -886,12 +887,27 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     min-struct argmax — edge-volume shuffles only, never a cartesian; the label
     frame is localCheckpoint-ed per iteration (CC's lineage discipline). Label
     counting shuffles on (node, label), which splits hub traffic across the
-    hub's distinct neighbor labels — milder than a plain per-node key."""
+    hub's distinct neighbor labels — milder than a plain per-node key.
+
+    ``weighted=True`` votes with the INTEGER edge weight (``n_occurrences``
+    summed per undirected pair across directions and parallel predicates)
+    instead of 1 per neighbor — attestation-weighted communities, the right
+    read on a KG where one co-occurrence and a thousand are not equal
+    evidence. Voting stays exact integer arithmetic, so runs remain
+    bit-reproducible; the self-vote keeps weight 1 in both modes (it is the
+    determinism stabilizer, not an evidence term)."""
     und = (edges.select(F.least("src_id", "dst_id").alias("u"),
-                        F.greatest("src_id", "dst_id").alias("v"))
-           .where(F.col("u") != F.col("v")).distinct())
-    nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-            .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+                        F.greatest("src_id", "dst_id").alias("v"),
+                        F.col("n_occurrences").cast("long").alias("w")))
+    if weighted:
+        und = (und.where(F.col("u") != F.col("v"))
+               .groupBy("u", "v").agg(F.sum("w").alias("w")))
+    else:
+        und = (und.select("u", "v").where(F.col("u") != F.col("v"))
+               .distinct().withColumn("w", F.lit(1).cast("long")))
+    nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
+            .unionAll(und.select(F.col("v").alias("node"),
+                                 F.col("u").alias("nbr"), "w"))
             .localCheckpoint(eager=False))
     labels = (nbrs.select("node").distinct()
               .withColumn("label", F.col("node"))
@@ -899,10 +915,11 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     for _ in range(max_iter):
         nbr_labels = nbrs.join(
             labels.select(F.col("node").alias("nbr"), "label"), "nbr")
-        votes = (nbr_labels.select("node", "label")
-                 .unionAll(labels.select("node", "label"))   # the self-vote
+        votes = (nbr_labels.select("node", "label", "w")
+                 .unionAll(labels.select("node", "label",
+                                         F.lit(1).cast("long").alias("w")))
                  .groupBy("node", "label")
-                 .agg(F.count(F.lit(1)).alias("n")))
+                 .agg(F.sum("w").alias("n")))
         nxt = (votes.groupBy("node")
                .agg(F.min(F.struct(F.negate(F.col("n")).alias("neg_n"),
                                    F.col("label").alias("label"))).alias("top"))

@@ -691,3 +691,59 @@ def test_harmonic_centrality_bounded_vs_exact_bfs(spark):
     sc = {r["node_id"]: r["centrality"]
           for r in harmonic_centrality(star, max_hops=4).collect()}
     assert max(sc, key=sc.get) == 0
+
+
+def test_label_propagation_weighted_matches_reference(spark):
+    """weighted=True: integer-weight voting parity with an independent dense
+    implementation (weights summed per undirected pair, self-vote weight 1),
+    and a known case where one heavy edge outvotes two light ones."""
+    import random
+    from collections import Counter
+
+    from lingvo_spark_kg.operators.graph import label_propagation
+
+    rng = random.Random(59)
+    raw = [(rng.randrange(20), rng.randrange(20), "p", rng.randrange(1, 8))
+           for _ in range(50)]
+    raw = [r for r in raw if r[0] != r[1]]
+    df = spark.createDataFrame(
+        raw, "src_id long, dst_id long, pred string, n_occurrences long")
+    got = {r["node_id"]: r["community"] for r in
+           label_propagation(df, max_iter=8, weighted=True).collect()}
+
+    wsum = Counter()
+    for s, d, _, w in raw:
+        wsum[(min(s, d), max(s, d))] += w
+    adj = {}
+    for (u, v), w in wsum.items():
+        adj.setdefault(u, {})[v] = w
+        adj.setdefault(v, {})[u] = w
+    labels = {v: v for v in adj}
+    for _ in range(8):
+        nxt = {}
+        for v in adj:
+            votes = Counter()
+            for n, w in adj[v].items():
+                votes[labels[n]] += w
+            votes[labels[v]] += 1
+            nxt[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if nxt == labels:
+            break
+        labels = nxt
+    assert got == labels and len(got) == len(adj)
+
+    # node 5 bridges two heavy triangles; its heavier bridge decides which
+    # community claims it — flip the bridge weights, the outcome flips
+    def tri_case(w_left, w_right):
+        known = spark.createDataFrame(
+            [(0, 1, "p", 9), (0, 2, "p", 9), (1, 2, "p", 9),
+             (10, 11, "p", 9), (10, 12, "p", 9), (11, 12, "p", 9),
+             (5, 0, "p", w_left), (5, 10, "p", w_right)],
+            "src_id long, dst_id long, pred string, n_occurrences long")
+        return {r["node_id"]: r["community"] for r in
+                label_propagation(known, max_iter=8, weighted=True).collect()}
+
+    k = tri_case(9, 1)
+    assert k[5] == k[0] == 0 and k[10] == 10
+    k = tri_case(1, 9)
+    assert k[5] == k[10] == 10 and k[0] == 0
