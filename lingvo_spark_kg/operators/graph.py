@@ -713,8 +713,68 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
     return ranks
 
 
+_PATH_CHARS = set("+*?|/^")
+
+
+def _is_path(pred_t) -> bool:
+    return (isinstance(pred_t, str) and not pred_t.startswith("?")
+            and any(c in _PATH_CHARS for c in pred_t))
+
+
+def _parse_path(expr: str) -> list:
+    """Parse a SPARQL-ish property-path string → a list of ALTERNATIVES
+    (``|``, lowest precedence, as in SPARQL 1.1 §9.1), each a ``/``-SEQUENCE
+    of steps, each step ``^``? name (``+``|``*``|``?``)? — returned as
+    ``[[(inverse, name, modifier), ...], ...]``. No parentheses: grouping
+    beyond this precedence is composed from multiple patterns instead.
+    ``+ * ? | / ^`` are reserved path syntax inside a constant predicate."""
+    alts = []
+    for alt in expr.split("|"):
+        steps = []
+        for step in alt.split("/"):
+            s = step
+            inv = s.startswith("^")
+            if inv:
+                s = s[1:]
+            mod = s[-1] if s and s[-1] in "+*?" else ""
+            name = s[:-1] if mod else s
+            if not name or any(c in _PATH_CHARS for c in name):
+                raise ValueError(
+                    f"malformed property-path step {step!r} in {expr!r} — "
+                    "expected '^'? predicate ('+'|'*'|'?')? between '|' / '/'")
+            steps.append((inv, name, mod))
+        alts.append(steps)
+    return alts
+
+
+def _order_patterns(ests: list, varsets: list) -> list:
+    """Greedy selectivity-aware BGP join order: start at the cheapest pattern
+    (smallest estimated scan), then repeatedly take the cheapest pattern
+    CONNECTED (≥1 shared variable) to the bindings accumulated so far — the
+    connectivity constraint keeps every join an equi-join, never a cartesian.
+    Ties break to input order, so plans are deterministic."""
+    remaining = list(range(len(ests)))
+    start = min(remaining, key=lambda i: (ests[i], i))
+    order = [start]
+    remaining.remove(start)
+    bound = set(varsets[start])
+    while remaining:
+        conn = [i for i in remaining if varsets[i] & bound]
+        if not conn:
+            raise ValueError(
+                "disconnected pattern set: no remaining pattern shares a "
+                f"variable with {sorted(bound)} — this would be a "
+                "cartesian product; split the query instead")
+        nxt = min(conn, key=lambda i: (ests[i], i))
+        remaining.remove(nxt)
+        order.append(nxt)
+        bound |= set(varsets[nxt])
+    return order
+
+
 def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
-                  optional: list | None = None) -> DataFrame:
+                  optional: list | None = None, filter=None,
+                  stats=None) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over the edges table: the core
     KG query primitive ("find every (author, book, publisher) wired like X").
     ``patterns`` is a list of (subj, pred, obj) triple patterns; a term that is
@@ -745,14 +805,38 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     the pred slot binds the string predicate — one variable must not mix slots
     of different types across patterns.
 
-    A constant predicate ending in ``+`` is the SPARQL property path ``p+``:
-    the pattern matches pairs connected by ≥1 hop of that predicate — compiled
-    as a :func:`transitive_closure` scan joined like any other pattern (e.g.
-    ``("?x", "located_in+", C)`` = everything transitively inside C). A
-    leading ``^`` is the SPARQL INVERSE path: ``("?x", "^wrote", B)`` matches
-    where the stored edge runs B→?x. The two compose (``"^p+"`` = inverse of
-    the closure). ``+``/``^`` are reserved syntax; closure output is
-    set-semantics by construction.
+    A constant predicate may be a SPARQL 1.1 PROPERTY PATH (§9.1; the
+    reference has no query language — this is north-star scope). Supported
+    grammar, by precedence: alternation ``p|q`` (lowest), sequence ``p/q``,
+    then per-step ``^p`` (inverse) and the closures ``p+`` (one-or-more),
+    ``p*`` (zero-or-more), ``p?`` (zero-or-one). No parentheses — compose
+    multiple patterns for deeper grouping. Lowering follows the spec's
+    semantics: ``p`` / ``/`` / ``|`` are bag-semantics (a ``/`` hop
+    multiplies by the number of routes through the mid, exactly the fresh-
+    variable rewrite), while ``+``/``*``/``?`` are DISTINCT node-pair
+    semantics; the zero-length arm of ``*``/``?`` matches every node of the
+    graph plus any constant endpoint of the pattern (SPARQL's "terms
+    mentioned in the query"). Each ``p+``/``p*`` compiles to ONE
+    :func:`transitive_closure` per distinct predicate per call — two terms
+    closing the same predicate share the doubling loop. ``+ * ? | / ^`` are
+    reserved syntax inside constant predicates.
+
+    ``filter=`` is SPARQL FILTER: a Column, a SQL-string (``F.expr``-ed), or
+    a list of either (AND-ed), applied over the bound variable columns AFTER
+    required and optional groups resolve — the spec's Filter(expr,
+    LeftJoin(...)) placement. Variables unbound by an optional group are SQL
+    NULLs there, so a filter touching them drops those rows unless it is
+    NULL-aware — standard SQL lowering, same caveat as ``optional``.
+
+    ``stats=`` makes the greedy join order SELECTIVITY-AWARE instead of
+    input-order-first-connected: pass :func:`predicate_stats` output (or a
+    ``{pred: n_edges}`` dict, or ``True`` to compute it here — one bounded
+    aggregate, predicate vocabulary is tiny), and patterns are joined
+    cheapest-estimated-scan first under the same connectivity constraint —
+    a selective pattern then drives the first join (the broadcast side under
+    AQE) instead of the biggest scan the user happened to list first. With
+    ``stats=None`` a static heuristic still orders constant-endpoint /
+    constant-predicate patterns before all-variable ones.
 
     ``optional=[group, ...]`` is OPTIONAL as a LEFT JOIN: each group (a
     pattern list, compiled exactly like the required set) left-joins the
@@ -782,24 +866,73 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
             raise ValueError(f"pattern {p!r} has no variables; constant-only "
                              "existence checks are not bindings")
 
+    spark = edges.sparkSession
+    src_type = dict(edges.dtypes)["src_id"]
+    closures: dict = {}     # pred → closure pairs, shared across all terms
+    nodes_cache: list = []  # one graph-node-set scan per call, not per * / ?
+
+    def nodes_df():
+        if not nodes_cache:
+            nodes_cache.append(
+                edges.select(F.col("src_id").alias("n"))
+                .unionAll(edges.select(F.col("dst_id").alias("n")))
+                .distinct().localCheckpoint(eager=False))
+        return nodes_cache[0]
+
+    def closure_df(pred_name):
+        if pred_name not in closures:
+            closures[pred_name] = transitive_closure(
+                edges, pred=pred_name).select("src_id", "dst_id")
+        return closures[pred_name]
+
+    def ident_df(consts):
+        base = nodes_df().select(F.col("n").alias("src_id"),
+                                 F.col("n").alias("dst_id"))
+        lits = sorted(set(consts), key=repr)
+        if lits:
+            base = base.unionByName(spark.createDataFrame(
+                [(c, c) for c in lits],
+                f"src_id {src_type}, dst_id {src_type}"))
+        return base
+
+    def compile_step(inv, name, mod, consts):
+        if mod in ("+", "*"):
+            pairs = closure_df(name)
+        else:
+            pairs = edges.where(F.col("pred") == F.lit(name)) \
+                .select("src_id", "dst_id")
+        if mod in ("*", "?"):
+            # zero-length arm: identity over graph nodes ∪ pattern constants;
+            # distinct overall (SPARQL gives * / ? set semantics)
+            pairs = pairs.unionByName(ident_df(consts)).distinct()
+        if inv:
+            pairs = pairs.select(F.col("dst_id").alias("src_id"),
+                                 F.col("src_id").alias("dst_id"))
+        return pairs
+
+    def compile_path(expr, consts):
+        seq_frames = []
+        for seq in _parse_path(expr):
+            cur = compile_step(*seq[0], consts)
+            for step in seq[1:]:
+                right = compile_step(*step, consts).select(
+                    F.col("src_id").alias("dst_id"),
+                    F.col("dst_id").alias("hop_dst"))
+                cur = (cur.join(right, "dst_id")   # mid-keyed equi-join per /
+                       .select("src_id", F.col("hop_dst").alias("dst_id")))
+            seq_frames.append(cur)
+        out = seq_frames[0]
+        for f in seq_frames[1:]:                   # | is bag union
+            out = out.unionByName(f)
+        return out
+
     def compile_one(p):
         subj, pred_t, obj = p
-        inverse = (isinstance(pred_t, str) and not is_var(pred_t)
-                   and pred_t.startswith("^"))
-        if inverse:
-            pred_t = pred_t[1:]
-            subj, obj = obj, subj          # ^p : the stored edge runs obj→subj
-        if (isinstance(pred_t, str) and not is_var(pred_t)
-                and pred_t.endswith("+")):
-            # SPARQL property path p+ : this pattern's scan is the closure of
-            # predicate p (transitive_closure, log-round doubling), matched on
-            # its (src, dst) endpoints; the pred slot is consumed by the path
-            df = transitive_closure(edges, pred=pred_t[:-1]) \
-                .select("src_id", "dst_id")
-            terms = (("src_id", subj), ("dst_id", obj))
-        elif inverse:
-            df = edges.where(F.col("pred") == F.lit(pred_t)) \
-                .select("src_id", "dst_id")
+        if _is_path(pred_t):
+            # the pred slot is consumed by the path; match its (src, dst)
+            # endpoint pairs like any other pattern
+            df = compile_path(pred_t,
+                              [t for t in (subj, obj) if not is_var(t)])
             terms = (("src_id", subj), ("dst_id", obj))
         else:
             df = edges.select(*slots)
@@ -818,21 +951,53 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 df = df.where(F.col(slot) == F.lit(term))
         return df.select(*out), set(seen)
 
+    pstats = None
+    if stats is not None:
+        st = predicate_stats(edges) if stats is True else stats
+        if isinstance(st, DataFrame):
+            # bounded collect: one row per predicate (verb-lemma vocabulary)
+            pstats = {r["pred"]: (int(r["n_edges"]), int(r["n_src_nodes"]),
+                                  int(r["n_dst_nodes"]))
+                      for r in st.select("pred", "n_edges", "n_src_nodes",
+                                         "n_dst_nodes").collect()}
+        elif isinstance(st, dict):
+            pstats = {k: (int(v), None, None) for k, v in st.items()}
+        else:
+            raise ValueError("stats must be True, a predicate_stats frame, "
+                             "or a {pred: n_edges} dict")
+    total = float(sum(v[0] for v in pstats.values())) if pstats else 1e9
+
+    def estimate(p):
+        """Estimated scan size of one pattern, in rows when stats are given,
+        in consistent abstract units otherwise — only the ORDER matters."""
+        subj, pred_t, obj = p
+        n_src = n_dst = None
+        if isinstance(pred_t, str) and is_var(pred_t):
+            est = total
+        elif _is_path(pred_t):
+            names = [name for seq in _parse_path(pred_t)
+                     for _, name, _ in seq]
+            est = (float(sum(pstats.get(n, (0, 0, 0))[0] for n in names))
+                   if pstats is not None else total / 1e3)
+            if "+" in pred_t or "*" in pred_t:
+                est *= 4.0   # a closure is a superset of its predicate scan
+            if "*" in pred_t or "?" in pred_t:
+                est += 1.0   # zero-length arm adds the node set
+        else:
+            if pstats is not None:
+                est, n_src, n_dst = pstats.get(pred_t, (0, None, None))
+                est = float(est)
+            else:
+                est = total / 1e3
+        if not is_var(subj):
+            est /= max(float(n_src) if n_src else 1e3, 1.0)
+        if not is_var(obj):
+            est /= max(float(n_dst) if n_dst else 1e3, 1.0)
+        return est
+
     def compile_group(pats):
-        remaining = list(range(len(pats)))
-        order = [remaining.pop(0)]
-        bound = pat_vars(pats[order[0]])
-        while remaining:
-            nxt = next((i for i in remaining if pat_vars(pats[i]) & bound),
-                       None)
-            if nxt is None:
-                raise ValueError(
-                    "disconnected pattern set: no remaining pattern shares a "
-                    f"variable with {sorted(bound)} — this would be a "
-                    "cartesian product; split the query instead")
-            remaining.remove(nxt)
-            order.append(nxt)
-            bound |= pat_vars(pats[nxt])
+        order = _order_patterns([estimate(p) for p in pats],
+                                [pat_vars(p) for p in pats])
         result, have = compile_one(pats[order[0]])
         for i in order[1:]:
             df, vs = compile_one(pats[i])
@@ -854,6 +1019,12 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 "would be a cartesian product")
         result = result.join(gdf, shared, "left")
         have |= gvars
+    if filter is not None:
+        conds = filter if isinstance(filter, (list, tuple)) else [filter]
+        if not conds:
+            raise ValueError("filter must not be an empty list")
+        for c in conds:
+            result = result.where(F.expr(c) if isinstance(c, str) else c)
     first_seen = []
     for p in patterns + [p for g in groups for p in g]:
         for t in p:
@@ -1260,7 +1431,8 @@ def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
 
 
 def construct_edges(edges: DataFrame, body: list, head: tuple,
-                    optional: list | None = None) -> DataFrame:
+                    optional: list | None = None, filter=None,
+                    stats=None) -> DataFrame:
     """SPARQL CONSTRUCT / rule materialization: match ``body`` (and optional
     groups) like :func:`match_pattern`, then emit one INFERRED edge per head
     binding → (src_id, pred, dst_id, n_support). ``head`` is
@@ -1284,7 +1456,8 @@ def construct_edges(edges: DataFrame, body: list, head: tuple,
     if isinstance(new_pred, str) and new_pred.startswith("?"):
         raise ValueError("the head predicate must be a constant — a variable "
                          "predicate would mint one relation per binding")
-    sol = match_pattern(edges, body, optional=optional)
+    sol = match_pattern(edges, body, optional=optional, filter=filter,
+                        stats=stats)
     for v in (s_var, o_var):
         if v[1:] not in sol.columns:
             raise ValueError(f"head variable {v} is not bound by the body "

@@ -680,16 +680,23 @@ class KgPipeline:
                 F.lit(name).alias("stage"), "n") for name, df in frames.items()])
         return {r["stage"]: r["n"] for r in counts_df.collect()}
 
-    def query(self, patterns: list, distinct: bool = False) -> DataFrame:
+    def query(self, patterns: list, distinct: bool = False,
+              optional: list | None = None, filter=None,
+              stats=None) -> DataFrame:
         """Run a basic graph pattern against the committed KG (the latest edges
-        generation) — ``graph.match_pattern`` over ``table("edges")``::
+        generation) — ``graph.match_pattern`` over ``table("edges")``, with
+        property paths, OPTIONAL groups, FILTER and selectivity-aware join
+        ordering passed through (``stats=True`` computes per-predicate counts
+        once per query)::
 
             p.query([("?who", "возглавлять", "?org"),
-                     ("?org", "located_in+", some_city_id)])
+                     ("?org", "located_in*", some_city_id)],
+                    filter="who != org", stats=True)
         """
         from .operators.graph import match_pattern
 
-        return match_pattern(self.table("edges"), patterns, distinct=distinct)
+        return match_pattern(self.table("edges"), patterns, distinct=distinct,
+                             optional=optional, filter=filter, stats=stats)
 
     def export_ntriples(self, path: str, base: str | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest
