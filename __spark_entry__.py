@@ -341,6 +341,98 @@ def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_paths(q_kg_edges(spark, sf_dir), include_cycles=False)
 
 
+def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
+    with property paths, OPTIONAL and FILTER) as ONE driver row, eight arms
+    under a variant column (50-row cap), every arm checked against the same
+    algebra lowered to plain/recursive SQL over the golden edges parquet:
+
+    - ``bgp2``: 2-hop constant-pred BGP (two patterns, one mid-keyed join;
+      compiled with ``stats=True`` so the selectivity-aware order runs in the
+      gated path) vs a SQL self-join.
+    - ``closure``/``star``: ``p+`` / ``p*`` property paths vs a recursive CTE
+      (∪ the node identity for ``*`` — zero-or-more).
+    - ``inverse``: ``^p`` vs the swapped scan.
+    - ``optional``: an OPTIONAL group vs LEFT JOIN (NULL-on-unmatched).
+    - ``alt``/``seq``: ``p|q`` bag union / ``p/p`` sequence vs IN-scan / join.
+    - ``filter``: FILTER over bound variables vs WHERE.
+
+    The two predicates are chosen from the data deterministically on BOTH
+    sides (most frequent, then second; ties → min pred), so the arms never
+    hardcode corpus-specific strings."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=False)
+    p1, p2 = [r["pred"] for r in edges.groupBy("pred").count()
+              .orderBy(F.desc("count"), F.asc("pred")).limit(2).collect()]
+    null_s = F.lit(None).cast("string")
+
+    def arm(name: str, df: DataFrame) -> DataFrame:
+        c = F.col("c") if "c" in df.columns else null_s
+        return df.select(F.lit(name).alias("variant"), "a", "b", c.alias("c"))
+
+    arms = [
+        arm("bgp2", match_pattern(edges, [("?a", p1, "?b"), ("?b", p1, "?c")],
+                                  stats=True)),
+        arm("closure", match_pattern(edges, [("?a", p1 + "+", "?b")])),
+        arm("star", match_pattern(edges, [("?a", p1 + "*", "?b")])),
+        arm("inverse", match_pattern(edges, [("?a", "^" + p1, "?b")])),
+        arm("optional", match_pattern(edges, [("?a", p1, "?b")],
+                                      optional=[[("?b", p2, "?c")]])),
+        arm("alt", match_pattern(edges, [("?a", f"{p1}|{p2}", "?b")])),
+        arm("seq", match_pattern(edges, [("?a", f"{p1}/{p1}", "?b")])),
+        arm("filter", match_pattern(edges, [("?a", p1, "?b")],
+                                    filter="a < b")),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative graph-ANALYTICS layer as ONE driver row, four arms under
+    a variant column, each an exact-arithmetic recurrence checked
+    engine-vs-engine against DuckDB running the SAME recurrence (unrolled
+    materialized CTEs / recursive CTEs) over the golden edges parquet:
+
+    - ``lpa``: graph.label_propagation, 8 iterations of deterministic integer
+      voting (self-vote, max count, min-label ties) vs the 8-stage unrolled
+      CTE chain. Early exit is a fixpoint, so a converged run and the fixed
+      unroll agree by construction.
+    - ``bfs``: graph.bfs_distances from the min node id (computed identically
+      both sides) vs a recursive CTE with MIN(dist).
+    - ``cc``: graph.components (min reachable id) vs recursive label spread.
+    - ``sssp``: graph.shortest_paths (Bellman-Ford min-plus) over integer
+      weights ``n_occurrences % 7 + 1`` (bounded so the SQL walk-state stays
+      tiny at every tier) vs a cost-capped recursive CTE with MIN(cost).
+
+    All integer/string outputs — no float drift surface anywhere."""
+    from lingvo_spark_kg.operators.graph import (bfs_distances, components,
+                                                 label_propagation,
+                                                 shortest_paths)
+
+    edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=False)
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    src0 = edges.agg(F.least(F.min("src_id"), F.min("dst_id"))).first()[0]
+    lpa = label_propagation(edges, max_iter=8).select(
+        F.lit("lpa").alias("variant"), "node_id",
+        F.col("community").alias("val_s"), null_l.alias("val_l"))
+    bfs = bfs_distances(edges, [src0]).select(
+        F.lit("bfs").alias("variant"), "node_id", null_s.alias("val_s"),
+        F.col("distance").cast("long").alias("val_l"))
+    cc = components(edges).select(
+        F.lit("cc").alias("variant"), "node_id",
+        F.col("component").alias("val_s"), null_l.alias("val_l"))
+    e7 = edges.withColumn(
+        "w7", (F.pmod(F.col("n_occurrences"), F.lit(7)) + F.lit(1)).cast("long"))
+    sssp = shortest_paths(e7, [src0], weight_col="w7").select(
+        F.lit("sssp").alias("variant"), "node_id", null_s.alias("val_s"),
+        F.col("cost").cast("long").alias("val_l"))
+    return lpa.unionByName(bfs).unionByName(cc).unionByName(sssp)
+
+
 def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-maintenance gate (operators/incremental.py): materialize the
     graph state over the FIRST 80% of the corpus, then apply the remaining 20% as
@@ -1215,7 +1307,11 @@ def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns: the same spans with actual PNG payloads (codecs.py pure-stdlib
     encoder), dimensions parsed from the IHDR by decode_media(impl='real') and
     resize = decode → nearest-neighbor → re-encode by resize_media(impl='real').
-    One driver row gates the fake plumbing AND the real decode path."""
+    PLUS (round 7, 50-row cap) the frame/window-sampling arms previously on
+    their own row: variant 'meta' carries the join above; 'frames_fake' /
+    'frames_real' carry q_media_frames' per-(sha1, t_ms) fingerprints and the
+    real PCM-window fingerprints (codecs.py WAVE decode). One driver row gates
+    the fake plumbing, the real decode path, AND the frame sampler."""
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.multimodal import (decode_media, media_payloads,
                                                       resize_media)
@@ -1237,8 +1333,26 @@ def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     real_rs = resize_media(real_payloads, width=32, height=32, impl="real").select(
         "doc_id", "span_idx", "kind",
         F.col("resized_sha1").alias("real_resized_sha1"))
-    return (fake.join(real_meta, ["doc_id", "span_idx", "kind"])
-                .join(real_rs, ["doc_id", "span_idx", "kind"]))
+    meta = (fake.join(real_meta, ["doc_id", "span_idx", "kind"])
+                .join(real_rs, ["doc_id", "span_idx", "kind"])
+            .select(F.lit("meta").alias("variant"), "*")
+            .withColumn("frame_idx", F.lit(None).cast("int"))
+            .withColumn("t_ms", F.lit(None).cast("int"))
+            .withColumn("frame_sha1", F.lit(None).cast("string")))
+    null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
+    frames = q_media_frames(spark, sf_dir).select(
+        F.concat(F.lit("frames_"), F.col("variant")).alias("variant"),
+        "doc_id", "span_idx", null_s.alias("kind"),
+        null_i.alias("n_bytes"), null_s.alias("sha1"), null_i.alias("width"),
+        null_i.alias("height"), null_i.alias("duration_ms"),
+        null_i.alias("r_width"), null_i.alias("r_height"),
+        null_s.alias("resized_sha1"), null_i.alias("real_n_bytes"),
+        null_s.alias("real_sha1"), null_i.alias("real_width"),
+        null_i.alias("real_height"), null_i.alias("real_duration_ms"),
+        null_s.alias("real_resized_sha1"),
+        "frame_idx", "t_ms", "frame_sha1")
+    return meta.unionByName(frames)
 
 
 def q_prf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree": q_kg_degree,
         "kg_pagerank": q_kg_pagerank,
         "kg_paths": q_kg_paths,
+        "kg_graph_query": q_kg_graph_query,
+        "kg_graph_analytics": q_kg_graph_analytics,
         "kg_edges_incremental": q_kg_edges_incremental,
         "pack_contexts": q_pack_contexts,
         "kg_invariant": q_kg_invariant,
@@ -1289,12 +1405,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_urls": q_kg_urls,
         "tag_bilstm_s2s": q_tag_bilstm_s2s,
         "tag_bilstm_crf": q_tag_bilstm_crf,
-        "tag_probs": q_tag_probs,
+        # tag_probs (NumPy) FOLDED into tag_probs_onnx (round 7, 50-row cap):
+        # the onnx row compares the exported graph against the SAME
+        # independent pure-Python golden the NumPy row used — a superset gate
+        # (wire format + executor in the loop); the NumPy path keeps its own
+        # pytest golden compare (tests/test_round7.py)
         "tag_probs_onnx": q_tag_probs_onnx,
         "tag_transformer": q_tag_transformer,
         "kg_links_fuzzy": q_kg_links_fuzzy,
+        # media_frames FOLDED into media_meta_resized (round 7, 50-row cap):
+        # the frames arms ride the same row under variant frames_fake/frames_real
         "media_meta_resized": q_media_meta_resized,
-        "media_frames": q_media_frames,
         "media_embeddings": q_media_embeddings,
         "train_history": q_train_history,
         "train_history_transformer": q_train_history_transformer,
@@ -1363,6 +1484,101 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             + "\nSELECT node_id, CAST(round(rank * CAST(1000000000 AS DOUBLE)) "
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
+def _graph_query_oracle_sql(edges_path: str) -> str:
+    """The eight kg_graph_query arms lowered to plain/recursive SQL over the
+    golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
+    Predicates are derived in-query (top-2 by count, pred-asc ties), matching
+    the Spark side's deterministic choice."""
+    return f"""
+        WITH RECURSIVE
+        ge AS MATERIALIZED (SELECT src_id AS s, pred AS p, dst_id AS d
+                            FROM read_parquet('{edges_path}')),
+        t1 AS MATERIALIZED (SELECT p FROM ge GROUP BY p
+                            ORDER BY COUNT(*) DESC, p LIMIT 1),
+        t2 AS MATERIALIZED (SELECT p FROM ge GROUP BY p
+                            ORDER BY COUNT(*) DESC, p LIMIT 1 OFFSET 1),
+        clo(s, d) AS (
+            SELECT s, d FROM ge WHERE p = (SELECT p FROM t1)
+            UNION SELECT clo.s, ge.d FROM clo
+            JOIN ge ON ge.s = clo.d AND ge.p = (SELECT p FROM t1)),
+        nodes AS (SELECT s AS n FROM ge UNION SELECT d FROM ge)
+        SELECT 'bgp2' AS variant, x.s AS a, x.d AS b, y.d AS c
+          FROM ge x JOIN ge y ON y.s = x.d
+         WHERE x.p = (SELECT p FROM t1) AND y.p = (SELECT p FROM t1)
+        UNION ALL SELECT 'closure', s, d, NULL FROM clo
+        UNION ALL SELECT 'star', s, d, NULL
+          FROM (SELECT s, d FROM clo UNION SELECT n, n FROM nodes)
+        UNION ALL SELECT 'inverse', d, s, NULL FROM ge
+          WHERE p = (SELECT p FROM t1)
+        UNION ALL SELECT 'optional', w.s, w.d, t.d
+          FROM ge w LEFT JOIN ge t ON t.s = w.d AND t.p = (SELECT p FROM t2)
+         WHERE w.p = (SELECT p FROM t1)
+        UNION ALL SELECT 'alt', s, d, NULL FROM ge
+          WHERE p IN (SELECT p FROM t1 UNION ALL SELECT p FROM t2)
+        UNION ALL SELECT 'seq', x.s, y.d, NULL FROM ge x JOIN ge y ON y.s = x.d
+          WHERE x.p = (SELECT p FROM t1) AND y.p = (SELECT p FROM t1)
+        UNION ALL SELECT 'filter', s, d, NULL FROM ge
+          WHERE p = (SELECT p FROM t1) AND s < d
+    """
+
+
+def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
+    """The four kg_graph_analytics arms as the SAME recurrences in DuckDB over
+    the golden edges: LPA unrolled ``lpa_iters`` materialized stages (integer
+    voting, QUALIFY argmax with n DESC / label ASC — Spark's min-struct
+    mirror), BFS / CC / Bellman-Ford as recursive CTEs with MIN aggregation.
+    SSSP weights are n_occurrences % 7 + 1, so the (node, cost) walk state is
+    bounded by 7·|nodes| at every tier; all arithmetic integer-exact."""
+    parts = [
+        "ge AS MATERIALIZED (SELECT src_id, dst_id, n_occurrences "
+        f"FROM read_parquet('{edges_path}'))",
+        "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(src_id, dst_id) AS u, "
+        "GREATEST(src_id, dst_id) AS v FROM ge WHERE src_id <> dst_id)",
+        "nb AS MATERIALIZED (SELECT u AS node, v AS nbr FROM u0 "
+        "UNION ALL SELECT v, u FROM u0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb)",
+    ]
+    for i in range(1, lpa_iters + 1):
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT node, label, SUM(w) AS n FROM ("
+            f"SELECT nb.node, l.label, 1 AS w FROM nb JOIN l{i-1} l "
+            f"ON l.node = nb.nbr UNION ALL SELECT node, label, 1 FROM l{i-1}"
+            ") GROUP BY node, label)")
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM v{i} QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY node "
+            "ORDER BY n DESC, label ASC) = 1)")
+    parts += [
+        "allnodes AS MATERIALIZED (SELECT DISTINCT src_id AS n FROM ge "
+        "UNION SELECT dst_id FROM ge)",
+        "src0 AS MATERIALIZED (SELECT MIN(n) AS n FROM allnodes)",
+        "bfs(node, dist) AS (SELECT n, 0 FROM src0 UNION "
+        "SELECT nb.nbr, bfs.dist + 1 FROM bfs JOIN nb ON nb.node = bfs.node "
+        "WHERE bfs.dist < 20)",
+        "sym AS MATERIALIZED (SELECT DISTINCT src_id AS a, dst_id AS b FROM ge "
+        "UNION SELECT dst_id, src_id FROM ge)",
+        "reach(v, r) AS (SELECT n, n FROM allnodes UNION "
+        "SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.v)",
+        "arcs AS MATERIALIZED (SELECT node, nbr, CAST(MIN(w) AS BIGINT) AS w "
+        "FROM (SELECT src_id AS node, dst_id AS nbr, n_occurrences % 7 + 1 AS w "
+        "FROM ge UNION ALL SELECT dst_id, src_id, n_occurrences % 7 + 1 FROM ge) "
+        "WHERE node <> nbr GROUP BY node, nbr)",
+        "cap AS MATERIALIZED (SELECT 7 * COUNT(*) AS c FROM allnodes)",
+        "sp(node, cost) AS (SELECT n, CAST(0 AS BIGINT) FROM src0 UNION "
+        "SELECT arcs.nbr, sp.cost + arcs.w FROM sp JOIN arcs "
+        "ON arcs.node = sp.node WHERE sp.cost + arcs.w < (SELECT c FROM cap))",
+    ]
+    return ("WITH RECURSIVE " + ",\n".join(parts) + f"""
+        SELECT 'lpa' AS variant, node AS node_id, label AS val_s,
+               CAST(NULL AS BIGINT) AS val_l FROM l{lpa_iters}
+        UNION ALL SELECT 'bfs', node, NULL, CAST(MIN(dist) AS BIGINT)
+          FROM bfs GROUP BY node
+        UNION ALL SELECT 'cc', v, MIN(r), NULL FROM reach GROUP BY v
+        UNION ALL SELECT 'sssp', node, NULL, CAST(MIN(cost) AS BIGINT)
+          FROM sp GROUP BY node
+    """)
+
+
 def _golden_oracles() -> dict[str, str]:
     """DuckDB oracles for the non-SQL-expressible queries: single-node pure-Python
     golden results materialized as parquet (lingvo_spark_kg/golden.py), compared via
@@ -1377,27 +1593,35 @@ def _golden_oracles() -> dict[str, str]:
     out_dir = _goldens_dir(sf_dir)
     paths = golden.ensure_goldens(sf_dir, out_dir)
     out = {n: f"SELECT * FROM read_parquet('{p}')" for n, p in paths.items()}
-    # media_meta + media_resized + the REAL-codec golden are one combined driver
-    # row (50-row cap): join the goldens on the span key — resized dims/sha1 under
-    # r_-prefixed names, real PNG metadata/resize under real_-prefixed names
-    del out["media_meta"], out["media_resized"], out["media_real"]
+    # media_meta + media_resized + the REAL-codec golden + BOTH frame-sampling
+    # goldens are ONE combined driver row (50-row cap): variant 'meta' joins the
+    # span-keyed goldens (resized dims/sha1 under r_-prefixed names, real PNG
+    # metadata/resize under real_-prefixed names); variants 'frames_fake' /
+    # 'frames_real' carry the frame fingerprints with the meta columns NULL
+    del (out["media_meta"], out["media_resized"], out["media_real"],
+         out["media_frames"], out["media_frames_real"])
     out["media_meta_resized"] = f"""
-        SELECT m.*, r.width AS r_width, r.height AS r_height, r.resized_sha1,
+        SELECT 'meta' AS variant, m.*,
+               r.width AS r_width, r.height AS r_height, r.resized_sha1,
                g.real_n_bytes, g.real_sha1, g.real_width, g.real_height,
-               g.real_duration_ms, g.real_resized_sha1
+               g.real_duration_ms, g.real_resized_sha1,
+               CAST(NULL AS INTEGER) AS frame_idx, CAST(NULL AS INTEGER) AS t_ms,
+               CAST(NULL AS VARCHAR) AS frame_sha1
         FROM read_parquet('{paths["media_meta"]}') m
         JOIN read_parquet('{paths["media_resized"]}') r
           USING (doc_id, span_idx, kind)
         JOIN read_parquet('{paths["media_real"]}') g
           USING (doc_id, span_idx, kind)
-    """
-    # the fake and real frame-sampling implementations are one driver row under a
-    # variant column (the real side fingerprints actual PCM windows)
-    del out["media_frames_real"]
-    out["media_frames"] = f"""
-        SELECT *, 'fake' AS variant FROM read_parquet('{paths["media_frames"]}')
         UNION ALL
-        SELECT *, 'real' AS variant FROM read_parquet('{paths["media_frames_real"]}')
+        SELECT 'frames_fake', doc_id, span_idx, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               frame_idx, t_ms, frame_sha1
+        FROM read_parquet('{paths["media_frames"]}')
+        UNION ALL
+        SELECT 'frames_real', doc_id, span_idx, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               frame_idx, t_ms, frame_sha1
+        FROM read_parquet('{paths["media_frames_real"]}')
     """
     # the three ANN index families under one variant column (the single-table SQL
     # oracle embeds the hyperplanes; the multi-table and IVF sides are goldens)
@@ -1431,8 +1655,11 @@ def _golden_oracles() -> dict[str, str]:
     """
     # the exported-ONNX probability path must be bit-identical to the native
     # kernel's — same tag_probs golden (shared probs_from_logits post-processing
-    # over bit-parity logits)
-    out["tag_probs_onnx"] = out["tag_probs"]
+    # over bit-parity logits). The plain tag_probs row is FOLDED into this one
+    # (round 7, 50-row cap): the golden is an independent pure-Python mirror,
+    # so the onnx row is the strict-superset gate (wire format + executor in
+    # the loop); the NumPy path keeps a pytest golden compare (test_round7.py)
+    out["tag_probs_onnx"] = out.pop("tag_probs")
     # S11 nodes: build_nodes is a pure aggregation of the canonical map, so its
     # oracle is SQL over the kg_canonical golden (max-struct → rank-1 row; Spark
     # max(struct) = largest (n_mentions, mention_norm, mention_type) tuple)
@@ -1482,6 +1709,11 @@ def _golden_oracles() -> dict[str, str]:
     # (graph.pagerank), unrolled as a CTE chain over the golden edges —
     # engine-vs-engine on the iteration itself, no golden mirror
     out["kg_pagerank"] = _pagerank_oracle_sql(paths["kg_edges"])
+    # round 7: the graph-query and graph-analytics layers as variant-column
+    # rows over the same golden edges — engine-vs-engine against DuckDB
+    # running the identical algebra / recurrences (see the q_ docstrings)
+    out["kg_graph_query"] = _graph_query_oracle_sql(paths["kg_edges"])
+    out["kg_graph_analytics"] = _graph_analytics_oracle_sql(paths["kg_edges"])
     # 2-hop predicate paths: the same self-join in plain SQL over the golden edges
     # (cycles a→m→a excluded like the Spark side; SUM over BIGINT products is
     # HUGEINT in DuckDB → cast back; example_path compares byte-wise in both

@@ -11,16 +11,21 @@ One-shot sections next to the medians (each its own JSON key, excluded from
 ``value`` so the headline total stays comparable round-over-round): ``skew`` (plain
 vs salted join wall clock on a 60%-hub-key fixture), ``ann`` (recall@10 per ANN
 variant vs brute force + hof-vs-arrow bucket kernel at 100k vectors),
-``graph_query`` (BGP / label-propagation / BFS / N-Triples on the 2M-edge
-Zipf-hub graph), ``pipelines``
-(full 9-stage checkpointed runs at 10× the bench corpus — lexicon, DNN-numpy and
-DNN-ONNX regimens with per-stage timings; the DNN pair is the TRAINED demo artifact,
+``graph_query`` (BGP / OPTIONAL / label-propagation / BFS / weighted shortest
+paths / p+ forest closure / CONSTRUCT / N-Triples on the 2M-edge Zipf-hub
+graph), ``pipelines`` (full 9-stage checkpointed runs at 10× the bench corpus —
+lexicon, DNN-numpy and DNN-ONNX regimens; MEDIANS over
+``$SPARK_GRAFT_BENCH_PIPELINE_REPS`` (default 2) full runs with raw totals
+attached, per-stage medians included; the DNN pair is the TRAINED demo artifact,
 model/demo.py). ``SPARK_GRAFT_BENCH_PIPELINE_DOCS=0`` skips the pipeline runs.
 
-``python bench.py --scaling`` additionally runs the flagship docs→triples job at two
-parallelism levels (local[4] then local[16]; ``--saturated`` uses 8/32) on the SAME
-input and reports throughputs plus scaling efficiency — the sandbox proxy for the
-N→4N-executor criterion (BASELINE.json north_rule; see BASELINE.md "Target protocol").
+``python bench.py --scaling`` additionally runs the flagship docs→triples job at
+two parallelism-level pairs on the SAME input — (2, 8) cores (PRIMARY: far from
+this box's 32-core saturation knee) and (4, 16) (round-over-round
+comparability); ``--saturated`` uses (8, 32), ``--legacy`` only (4, 16) — and
+reports throughputs plus scaling efficiency per pair, the sandbox proxy for the
+N→4N-executor criterion (BASELINE.json north_rule; see BASELINE.md "Target
+protocol").
 """
 
 from __future__ import annotations
@@ -52,6 +57,12 @@ def _time(fn) -> tuple[float, int]:
     t0 = time.time()
     n = fn()
     return round(time.time() - t0, 3), n
+
+
+def _median(vals: list) -> float:
+    s = sorted(vals)
+    m = len(s) // 2
+    return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
 
 
 def run_dnn_tag(spark, n_docs: int, backend: str = "numpy") -> tuple[float, dict]:
@@ -486,18 +497,28 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> d
 
 
 def run_graph_query_bench(spark) -> dict:
-    """Graph-QUERY section: the round-6 query layer timed on the Zipf-hub shape
-    the pagerank section uses (2M edges / 200k nodes, hub drawing 20% of
-    in-edges, 3 predicates). Four reads: a 2-hop BGP with constant predicates
-    (match_pattern — one mid-keyed self-join), 3 label-propagation iterations
-    (edge-volume voting joins), a 4-hop multi-source BFS from the hub
-    (frontier-bounded), and the N-Triples export expression (zero-shuffle
-    codegen map; lines/sec is the interchange-throughput read)."""
+    """Graph-QUERY section: the query layer timed on the Zipf-hub shape the
+    pagerank section uses (2M edges / 200k nodes, hub drawing 20% of in-edges,
+    3 predicates). Eight reads (round 7 added the four VERDICT-r6 item-7 arms
+    so regressions in them are visible round-over-round): a 2-hop BGP with
+    constant predicates (match_pattern — one mid-keyed self-join), the same
+    BGP with the second hop OPTIONAL (left join), 3 label-propagation
+    iterations (edge-volume voting joins), a 4-hop multi-source BFS from the
+    hub (frontier-bounded), weighted shortest paths from the hub
+    (Bellman-Ford min-plus rounds), a p+ transitive closure over a 200k-node
+    forest predicate unioned into the graph (log-round doubling; closing a
+    hierarchy-shaped predicate, the shape the operator is FOR — a dense
+    random predicate's closure is quadratic output by definition),
+    CONSTRUCT-rule materialization over the 2-hop body, and the N-Triples
+    export expression (zero-shuffle codegen map; lines/sec is the
+    interchange-throughput read; sum(length) forces the encode)."""
     from pyspark.sql import functions as F
 
     from lingvo_spark_kg.operators.graph import (bfs_distances,
+                                                 construct_edges,
                                                  label_propagation,
-                                                 match_pattern)
+                                                 match_pattern,
+                                                 shortest_paths)
     from lingvo_spark_kg.operators.rdf import to_ntriples
 
     n_edges, n_nodes = 2_000_000, 200_000
@@ -510,12 +531,36 @@ def run_graph_query_bench(spark) -> dict:
         .alias("pred"),
         (F.pmod("id", 4) + 1).alias("n_occurrences")).persist()
     edges.count()
+    # the closure arm runs on a hierarchy-shaped predicate (a 200k-node binary
+    # forest: child i → parent i/2) unioned into the graph — closing a DENSE
+    # random predicate is quadratic output by definition (the operator's
+    # docstring scale-honesty note); the forest closure is n·depth ≈ 3.4M
+    # pairs, the shape p+ is FOR
+    tree = spark.range(1, 200_000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("src_id"),
+        F.concat(F.lit("t"), (F.col("id") / 2).cast("long")).alias("dst_id"),
+        F.lit("up").alias("pred"), F.lit(1).alias("n_occurrences"))
+    edges_t = edges.select(F.col("src_id").cast("string"),
+                           F.col("dst_id").cast("string"),
+                           "pred", "n_occurrences") \
+        .unionByName(tree).persist()
+    edges_t.count()
     try:
         bgp_sec, n_sol = _time(lambda: match_pattern(
             edges, [("?a", "p0", "?b"), ("?b", "p1", "?c")]).count())
+        opt_sec, n_opt = _time(lambda: match_pattern(
+            edges, [("?a", "p0", "?b")],
+            optional=[[("?b", "p1", "?c")]]).count())
         lpa_sec, _ = _time(lambda: label_propagation(edges, max_iter=3).count())
         bfs_sec, n_reached = _time(
             lambda: bfs_distances(edges, [0], max_hops=4).count())
+        sp_sec, n_sp = _time(lambda: shortest_paths(
+            edges, [0], weight_col="n_occurrences").count())
+        clo_sec, n_clo = _time(lambda: match_pattern(
+            edges_t, [("?a", "up+", "t1")]).count())
+        con_sec, n_con = _time(lambda: construct_edges(
+            edges, [("?a", "p0", "?b"), ("?b", "p1", "?c")],
+            ("?a", "linked", "?c")).count())
         # sum(length(line)) FORCES the encode: a bare count() lets Catalyst
         # prune the projection and times nothing but the cached row count
         nt = to_ntriples(edges)
@@ -524,10 +569,15 @@ def run_graph_query_bench(spark) -> dict:
         n_lines = n_edges
     finally:
         edges.unpersist()
+        edges_t.unpersist()
     return {"n_edges": n_edges, "n_nodes": n_nodes,
             "bgp_2hop_sec": bgp_sec, "bgp_solutions": n_sol,
+            "optional_sec": opt_sec, "optional_solutions": n_opt,
             "lpa_3iter_sec": lpa_sec,
             "bfs_4hop_sec": bfs_sec, "bfs_reached": n_reached,
+            "sssp_sec": sp_sec, "sssp_reached": n_sp,
+            "closure_tree200k_sec": clo_sec, "closure_ancestors_of_root": n_clo,
+            "construct_sec": con_sec, "construct_edges": n_con,
             "ntriples_sec": nt_sec,
             "ntriples_lines_per_sec": round(n_lines / nt_sec, 1)}
 
@@ -539,14 +589,31 @@ def main() -> None:
     n_docs = _n_docs_for(sf)
 
     if "--scaling" in sys.argv:
-        levels = (8, 32) if "--saturated" in sys.argv else (4, 16)
+        # Default runs TWO pairs (round 7, VERDICT r6 item 6): (2, 8) sits far
+        # from this box's 32-core saturation knee — at (4, 16) the 4N level
+        # shares cores with the driver JVM + OS, so ambient load lands almost
+        # entirely on the measured job and final-code r6 ratios sat at the
+        # 0.8 gate boundary. The (2, 8) ratio is the PRIMARY recorded signal;
+        # (4, 16) is kept for round-over-round comparability, and each pair's
+        # 4N-level docs/s is in the detail (the rock-stable absolute number).
+        if "--saturated" in sys.argv:
+            pairs = [(8, 32)]
+        elif "--legacy" in sys.argv:
+            pairs = [(4, 16)]
+        else:
+            pairs = [(2, 8), (4, 16)]
         # 3× the bench corpus so per-job fixed overheads (task scheduling, Arrow
         # setup — ~1-2 s regardless of size) do not bound the 4N level: the
         # north-rule criterion is throughput scaling on the LARGE slice
-        res = run_scaling(sf_dir, n_docs * 3, levels=levels)
-        print(json.dumps({"metric": f"scaling_efficiency_{levels[0]}_to_{levels[1]}",
-                          "value": res["scaling_efficiency"], "unit": "ratio",
-                          "detail": res, "sf": sf}))
+        detail = {}
+        for lv in pairs:
+            detail[f"{lv[0]}_to_{lv[1]}"] = run_scaling(sf_dir, n_docs * 3,
+                                                        levels=lv)
+        primary = detail[f"{pairs[0][0]}_to_{pairs[0][1]}"]
+        print(json.dumps({
+            "metric": f"scaling_efficiency_{pairs[0][0]}_to_{pairs[0][1]}",
+            "value": primary["scaling_efficiency"], "unit": "ratio",
+            "detail": detail, "sf": sf}))
         return
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -562,12 +629,7 @@ def main() -> None:
         n_docs_done = t.pop("_meta_n_docs")
         runs.append(t)
 
-    def median(vals: list[float]) -> float:
-        s = sorted(vals)
-        m = len(s) // 2
-        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
-
-    timings = {k: median([r[k] for r in runs]) for k in runs[0]}
+    timings = {k: _median([r[k] for r in runs]) for k in runs[0]}
 
     dnn_sec, dnn_meta = run_dnn_tag(spark, max(n_docs // 10, 1000))
     timings["dnn_tag_bilstm"] = dnn_sec
@@ -589,6 +651,22 @@ def main() -> None:
     pipelines: dict[str, dict] = {}
     pipe_docs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_DOCS",
                                    str(n_docs * 10)))
+    # medians over ≥2 full runs per regimen (VERDICT r6 item 5): single-run
+    # pipeline totals swung 2× with ambient load on the one NumPy-bound stage
+    # (r6: onnx 111 s exclusive vs 198.8 s in the driver file); raw totals are
+    # attached so the spread itself is recorded
+    pipe_reps = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_REPS", "2"))
+
+    def run_pipeline_median(tagger: str, backend: str = "numpy") -> dict:
+        runs = [run_pipeline(spark, pipe_docs, tagger, backend)
+                for _ in range(pipe_reps)]
+        out = dict(runs[0])
+        out["total_sec"] = _median([r["total_sec"] for r in runs])
+        out["raw_total_secs"] = [r["total_sec"] for r in runs]
+        out["stages"] = {k: _median([r["stages"][k] for r in runs])
+                         for k in runs[0]["stages"]}
+        return out
+
     if pipe_docs > 0:
         if pipe_docs % 1_000_000 == 0:
             label = f"{pipe_docs // 1_000_000}m"
@@ -596,11 +674,10 @@ def main() -> None:
             label = f"{pipe_docs // 1000}k"
         else:
             label = str(pipe_docs)
-        pipelines[f"pipeline_lexicon_{label}"] = run_pipeline(
-            spark, pipe_docs, "lexicon")
-        pipelines[f"pipeline_dnn_{label}"] = run_pipeline(spark, pipe_docs, "dnn")
-        pipelines[f"pipeline_dnn_onnx_{label}"] = run_pipeline(
-            spark, pipe_docs, "dnn", "onnx")
+        pipelines[f"pipeline_lexicon_{label}"] = run_pipeline_median("lexicon")
+        pipelines[f"pipeline_dnn_{label}"] = run_pipeline_median("dnn")
+        pipelines[f"pipeline_dnn_onnx_{label}"] = run_pipeline_median(
+            "dnn", "onnx")
 
     total = round(sum(timings.values()), 3)
     # full-detail record first: raw runs + per-stage pipeline breakdowns make this

@@ -322,3 +322,56 @@ def test_path_terms_plan_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+def _norm(df):
+    """check_oracles.normalize twin for the folded-row pytest gates."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif "float" in str(df[c].dtype):
+            df[c] = df[c].astype(float).round(4)
+        elif "int" in str(df[c].dtype).lower():
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_tag_probs_numpy_still_gated_vs_golden(spark, sf_dir):
+    """The NumPy probability path lost its driver row to the onnx superset
+    gate (round-7 50-row fold) — this keeps its independent-golden compare as
+    a hard pytest signal."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from lingvo_spark_kg import golden
+
+    out_dir = e._goldens_dir(sf_dir)
+    paths = golden.ensure_goldens(sf_dir, out_dir, names=("tag_probs",))
+    got = _norm(e.q_tag_probs(spark, sf_dir).toPandas())
+    ref = _norm(duckdb.connect().execute(
+        f"SELECT * FROM read_parquet('{paths['tag_probs']}')").df())
+    assert len(got) == len(ref) > 0
+    assert got.equals(ref)
+
+
+def test_media_frames_still_gated_vs_goldens(spark, sf_dir):
+    """media_frames lost its driver row to the media_meta_resized fold — keep
+    the fake+real frame-sampling compare as a hard pytest signal."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from lingvo_spark_kg import golden
+
+    out_dir = e._goldens_dir(sf_dir)
+    paths = golden.ensure_goldens(
+        sf_dir, out_dir, names=("media_frames", "media_frames_real"))
+    got = _norm(e.q_media_frames(spark, sf_dir).toPandas())
+    ref = _norm(duckdb.connect().execute(f"""
+        SELECT *, 'fake' AS variant FROM read_parquet('{paths["media_frames"]}')
+        UNION ALL
+        SELECT *, 'real' AS variant
+        FROM read_parquet('{paths["media_frames_real"]}')
+    """).df())
+    assert len(got) == len(ref) > 0
+    assert got.equals(ref)
