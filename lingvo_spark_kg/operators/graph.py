@@ -774,7 +774,8 @@ def _order_patterns(ests: list, varsets: list) -> list:
 
 def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                   optional: list | None = None, filter=None,
-                  stats=None) -> DataFrame:
+                  stats=None, union: list | None = None,
+                  minus: list | None = None) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over the edges table: the core
     KG query primitive ("find every (author, book, publisher) wired like X").
     ``patterns`` is a list of (subj, pred, obj) triple patterns; a term that is
@@ -848,7 +849,23 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     group joining on a variable an earlier group left NULL yields NULLs, it
     does NOT re-bind the variable the way SPARQL's compatibility-merge
     LeftJoin can. Nest dependent patterns in ONE group when you need them to
-    match-or-miss together."""
+    match-or-miss together.
+
+    ``union=[group, ...]`` is SPARQL UNION: each group's solutions are
+    bag-merged with the required group's (a group may bind different
+    variables — rows carry NULL for variables its branch does not bind,
+    exactly the spec's union of solution multisets). ``minus=[group, ...]``
+    is SPARQL MINUS as a LEFT ANTI JOIN on the shared variables: solutions
+    with a matching binding in the group are removed; a group sharing NO
+    variable with the solutions is rejected (the spec defines that as a
+    no-op, which is almost certainly a query bug — split the query if you
+    really mean it). NULL caveat (same SQL lowering as optional): a solution
+    whose shared variable is NULL never anti-matches and is KEPT, even where
+    SPARQL's compatibility rule would remove it on the other shared
+    variables. Evaluation order is fixed and documented: required patterns →
+    UNION branches → OPTIONAL groups → MINUS groups → FILTER (the spec's
+    Filter-last group semantics; put MINUS-dependent bindings in the
+    required/union part)."""
     if not patterns:
         raise ValueError("match_pattern needs at least one triple pattern")
     slots = ("src_id", "pred", "dst_id")
@@ -859,7 +876,12 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     def pat_vars(p):
         return {t[1:] for t in p if is_var(t)}
 
-    for p in list(patterns) + [p for g in (optional or []) for p in g]:
+    union_groups = [list(g) for g in (union or [])]
+    minus_groups = [list(g) for g in (minus or [])]
+    for p in (list(patterns)
+              + [p for g in union_groups for p in g]
+              + [p for g in (optional or []) for p in g]
+              + [p for g in minus_groups for p in g]):
         if len(p) != 3:
             raise ValueError(f"pattern {p!r} is not a (subj, pred, obj) triple")
         if not pat_vars(p):
@@ -1006,6 +1028,14 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         return result, have
 
     result, have = compile_group(patterns)
+    for g in union_groups:
+        if not g:
+            raise ValueError("a union group must not be empty")
+        gdf, gvars = compile_group(g)
+        # SPARQL UNION: bag-merge of solution multisets; a variable absent
+        # from one branch is unbound (NULL) in that branch's rows
+        result = result.unionByName(gdf, allowMissingColumns=True)
+        have |= gvars
     groups = [list(g) for g in (optional or [])]
     for g in groups:
         if not g:
@@ -1019,6 +1049,19 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 "would be a cartesian product")
         result = result.join(gdf, shared, "left")
         have |= gvars
+    for g in minus_groups:
+        if not g:
+            raise ValueError("a minus group must not be empty")
+        gdf, gvars = compile_group(g)
+        shared = sorted(gvars & have)
+        if not shared:
+            raise ValueError(
+                "a minus group must share ≥1 variable with the solutions "
+                f"(group binds {sorted(gvars)}) — SPARQL defines the "
+                "disjoint-domain case as a no-op, which is almost certainly "
+                "a query bug; split the query if you mean it")
+        # MINUS variables never project into the output — anti-join only
+        result = result.join(gdf, shared, "left_anti")
     if filter is not None:
         conds = filter if isinstance(filter, (list, tuple)) else [filter]
         if not conds:
@@ -1026,7 +1069,8 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         for c in conds:
             result = result.where(F.expr(c) if isinstance(c, str) else c)
     first_seen = []
-    for p in patterns + [p for g in groups for p in g]:
+    for p in (patterns + [p for g in union_groups for p in g]
+              + [p for g in groups for p in g]):
         for t in p:
             if is_var(t) and t[1:] not in first_seen:
                 first_seen.append(t[1:])

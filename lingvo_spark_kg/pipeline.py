@@ -682,12 +682,13 @@ class KgPipeline:
 
     def query(self, patterns: list, distinct: bool = False,
               optional: list | None = None, filter=None,
-              stats=None) -> DataFrame:
+              stats=None, union: list | None = None,
+              minus: list | None = None) -> DataFrame:
         """Run a basic graph pattern against the committed KG (the latest edges
         generation) — ``graph.match_pattern`` over ``table("edges")``, with
-        property paths, OPTIONAL groups, FILTER and selectivity-aware join
-        ordering passed through (``stats=True`` computes per-predicate counts
-        once per query)::
+        property paths, OPTIONAL/UNION/MINUS groups, FILTER and
+        selectivity-aware join ordering passed through (``stats=True``
+        computes per-predicate counts once per query)::
 
             p.query([("?who", "возглавлять", "?org"),
                      ("?org", "located_in*", some_city_id)],
@@ -696,7 +697,8 @@ class KgPipeline:
         from .operators.graph import match_pattern
 
         return match_pattern(self.table("edges"), patterns, distinct=distinct,
-                             optional=optional, filter=filter, stats=stats)
+                             optional=optional, filter=filter, stats=stats,
+                             union=union, minus=minus)
 
     def export_ntriples(self, path: str, base: str | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest

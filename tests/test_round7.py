@@ -375,3 +375,87 @@ def test_media_frames_still_gated_vs_goldens(spark, sf_dir):
     """).df())
     assert len(got) == len(ref) > 0
     assert got.equals(ref)
+
+
+def test_match_pattern_union_matches_duckdb(spark):
+    """SPARQL UNION: bag-merge of the branches' solution multisets, NULL for
+    variables a branch does not bind — vs the same NULL-padded UNION ALL in
+    DuckDB; column order is first-seen across required-then-union groups."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rng = random.Random(79)
+    rows = sorted({(rng.randrange(12), rng.randrange(12),
+                    rng.choice(["w", "k", "t"])) for _ in range(40)})
+    df = _edges_df(spark, rows)
+    out = match_pattern(df, [("?x", "w", "?y")],
+                        union=[[("?x", "k", "?z")]])
+    assert out.columns == ["x", "y", "z"]
+    got = sorted((tuple(r) for r in out.collect()),
+                 key=lambda t: tuple((v is None, v) for v in t))
+    ref = sorted((tuple(r) for r in _duck(rows).execute("""
+        SELECT s AS x, d AS y, NULL AS z FROM e WHERE p = 'w'
+        UNION ALL SELECT s, NULL, d FROM e WHERE p = 'k'
+    """).fetchall()), key=lambda t: tuple((v is None, v) for v in t))
+    assert got == ref and len(got) > 0
+
+    # bag semantics: a pair matched by BOTH branches appears twice
+    df2 = _edges_df(spark, [(1, 2, "w"), (1, 2, "k")])
+    n = match_pattern(df2, [("?x", "w", "?y")],
+                      union=[[("?x", "k", "?y")]]).count()
+    assert n == 2
+
+
+def test_match_pattern_minus_matches_duckdb(spark):
+    """SPARQL MINUS as LEFT ANTI JOIN on shared vars — vs NOT EXISTS; minus
+    variables never project; disjoint-domain group raises."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rng = random.Random(83)
+    rows = sorted({(rng.randrange(12), rng.randrange(12),
+                    rng.choice(["w", "bad"])) for _ in range(40)})
+    df = _edges_df(spark, rows)
+    out = match_pattern(df, [("?x", "w", "?y")],
+                        minus=[[("?x", "bad", "?z")]])
+    assert out.columns == ["x", "y"]           # ?z does not project
+    got = {tuple(r) for r in out.collect()}
+    ref = {tuple(r) for r in _duck(rows).execute("""
+        SELECT s, d FROM e w WHERE p = 'w' AND NOT EXISTS (
+            SELECT 1 FROM e b WHERE b.p = 'bad' AND b.s = w.s)
+    """).fetchall()}
+    assert got == ref
+    kept_all = {tuple(r) for r in
+                match_pattern(df, [("?x", "w", "?y")]).collect()}
+    assert got < kept_all                       # minus removed something
+
+    with pytest.raises(ValueError, match="minus group must share"):
+        match_pattern(df, [("?x", "w", "?y")], minus=[[("?a", "bad", "?b")]])
+    with pytest.raises(ValueError, match="minus group must not be empty"):
+        match_pattern(df, [("?x", "w", "?y")], minus=[[]])
+    with pytest.raises(ValueError, match="union group must not be empty"):
+        match_pattern(df, [("?x", "w", "?y")], union=[[]])
+
+
+def test_match_pattern_union_optional_minus_composition(spark):
+    """Fixed evaluation order: patterns → UNION → OPTIONAL → MINUS → FILTER.
+    The optional group joins variables bound by a union branch; minus then
+    prunes; NULL shared keys survive the anti-join (documented SQL-null
+    semantics)."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = [(1, 2, "w"), (3, 4, "k"),
+            (2, 9, "tag"), (4, 8, "tag"),
+            (9, 0, "bad")]
+    df = _edges_df(spark, rows)
+    out = match_pattern(df, [("?x", "w", "?y")],
+                        union=[[("?x", "k", "?y")]],
+                        optional=[[("?y", "tag", "?t")]],
+                        minus=[[("?t", "bad", "?z")]],
+                        filter="x IS NOT NULL")
+    got = {tuple(r) for r in out.collect()}
+    # (1,2) tags to 9, but 9 has a bad-edge → removed by MINUS;
+    # (3,4) tags to 8, kept
+    assert got == {(3, 4, 8)}
