@@ -459,3 +459,15 @@ def test_match_pattern_union_optional_minus_composition(spark):
     # (1,2) tags to 9, but 9 has a bad-edge → removed by MINUS;
     # (3,4) tags to 8, kept
     assert got == {(3, 4, 8)}
+
+
+def test_sequence_of_same_closure_self_join(spark):
+    """a+/a+ reuses ONE cached closure frame on both sides of the sequence
+    join (shared lineage self-join) — multiplicity = number of mids."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "a"), (2, 3, "a"), (3, 4, "a"), (1, 5, "b")])
+    got = sorted(tuple(r) for r in
+                 match_pattern(df, [("?x", "a+/a+", "?y")]).collect())
+    # closure = {12,13,14,23,24,34}; (1,4) has two mids (2 and 3)
+    assert got == [(1, 3), (1, 4), (1, 4), (2, 4)]
