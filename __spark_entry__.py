@@ -1310,8 +1310,14 @@ def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS (round 7, 50-row cap) the frame/window-sampling arms previously on
     their own row: variant 'meta' carries the join above; 'frames_fake' /
     'frames_real' carry q_media_frames' per-(sha1, t_ms) fingerprints and the
-    real PCM-window fingerprints (codecs.py WAVE decode). One driver row gates
-    the fake plumbing, the real decode path, AND the frame sampler."""
+    real PCM-window fingerprints (codecs.py WAVE decode). PLUS (round 7) the
+    'meta_jpeg' arm: the SAME image spans carried as baseline JFIF
+    (codecs.jpeg_encode, seed-varied 4:4:4/4:2:0 + restart layouts) through
+    decode_media/resize_media(impl='real') — dimensions from SOF, resize =
+    scan decode → NN → JPEG re-encode — so the in-sandbox JPEG codec executes
+    through the distributed operators under the driver gate. One driver row
+    gates the fake plumbing, the real PNG path, the real JPEG path, AND the
+    frame sampler."""
     from lingvo_spark_kg.operators.docsgen import docs_from_documents_table
     from lingvo_spark_kg.operators.multimodal import (decode_media, media_payloads,
                                                       resize_media)
@@ -1341,6 +1347,27 @@ def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("frame_sha1", F.lit(None).cast("string")))
     null_i = F.lit(None).cast("int")
     null_s = F.lit(None).cast("string")
+    jpeg_payloads = media_payloads(
+        media_spans(docs_from_documents_table(spark, sf_dir)),
+        codec="real_jpeg")
+    jm = decode_media(jpeg_payloads, impl="real").select(
+        "doc_id", "span_idx", "kind",
+        F.col("n_bytes").alias("real_n_bytes"), F.col("sha1").alias("real_sha1"),
+        F.col("width").alias("real_width"), F.col("height").alias("real_height"),
+        F.col("duration_ms").alias("real_duration_ms"))
+    jr = resize_media(jpeg_payloads, width=32, height=32, impl="real").select(
+        "doc_id", "span_idx", "kind",
+        F.col("resized_sha1").alias("real_resized_sha1"))
+    meta_jpeg = (jm.join(jr, ["doc_id", "span_idx", "kind"]).select(
+        F.lit("meta_jpeg").alias("variant"), "doc_id", "span_idx", "kind",
+        null_i.alias("n_bytes"), null_s.alias("sha1"), null_i.alias("width"),
+        null_i.alias("height"), null_i.alias("duration_ms"),
+        null_i.alias("r_width"), null_i.alias("r_height"),
+        null_s.alias("resized_sha1"),
+        "real_n_bytes", "real_sha1", "real_width", "real_height",
+        "real_duration_ms", "real_resized_sha1",
+        null_i.alias("frame_idx"), null_i.alias("t_ms"),
+        null_s.alias("frame_sha1")))
     frames = q_media_frames(spark, sf_dir).select(
         F.concat(F.lit("frames_"), F.col("variant")).alias("variant"),
         "doc_id", "span_idx", null_s.alias("kind"),
@@ -1352,7 +1379,7 @@ def q_media_meta_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("real_height"), null_i.alias("real_duration_ms"),
         null_s.alias("real_resized_sha1"),
         "frame_idx", "t_ms", "frame_sha1")
-    return meta.unionByName(frames)
+    return meta.unionByName(meta_jpeg).unionByName(frames)
 
 
 def q_prf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,7 +1626,8 @@ def _golden_oracles() -> dict[str, str]:
     # metadata/resize under real_-prefixed names); variants 'frames_fake' /
     # 'frames_real' carry the frame fingerprints with the meta columns NULL
     del (out["media_meta"], out["media_resized"], out["media_real"],
-         out["media_frames"], out["media_frames_real"])
+         out["media_frames"], out["media_frames_real"],
+         out["media_real_jpeg"])
     out["media_meta_resized"] = f"""
         SELECT 'meta' AS variant, m.*,
                r.width AS r_width, r.height AS r_height, r.resized_sha1,
@@ -1612,6 +1640,12 @@ def _golden_oracles() -> dict[str, str]:
           USING (doc_id, span_idx, kind)
         JOIN read_parquet('{paths["media_real"]}') g
           USING (doc_id, span_idx, kind)
+        UNION ALL
+        SELECT 'meta_jpeg', doc_id, span_idx, kind, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, real_n_bytes, real_sha1, real_width,
+               real_height, real_duration_ms, real_resized_sha1,
+               NULL, NULL, NULL
+        FROM read_parquet('{paths["media_real_jpeg"]}')
         UNION ALL
         SELECT 'frames_fake', doc_id, span_idx, NULL, NULL, NULL, NULL, NULL,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,

@@ -59,6 +59,10 @@ GOLDEN_QUERIES = (
     # round 6: REAL media codecs (pure-stdlib PNG/WAV/CSV, codecs.py) — the
     # impl='real' seam executed for every media kind of the corpus
     "media_real", "media_frames_real",
+    # round 7: baseline JPEG/JFIF codec (codecs.jpeg_encode/decode) — the same
+    # image spans carried as JFIF (seed-varied 4:4:4/4:2:0 + restart layouts),
+    # dimensions from SOF, resize = decode → NN → re-encode JPEG
+    "media_real_jpeg",
 )
 
 
@@ -679,6 +683,33 @@ def _media_real_rows(sf_dir: str, width: int = 32, height: int = 32) -> list[tup
     return out
 
 
+def _media_real_jpeg_rows(sf_dir: str, width: int = 32,
+                          height: int = 32) -> list[tuple]:
+    """Mirror of media_payloads(codec='real_jpeg') → decode_media(impl='real')
+    + resize_media(impl='real') over the documents-table image spans: the SAME
+    pixel grids as _media_real_rows but carried as baseline JFIF (seed-varied
+    4:4:4 / 4:2:0 and restart-marker layouts — codecs.synth_image_jpeg), so a
+    green row executes the JPEG encoder AND decoder end-to-end through the
+    distributed operators: dimensions from the SOF header, resize = full scan
+    decode → nearest-neighbor → JPEG re-encode."""
+    from . import codecs as C
+
+    out = []
+    for did, _text in _documents(sf_dir):
+        if did % 8 != 0:
+            continue
+        media_ref = "media://" + hashlib.sha1(str(did).encode()).hexdigest()
+        payload = C.synth_payload("image", media_ref, image_format="jpeg")
+        w, h = C.jpeg_dimensions(payload)
+        resized = C.jpeg_encode(
+            C.resize_nearest(C.jpeg_decode(payload), width, height),
+            quality=90)
+        out.append((f"doc-{did:08d}", 1, "image", len(payload),
+                    hashlib.sha1(payload).hexdigest(), w, h, 0,
+                    hashlib.sha1(resized).hexdigest()))
+    return out
+
+
 def _media_frames_real_rows(n_docs: int, interval_ms: int = 250) -> list[tuple]:
     """Mirror of media_payloads(codec='real') → sample_frames(impl='real') over the
     synthetic corpus's audio spans: REAL WAV payloads, one fingerprint per PCM
@@ -979,6 +1010,10 @@ _SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
                    ("real_resized_sha1", _S)],
     "media_frames_real": [("doc_id", _S), ("span_idx", _I32), ("frame_idx", _I32),
                           ("t_ms", _I32), ("frame_sha1", _S)],
+    "media_real_jpeg": [("doc_id", _S), ("span_idx", _I32), ("kind", _S),
+                        ("real_n_bytes", _I32), ("real_sha1", _S),
+                        ("real_width", _I32), ("real_height", _I32),
+                        ("real_duration_ms", _I32), ("real_resized_sha1", _S)],
 }
 
 
@@ -1056,6 +1091,8 @@ def compute(name: str, sf_dir: str, _cache: dict | None = None) -> pa.Table:
         rows = _media_frames_rows(n_docs_for(sf_dir))
     elif name == "media_real":
         rows = _media_real_rows(sf_dir)
+    elif name == "media_real_jpeg":
+        rows = _media_real_jpeg_rows(sf_dir)
     elif name == "media_frames_real":
         rows = _media_frames_real_rows(n_docs_for(sf_dir))
     elif name == "ann_lsh_multi":

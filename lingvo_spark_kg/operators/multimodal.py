@@ -8,11 +8,12 @@ Two implementations per operator:
   original plumbing-only mode (schema, batch shape, partitioning exercised with
   zero codec cost), kept as the cheap default for plumbing tests.
 - ``impl="real"`` decodes the payload FOR REAL via the pure-stdlib codecs in
-  lingvo_spark_kg/codecs.py: PNG (zlib scanline inflate + unfilter), WAVE/PCM16,
-  CSV tables. Payload formats outside that set (JPEG, MP4, compressed audio …)
-  raise NotImplementedError inside the codec — that narrower seam is where
-  PIL/ffmpeg plug in on a production image; every span kind of the interleaved
-  corpus (image/audio/table) decodes for real here.
+  lingvo_spark_kg/codecs.py: PNG (zlib scanline inflate + unfilter), baseline
+  JPEG/JFIF (Huffman + DCT, 4:4:4/4:2:0, restart markers), WAVE/PCM16, CSV
+  tables. Payload formats outside that set (progressive JPEG, MP4, compressed
+  audio …) raise NotImplementedError inside the codec — that narrower seam is
+  where PIL/libjpeg-turbo/ffmpeg plug in on a production image; every span
+  kind of the interleaved corpus (image/audio/table) decodes for real here.
 """
 
 from __future__ import annotations
@@ -43,18 +44,22 @@ def media_payloads(media_spans: DataFrame, codec: str = "fake") -> DataFrame:
     (doc_id, span_idx, kind, payload:binary). ``codec='fake'`` = 64 opaque
     sha1-derived bytes (pure column expression, zero Python); ``codec='real'`` =
     actual PNG / WAV / CSV bytes synthesized deterministically per media_ref
-    (codecs.synth_payload) so the real decoders have real input."""
+    (codecs.synth_payload) so the real decoders have real input;
+    ``codec='real_jpeg'`` = the same corpus with image spans carried as
+    baseline JFIF instead of PNG (codecs.jpeg_encode, seed-varied 4:4:4/4:2:0
+    + restart layouts)."""
     if codec == "fake":
         return media_spans.withColumn(
             "payload",
             F.unhex(F.repeat(F.substring(F.sha1(F.col("media_ref")), 1, 32), 4)))
+    image_format = "jpeg" if codec == "real_jpeg" else "png"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from lingvo_spark_kg.codecs import synth_payload
 
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [synth_payload(k, r)
+            pdf["payload"] = [synth_payload(k, r, image_format=image_format)
                               for k, r in zip(pdf["kind"], pdf["media_ref"])]
             yield pdf
 
@@ -66,9 +71,10 @@ def media_payloads(media_spans: DataFrame, codec: str = "fake") -> DataFrame:
 def decode_media(media: DataFrame, impl: str = "fake") -> DataFrame:
     """(doc_id, span_idx, kind, payload) → typed metadata. ``impl='real'`` parses
     the actual bytes (codecs.py): PNG dimensions come from the IHDR without
-    inflating pixel data, WAV duration from the PCM header, CSV shape from the
-    parsed table — dispatch is on sniffed magic bytes, not the claimed kind.
-    Formats beyond PNG/WAV/CSV raise inside the codec (the PIL/ffmpeg seam)."""
+    inflating pixel data, JPEG dimensions from the SOF header without decoding
+    the scan, WAV duration from the PCM header, CSV shape from the parsed
+    table — dispatch is on sniffed magic bytes, not the claimed kind. Formats
+    beyond PNG/JPEG/WAV/CSV raise inside the codec (the PIL/ffmpeg seam)."""
     if impl == "real":
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lingvo_spark_kg import codecs as C
@@ -82,8 +88,8 @@ def decode_media(media: DataFrame, impl: str = "fake") -> DataFrame:
                     b = bytes(payload) if payload is not None else b""
                     fmt = C.sniff_kind(b)
                     width = height = duration = 0
-                    if fmt == "png":
-                        width, height = C.png_dimensions(b)
+                    if fmt in ("png", "jpeg"):
+                        width, height = C.image_dimensions(b)
                     elif fmt == "wav":
                         duration = C.wav_duration_ms(b)
                     elif fmt == "csv":
@@ -93,7 +99,7 @@ def decode_media(media: DataFrame, impl: str = "fake") -> DataFrame:
                     else:
                         raise NotImplementedError(
                             f"payload format for span ({doc_id},{span_idx}) not "
-                            "PNG/WAV/CSV — decoding it needs PIL/ffmpeg "
+                            "PNG/JPEG/WAV/CSV — decoding it needs PIL/ffmpeg "
                             "(production seam)")
                     out["doc_id"].append(doc_id)
                     out["span_idx"].append(int(span_idx))
@@ -152,9 +158,10 @@ RESIZED_SCHEMA = T.StructType([
 def resize_media(media: DataFrame, width: int = 32, height: int = 32,
                  impl: str = "fake") -> DataFrame:
     """Image resize over opaque payloads → (…, resized:binary, resized_sha1).
-    ``impl='real'`` decodes PNG payloads, nearest-neighbor-resamples to
-    ``width×height`` and re-encodes PNG (codecs.py — integer-exact, deterministic;
-    PIL's filter zoo is the production upgrade at this seam). Non-image payloads
+    ``impl='real'`` decodes PNG/JPEG payloads, nearest-neighbor-resamples to
+    ``width×height`` and re-encodes in the source format (codecs.py —
+    deterministic; PIL's filter zoo is the production upgrade at this seam,
+    and JPEG re-encode is lossy by nature). Non-image payloads
     pass through with NULL resized columns so the operator composes over mixed
     media without a filter upstream. The fake derives a deterministic byte grid
     from the payload digest so partitioning/batch shape/schema are exercised
@@ -170,9 +177,13 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32,
                     pdf["doc_id"], pdf["span_idx"], pdf["kind"], pdf["payload"]
                 ):
                     b = bytes(payload) if payload is not None else b""
-                    if C.sniff_kind(b) == "png":
-                        small = C.png_encode(
-                            C.resize_nearest(C.png_decode(b), width, height))
+                    fmt = C.sniff_kind(b)
+                    if fmt in ("png", "jpeg"):
+                        # decode → nearest-neighbor → re-encode IN-FORMAT
+                        arr = C.resize_nearest(C.decode_image(b), width,
+                                               height)
+                        small = (C.png_encode(arr) if fmt == "png"
+                                 else C.jpeg_encode(arr, quality=90))
                         sha = hashlib.sha1(small).hexdigest()
                     else:
                         small = sha = None

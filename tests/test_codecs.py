@@ -130,7 +130,9 @@ def test_csv_round_trip_and_sniff():
     assert C.sniff_kind(C.csv_encode(rows)) == "csv"
     assert C.sniff_kind(C.png_encode(np.zeros((2, 2, 3), np.uint8))) == "png"
     assert C.sniff_kind(C.wav_encode(np.zeros(4, np.int16), 8000)) == "wav"
-    assert C.sniff_kind(b"\xff\xd8\xff\xe0 jpeg-ish") == "unknown"
+    # round 7: JPEG is a first-class sniffed format now (codecs.jpeg_decode)
+    assert C.sniff_kind(b"\xff\xd8\xff\xe0 jpeg-ish") == "jpeg"
+    assert C.sniff_kind(b"\x00\x01binary-noise") == "unknown"
 
 
 # ------------------------------------------------ synthesis + resize
@@ -231,3 +233,142 @@ def test_media_features_real_matches_local(spark, real_media):
         kind = {0: "image", 1: "audio"}.get(key[1]) if key[0] == "d1" else "table"
         expect = C.real_feature_vector(C.synth_payload(kind, ref), dim=16)
         assert got[key] == expect  # bit-identical: same pure function both sides
+
+
+# ----------------------------------------------------------- JPEG (round 7)
+
+def test_jpeg_round_trip_accuracy_and_determinism():
+    """Smooth ramps survive encode→decode within tight bounds at q90 (mean
+    error < 1 for 4:4:4) — the DCT/quant/Huffman chain is numerically right,
+    not merely structurally parseable; bytes are deterministic."""
+    import numpy as np
+
+    from lingvo_spark_kg import codecs as C
+
+    h, w = 33, 49
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([40 + x * 2, 60 + y * 3, 90 + (x + y)],
+                   axis=2).clip(0, 255).astype(np.uint8)
+    for sub, mean_bound, max_bound in (("444", 1.0, 4), ("420", 4.0, 30)):
+        d = C.jpeg_encode(img, quality=90, subsampling=sub)
+        assert d[:2] == C.JPEG_SOI and d[-2:] == b"\xff\xd9"
+        r = C.jpeg_decode(d).astype(int)
+        assert r.shape == img.shape
+        e = np.abs(r - img.astype(int))
+        assert e.mean() < mean_bound and e.max() < max_bound, (sub, e.mean())
+        assert C.jpeg_encode(img, quality=90, subsampling=sub) == d
+        assert C.jpeg_dimensions(d) == (w, h)
+
+
+def test_jpeg_solid_color_dc_only_exact():
+    """A solid block is DC-only: decode must land within rounding of the
+    constant (any DC-prediction bug shows immediately)."""
+    import numpy as np
+
+    from lingvo_spark_kg import codecs as C
+
+    solid = np.full((24, 40, 3), 130, dtype=np.uint8)
+    dec = C.jpeg_decode(C.jpeg_encode(solid, quality=90)).astype(int)
+    assert np.abs(dec - 130).max() <= 2
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    import numpy as np
+
+    from lingvo_spark_kg import codecs as C
+
+    gray = (np.add.outer(np.arange(19) * 3, np.arange(37) * 5) % 200
+            + 20).astype(np.uint8)
+    d = C.jpeg_encode(gray, quality=85)
+    r = C.jpeg_decode(d)
+    assert r.shape == (19, 37, 1)
+    assert abs(float(r[:, :, 0].mean()) - float(gray.mean())) < 2.0
+
+
+def test_jpeg_restart_markers_round_trip():
+    """DRI + RSTn layout: markers present, DC predictors reset, decode is
+    bit-identical to the marker-free scan of the same image."""
+    import numpy as np
+
+    from lingvo_spark_kg import codecs as C
+
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack([x * 4, y * 6, x + y], axis=2).clip(0, 255).astype(np.uint8)
+    for sub in ("444", "420"):
+        d = C.jpeg_encode(img, quality=80, subsampling=sub, restart_interval=2)
+        assert b"\xff\xdd" in d and b"\xff\xd0" in d
+        plain = C.jpeg_decode(C.jpeg_encode(img, quality=80, subsampling=sub))
+        assert (C.jpeg_decode(d) == plain).all()
+
+
+def test_jpeg_byte_stuffing_present_and_survives():
+    """Scan data containing a raw 0xFF byte must be stuffed with 0x00 and
+    decoded through it — hunt a seed whose scan produces stuffing."""
+    import numpy as np
+
+    from lingvo_spark_kg import codecs as C
+
+    found = False
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        d = C.jpeg_encode(img, quality=95)
+        scan = d[d.find(b"\xff\xda"):]
+        if b"\xff\x00" in scan:
+            found = True
+            assert C.jpeg_decode(d).shape == (16, 16, 3)
+            break
+    assert found, "no stuffed byte in 40 random scans — writer suspicious"
+
+
+def test_jpeg_error_paths_and_dispatch():
+    import numpy as np
+    import pytest
+
+    from lingvo_spark_kg import codecs as C
+
+    with pytest.raises(NotImplementedError, match="progressive"):
+        C.jpeg_decode(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9))
+    with pytest.raises(ValueError, match="SOI"):
+        C.jpeg_decode(b"nope")
+    with pytest.raises(ValueError, match="1 or 3 channels"):
+        C.jpeg_encode(np.zeros((8, 8, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        C.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
+    img = np.full((9, 9, 3), 77, dtype=np.uint8)
+    d = C.jpeg_encode(img)
+    assert C.sniff_kind(d) == "jpeg"
+    assert (C.decode_image(d) == C.jpeg_decode(d)).all()
+    assert C.image_dimensions(d) == (9, 9)
+    png = C.synth_image("media://x")
+    assert (C.decode_image(png) == C.png_decode(png)).all()
+
+
+def test_jpeg_synth_variants_cover_layouts():
+    """synth_image_jpeg varies subsampling and restart layout by seed — both
+    arms must occur across refs, every payload decodes, and the pixel grid
+    matches the PNG synth's within JPEG loss."""
+    import numpy as np
+
+    from lingvo_spark_kg import codecs as C
+
+    has_restart = set()
+    samplings = set()
+    for i in range(24):
+        ref = f"media://jpegcase{i}"
+        d = C.synth_payload("image", ref, image_format="jpeg")
+        assert C.sniff_kind(d) == "jpeg"
+        arr = C.jpeg_decode(d)
+        png_arr = C.png_decode(C.synth_payload("image", ref))
+        assert arr.shape == png_arr.shape
+        err = np.abs(arr.astype(int) - png_arr.astype(int))
+        # the synth texture is near-noise (hash-modulated), the worst case
+        # for JPEG: bound well below the ~85 mean of two UNRELATED uint8
+        # images, so "same picture, lossy" still has teeth
+        assert err.mean() < 64, err.mean()
+        has_restart.add(d.find(b"\xff\xdd") != -1)
+        # SOF luma sampling byte: 0x22 = 4:2:0, 0x11 = 4:4:4
+        sof = d.find(b"\xff\xc0")
+        samplings.add(d[sof + 11])
+    assert has_restart == {True, False}
+    assert samplings == {0x11, 0x22}
