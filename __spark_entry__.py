@@ -343,8 +343,8 @@ def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
-    with property paths, OPTIONAL and FILTER) as ONE driver row, eight arms
-    under a variant column (50-row cap), every arm checked against the same
+    with property paths, OPTIONAL/UNION/MINUS and FILTER) as ONE driver row,
+    ten arms under a variant column (50-row cap), every arm checked against the same
     algebra lowered to plain/recursive SQL over the golden edges parquet:
 
     - ``bgp2``: 2-hop constant-pred BGP (two patterns, one mid-keyed join;
@@ -356,6 +356,9 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``optional``: an OPTIONAL group vs LEFT JOIN (NULL-on-unmatched).
     - ``alt``/``seq``: ``p|q`` bag union / ``p/p`` sequence vs IN-scan / join.
     - ``filter``: FILTER over bound variables vs WHERE.
+    - ``union``: a UNION branch binding a DIFFERENT variable (NULL-padded bag
+      merge) vs the same NULL-padded UNION ALL.
+    - ``minus``: MINUS on the shared subject vs NOT EXISTS.
 
     The two predicates are chosen from the data deterministically on BOTH
     sides (most frequent, then second; ties → min pred), so the arms never
@@ -383,6 +386,10 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm("seq", match_pattern(edges, [("?a", f"{p1}/{p1}", "?b")])),
         arm("filter", match_pattern(edges, [("?a", p1, "?b")],
                                     filter="a < b")),
+        arm("union", match_pattern(edges, [("?a", p1, "?b")],
+                                   union=[[("?a", p2, "?c")]])),
+        arm("minus", match_pattern(edges, [("?a", p1, "?b")],
+                                   minus=[[("?a", p2, "?z")]])),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -1512,7 +1519,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The eight kg_graph_query arms lowered to plain/recursive SQL over the
+    """The ten kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1546,6 +1553,14 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
           WHERE x.p = (SELECT p FROM t1) AND y.p = (SELECT p FROM t1)
         UNION ALL SELECT 'filter', s, d, NULL FROM ge
           WHERE p = (SELECT p FROM t1) AND s < d
+        UNION ALL SELECT 'union', s, d, NULL FROM ge
+          WHERE p = (SELECT p FROM t1)
+        UNION ALL SELECT 'union', s, NULL, d FROM ge
+          WHERE p = (SELECT p FROM t2)
+        UNION ALL SELECT 'minus', w.s, w.d, NULL FROM ge w
+          WHERE w.p = (SELECT p FROM t1) AND NOT EXISTS (
+            SELECT 1 FROM ge b WHERE b.p = (SELECT p FROM t2)
+              AND b.s = w.s)
     """
 
 
