@@ -398,7 +398,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The iterative graph-ANALYTICS layer as ONE driver row, four arms under
+    """The iterative graph-ANALYTICS layer as ONE driver row, six arms under
     a variant column, each an exact-arithmetic recurrence checked
     engine-vs-engine against DuckDB running the SAME recurrence (unrolled
     materialized CTEs / recursive CTEs) over the golden edges parquet:
@@ -413,11 +413,17 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``sssp``: graph.shortest_paths (Bellman-Ford min-plus) over integer
       weights ``n_occurrences % 7 + 1`` (bounded so the SQL walk-state stays
       tiny at every tier) vs a cost-capped recursive CTE with MIN(cost).
+    - ``coreness``: graph.coreness (iterated neighborhood h-index, Lü et al.
+      2016) vs a 30-stage unrolled h-index chain (ROW_NUMBER desc window,
+      max(least(rn, v))) — same fixpoint argument as lpa.
+    - ``walks``: graph.random_walks (n_walks=2, walk_len=4 — the
+      deterministic argmin-of-md5 DeepWalk kernel) vs the same md5 argmin as
+      ROW_NUMBER windows; rows encoded (start, visited, walk_idx*16+step).
 
     All integer/string outputs — no float drift surface anywhere."""
     from lingvo_spark_kg.operators.graph import (bfs_distances, components,
-                                                 label_propagation,
-                                                 shortest_paths)
+                                                 coreness, label_propagation,
+                                                 random_walks, shortest_paths)
 
     edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=False)
     null_s = F.lit(None).cast("string")
@@ -437,7 +443,17 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sssp = shortest_paths(e7, [src0], weight_col="w7").select(
         F.lit("sssp").alias("variant"), "node_id", null_s.alias("val_s"),
         F.col("cost").cast("long").alias("val_l"))
-    return lpa.unionByName(bfs).unionByName(cc).unionByName(sssp)
+    core = coreness(edges).select(
+        F.lit("coreness").alias("variant"), "node_id", null_s.alias("val_s"),
+        F.col("coreness").cast("long").alias("val_l"))
+    walks = random_walks(edges, n_walks=2, walk_len=4, seed=42).select(
+        F.lit("walks").alias("variant"),
+        F.col("start_id").alias("node_id"),
+        F.col("node_id").alias("val_s"),
+        (F.col("walk_idx") * F.lit(16) + F.col("step"))
+        .cast("long").alias("val_l"))
+    return (lpa.unionByName(bfs).unionByName(cc).unionByName(sssp)
+            .unionByName(core).unionByName(walks))
 
 
 def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,7 +1586,13 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
     voting, QUALIFY argmax with n DESC / label ASC — Spark's min-struct
     mirror), BFS / CC / Bellman-Ford as recursive CTEs with MIN aggregation.
     SSSP weights are n_occurrences % 7 + 1, so the (node, cost) walk state is
-    bounded by 7·|nodes| at every tier; all arithmetic integer-exact."""
+    bounded by 7·|nodes| at every tier; all arithmetic integer-exact. The
+    coreness arm unrolls ``core_iters`` h-index stages (init = degree; the
+    sequence is monotone non-increasing with fixpoint = coreness, so any
+    unroll ≥ the Spark side's convergence round agrees exactly); the walks
+    arm unrolls walk_len=4 argmin-of-md5 steps — Spark's min(struct(md5, nbr))
+    is DuckDB's ROW_NUMBER over (md5 ASC, nbr ASC), comparing identical hex
+    strings of identical concat_ws inputs."""
     parts = [
         "ge AS MATERIALIZED (SELECT src_id, dst_id, n_occurrences "
         f"FROM read_parquet('{edges_path}'))",
@@ -1609,7 +1631,35 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
         "sp(node, cost) AS (SELECT n, CAST(0 AS BIGINT) FROM src0 UNION "
         "SELECT arcs.nbr, sp.cost + arcs.w FROM sp JOIN arcs "
         "ON arcs.node = sp.node WHERE sp.cost + arcs.w < (SELECT c FROM cap))",
+        # coreness: init = degree, then core_iters unrolled h-index stages
+        "k0 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM nb GROUP BY node)",
     ]
+    core_iters = 30
+    for i in range(1, core_iters + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node, "
+            "CAST(MAX(LEAST(rn, v)) AS BIGINT) AS c FROM ("
+            "SELECT nb.node, p.c AS v, ROW_NUMBER() OVER ("
+            "PARTITION BY nb.node ORDER BY p.c DESC, nb.nbr ASC) AS rn "
+            f"FROM nb JOIN k{i-1} p ON p.node = nb.nbr) GROUP BY node)")
+    # walks: frontier = every non-isolated node × walk 0/1; per step the next
+    # hop is the md5-argmin neighbor (rep always '1' in unweighted mode)
+    parts.append(
+        "w0 AS MATERIALIZED (SELECT start_id, wi AS walk_idx, "
+        "start_id AS cur FROM (SELECT DISTINCT node AS start_id FROM nb) s, "
+        "(VALUES (0), (1)) t(wi))")
+    for t in range(1, 5):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT start_id, walk_idx, nbr AS cur "
+            "FROM (SELECT w.start_id, w.walk_idx, nb.nbr, ROW_NUMBER() OVER ("
+            "PARTITION BY w.start_id, w.walk_idx ORDER BY "
+            f"md5(concat_ws(':', '42', w.start_id, w.walk_idx, '{t}', "
+            "nb.nbr, '1')) ASC, nb.nbr ASC) AS rn "
+            f"FROM w{t-1} w JOIN nb ON nb.node = w.cur) WHERE rn = 1)")
+    walk_union = " UNION ALL ".join(
+        f"SELECT 'walks', start_id, cur, CAST(walk_idx * 16 + {t} AS BIGINT) "
+        f"FROM w{t}" for t in range(0, 5))
     return ("WITH RECURSIVE " + ",\n".join(parts) + f"""
         SELECT 'lpa' AS variant, node AS node_id, label AS val_s,
                CAST(NULL AS BIGINT) AS val_l FROM l{lpa_iters}
@@ -1618,6 +1668,8 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
         UNION ALL SELECT 'cc', v, MIN(r), NULL FROM reach GROUP BY v
         UNION ALL SELECT 'sssp', node, NULL, CAST(MIN(cost) AS BIGINT)
           FROM sp GROUP BY node
+        UNION ALL SELECT 'coreness', node, NULL, c FROM k{core_iters}
+        UNION ALL {walk_union}
     """)
 
 
