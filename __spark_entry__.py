@@ -343,8 +343,9 @@ def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
-    with property paths, OPTIONAL/UNION/MINUS and FILTER) as ONE driver row,
-    ten arms under a variant column (50-row cap), every arm checked against the same
+    with property paths, OPTIONAL/UNION/MINUS and FILTER, plus the
+    generation-diff audit read) as ONE driver row, eleven arms under a
+    variant column (50-row cap), every arm checked against the same
     algebra lowered to plain/recursive SQL over the golden edges parquet:
 
     - ``bgp2``: 2-hop constant-pred BGP (two patterns, one mid-keyed join;
@@ -359,6 +360,11 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``union``: a UNION branch binding a DIFFERENT variable (NULL-padded bag
       merge) vs the same NULL-padded UNION ALL.
     - ``minus``: MINUS on the shared subject vs NOT EXISTS.
+    - ``diff``: graph.edge_diff between a derived old generation (occurrence
+      counts rewritten ``% 3 + 1``, single-occurrence edges dropped, one
+      synthetic edge injected so every status occurs) and the current edges —
+      all four statuses + both counts packed into one pipe-joined column —
+      vs the same FULL OUTER JOIN in SQL.
 
     The two predicates are chosen from the data deterministically on BOTH
     sides (most frequent, then second; ties → min pred), so the arms never
@@ -391,6 +397,24 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm("minus", match_pattern(edges, [("?a", p1, "?b")],
                                    minus=[[("?a", p2, "?z")]])),
     ]
+    from lingvo_spark_kg.operators.graph import edge_diff
+
+    old = (edges.where(F.col("n_occurrences") > 1)
+           .select("src_id", "pred", "dst_id",
+                   (F.pmod(F.col("n_occurrences"), F.lit(3)) + F.lit(1))
+                   .cast("long").alias("n_occurrences"))
+           .unionByName(spark.createDataFrame(
+               [("zz:x", "zz", "zz:y", 1)],
+               "src_id string, pred string, dst_id string, "
+               "n_occurrences long")))
+    arms.append(edge_diff(old, edges).select(
+        F.lit("diff").alias("variant"),
+        F.col("src_id").alias("a"), F.col("dst_id").alias("b"),
+        F.concat_ws(
+            "|", "pred", "status",
+            F.coalesce(F.col("n_occurrences_old").cast("string"), F.lit("-")),
+            F.coalesce(F.col("n_occurrences_new").cast("string"), F.lit("-")))
+        .alias("c")))
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
@@ -1535,7 +1559,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The ten kg_graph_query arms lowered to plain/recursive SQL over the
+    """The eleven kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1551,7 +1575,13 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
             SELECT s, d FROM ge WHERE p = (SELECT p FROM t1)
             UNION SELECT clo.s, ge.d FROM clo
             JOIN ge ON ge.s = clo.d AND ge.p = (SELECT p FROM t1)),
-        nodes AS (SELECT s AS n FROM ge UNION SELECT d FROM ge)
+        nodes AS (SELECT s AS n FROM ge UNION SELECT d FROM ge),
+        gocc AS MATERIALIZED (SELECT src_id AS s, pred AS p, dst_id AS d,
+                              n_occurrences AS occ
+                              FROM read_parquet('{edges_path}')),
+        old_e AS MATERIALIZED (
+            SELECT s, p, d, occ % 3 + 1 AS occ FROM gocc WHERE occ > 1
+            UNION ALL SELECT 'zz:x', 'zz', 'zz:y', 1)
         SELECT 'bgp2' AS variant, x.s AS a, x.d AS b, y.d AS c
           FROM ge x JOIN ge y ON y.s = x.d
          WHERE x.p = (SELECT p FROM t1) AND y.p = (SELECT p FROM t1)
@@ -1577,6 +1607,16 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
           WHERE w.p = (SELECT p FROM t1) AND NOT EXISTS (
             SELECT 1 FROM ge b WHERE b.p = (SELECT p FROM t2)
               AND b.s = w.s)
+        UNION ALL SELECT 'diff', COALESCE(o.s, n.s), COALESCE(o.d, n.d),
+               COALESCE(o.p, n.p) || '|' ||
+               CASE WHEN o.occ IS NULL THEN 'added'
+                    WHEN n.occ IS NULL THEN 'removed'
+                    WHEN o.occ <> n.occ THEN 'changed'
+                    ELSE 'unchanged' END || '|' ||
+               COALESCE(CAST(o.occ AS VARCHAR), '-') || '|' ||
+               COALESCE(CAST(n.occ AS VARCHAR), '-')
+          FROM old_e o FULL JOIN gocc n
+            ON n.s = o.s AND n.p = o.p AND n.d = o.d
     """
 
 
