@@ -422,7 +422,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The iterative graph-ANALYTICS layer as ONE driver row, six arms under
+    """The iterative graph-ANALYTICS layer as ONE driver row, seven arms under
     a variant column, each an exact-arithmetic recurrence checked
     engine-vs-engine against DuckDB running the SAME recurrence (unrolled
     materialized CTEs / recursive CTEs) over the golden edges parquet:
@@ -443,19 +443,31 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``walks``: graph.random_walks (n_walks=2, walk_len=4 — the
       deterministic argmin-of-md5 DeepWalk kernel) vs the same md5 argmin as
       ROW_NUMBER windows; rows encoded (start, visited, walk_idx*16+step).
+    - ``commstats``: graph.community_stats over the SAME LPA assignment —
+      the exact integer modularity inputs (n_nodes, intra, boundary,
+      degree_sum) packed into one base-100000 integer per community — vs the
+      same classification in SQL over the l8 stage.
 
     All integer/string outputs — no float drift surface anywhere."""
     from lingvo_spark_kg.operators.graph import (bfs_distances, components,
-                                                 coreness, label_propagation,
+                                                 community_stats, coreness,
+                                                 label_propagation,
                                                  random_walks, shortest_paths)
 
     edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=False)
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
     src0 = edges.agg(F.least(F.min("src_id"), F.min("dst_id"))).first()[0]
-    lpa = label_propagation(edges, max_iter=8).select(
+    comm = label_propagation(edges, max_iter=8).localCheckpoint(eager=False)
+    lpa = comm.select(
         F.lit("lpa").alias("variant"), "node_id",
         F.col("community").alias("val_s"), null_l.alias("val_l"))
+    cs = community_stats(edges, comm).select(
+        F.lit("commstats").alias("variant"),
+        F.col("community").alias("node_id"), null_s.alias("val_s"),
+        (((F.col("n_nodes") * F.lit(100000) + F.col("n_intra_edges"))
+          * F.lit(100000) + F.col("n_boundary_edges")) * F.lit(100000)
+         + F.col("degree_sum")).cast("long").alias("val_l"))
     bfs = bfs_distances(edges, [src0]).select(
         F.lit("bfs").alias("variant"), "node_id", null_s.alias("val_s"),
         F.col("distance").cast("long").alias("val_l"))
@@ -477,7 +489,7 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("walk_idx") * F.lit(16) + F.col("step"))
         .cast("long").alias("val_l"))
     return (lpa.unionByName(bfs).unionByName(cc).unionByName(sssp)
-            .unionByName(core).unionByName(walks))
+            .unionByName(core).unionByName(walks).unionByName(cs))
 
 
 def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,6 +1712,23 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
     walk_union = " UNION ALL ".join(
         f"SELECT 'walks', start_id, cur, CAST(walk_idx * 16 + {t} AS BIGINT) "
         f"FROM w{t}" for t in range(0, 5))
+    # community_stats over the SAME l8 LPA assignment (induced == full here:
+    # every u0 endpoint is l8-assigned)
+    parts += [
+        f"ctg AS MATERIALIZED (SELECT u0.u, u0.v, cu.label AS cu_l, "
+        f"cv.label AS cv_l FROM u0 JOIN l{lpa_iters} cu ON cu.node = u0.u "
+        f"JOIN l{lpa_iters} cv ON cv.node = u0.v)",
+        "cintra AS MATERIALIZED (SELECT cu_l AS com, COUNT(*) AS n FROM ctg "
+        "WHERE cu_l = cv_l GROUP BY 1)",
+        "cbnd AS MATERIALIZED (SELECT com, COUNT(*) AS n FROM ("
+        "SELECT cu_l AS com FROM ctg WHERE cu_l <> cv_l "
+        "UNION ALL SELECT cv_l FROM ctg WHERE cu_l <> cv_l) GROUP BY 1)",
+        "cdeg AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM ("
+        "SELECT u AS node FROM ctg UNION ALL SELECT v FROM ctg) GROUP BY 1)",
+        f"cmem AS MATERIALIZED (SELECT label AS com, COUNT(*) AS n_nodes, "
+        f"COALESCE(SUM(dg), 0) AS degree_sum FROM l{lpa_iters} l "
+        "LEFT JOIN cdeg ON cdeg.node = l.node GROUP BY 1)",
+    ]
     return ("WITH RECURSIVE " + ",\n".join(parts) + f"""
         SELECT 'lpa' AS variant, node AS node_id, label AS val_s,
                CAST(NULL AS BIGINT) AS val_l FROM l{lpa_iters}
@@ -1710,6 +1739,12 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
           FROM sp GROUP BY node
         UNION ALL SELECT 'coreness', node, NULL, c FROM k{core_iters}
         UNION ALL {walk_union}
+        UNION ALL SELECT 'commstats', cmem.com, NULL,
+               CAST(((cmem.n_nodes * 100000 + COALESCE(cintra.n, 0)) * 100000
+                     + COALESCE(cbnd.n, 0)) * 100000 + cmem.degree_sum
+                    AS BIGINT)
+          FROM cmem LEFT JOIN cintra ON cintra.com = cmem.com
+          LEFT JOIN cbnd ON cbnd.com = cmem.com
     """)
 
 
