@@ -775,7 +775,7 @@ def _order_patterns(ests: list, varsets: list) -> list:
 def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                   optional: list | None = None, filter=None,
                   stats=None, union: list | None = None,
-                  minus: list | None = None) -> DataFrame:
+                  minus: list | None = None, values=None) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over the edges table: the core
     KG query primitive ("find every (author, book, publisher) wired like X").
     ``patterns`` is a list of (subj, pred, obj) triple patterns; a term that is
@@ -862,8 +862,18 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     really mean it). NULL caveat (same SQL lowering as optional): a solution
     whose shared variable is NULL never anti-matches and is KEPT, even where
     SPARQL's compatibility rule would remove it on the other shared
-    variables. Evaluation order is fixed and documented: required patterns →
-    UNION branches → OPTIONAL groups → MINUS groups → FILTER (the spec's
+    variables.
+
+    ``values=`` is SPARQL VALUES, inline bindings constraining the solutions:
+    either ``{"x": [id1, id2]}`` — each variable independently restricted to
+    its list (an ``isin`` filter, which Catalyst pushes into the scans) — or
+    ``(("x", "y"), [(a1, b1), (a2, b2)])`` — row-wise bindings, a broadcast
+    inner join against the literal table (the spec's multi-variable form).
+    Variables must already be bound by the required/union part; UNDEF (None)
+    rows are not supported (raise) — split the query instead.
+
+    Evaluation order is fixed and documented: required patterns → UNION
+    branches → VALUES → OPTIONAL groups → MINUS groups → FILTER (the spec's
     Filter-last group semantics; put MINUS-dependent bindings in the
     required/union part)."""
     if not patterns:
@@ -1036,6 +1046,40 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         # from one branch is unbound (NULL) in that branch's rows
         result = result.unionByName(gdf, allowMissingColumns=True)
         have |= gvars
+    if values is not None:
+        if isinstance(values, dict):
+            pairs = [(v, list(consts)) for v, consts in values.items()]
+            for v, consts in pairs:
+                if v not in have:
+                    raise ValueError(f"values variable {v!r} is not bound "
+                                     f"(bound: {sorted(have)})")
+                if not consts:
+                    raise ValueError(f"values for {v!r} must not be empty")
+                if any(c is None for c in consts):
+                    raise ValueError("UNDEF (None) is not supported in "
+                                     "values — split the query instead")
+                result = result.where(F.col(v).isin(consts))
+        else:
+            try:
+                vvars, rows = values
+                vvars = list(vvars)
+                rows = [tuple(r) for r in rows]
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "values must be a {var: [consts]} dict or a "
+                    "(vars, rows) pair") from None
+            missing = [v for v in vvars if v not in have]
+            if missing:
+                raise ValueError(f"values variables {missing} are not bound "
+                                 f"(bound: {sorted(have)})")
+            if not rows or any(len(r) != len(vvars) for r in rows):
+                raise ValueError("values rows must be non-empty and match "
+                                 f"the variable list {vvars}")
+            if any(c is None for r in rows for c in r):
+                raise ValueError("UNDEF (None) is not supported in values — "
+                                 "split the query instead")
+            lit = edges.sparkSession.createDataFrame(rows, vvars).distinct()
+            result = result.join(F.broadcast(lit), vvars)
     groups = [list(g) for g in (optional or [])]
     for g in groups:
         if not g:

@@ -683,7 +683,7 @@ class KgPipeline:
     def query(self, patterns: list, distinct: bool = False,
               optional: list | None = None, filter=None,
               stats=None, union: list | None = None,
-              minus: list | None = None) -> DataFrame:
+              minus: list | None = None, values=None) -> DataFrame:
         """Run a basic graph pattern against the committed KG (the latest edges
         generation) — ``graph.match_pattern`` over ``table("edges")``, with
         property paths, OPTIONAL/UNION/MINUS groups, FILTER and
@@ -698,7 +698,7 @@ class KgPipeline:
 
         return match_pattern(self.table("edges"), patterns, distinct=distinct,
                              optional=optional, filter=filter, stats=stats,
-                             union=union, minus=minus)
+                             union=union, minus=minus, values=values)
 
     def export_ntriples(self, path: str, base: str | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest

@@ -471,3 +471,60 @@ def test_sequence_of_same_closure_self_join(spark):
                  match_pattern(df, [("?x", "a+/a+", "?y")]).collect())
     # closure = {12,13,14,23,24,34}; (1,4) has two mids (2 and 3)
     assert got == [(1, 3), (1, 4), (1, 4), (2, 4)]
+
+
+def test_match_pattern_values_dict_and_rows(spark):
+    """SPARQL VALUES: dict form = per-variable isin filter; (vars, rows) form
+    = broadcast inner join on row-wise bindings — vs the same IN / join in
+    DuckDB; error paths for unbound vars, empty lists, arity, UNDEF."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rng = random.Random(89)
+    rows = sorted({(rng.randrange(10), rng.randrange(10), "w")
+                   for _ in range(30)})
+    df = _edges_df(spark, rows)
+    con = _duck(rows)
+
+    got = {tuple(r) for r in match_pattern(
+        df, [("?x", "w", "?y")], values={"x": [1, 3, 5]}).collect()}
+    ref = {tuple(r) for r in con.execute(
+        "SELECT s, d FROM e WHERE p = 'w' AND s IN (1, 3, 5)").fetchall()}
+    assert got == ref and len(got) > 0
+
+    pairs = sorted(got)[:3]
+    got2 = sorted(tuple(r) for r in match_pattern(
+        df, [("?x", "w", "?y")], values=(("x", "y"), pairs)).collect())
+    assert got2 == pairs        # exactly the bound rows survive (bag: 1 each)
+
+    with pytest.raises(ValueError, match="not bound"):
+        match_pattern(df, [("?x", "w", "?y")], values={"z": [1]})
+    with pytest.raises(ValueError, match="not be empty"):
+        match_pattern(df, [("?x", "w", "?y")], values={"x": []})
+    with pytest.raises(ValueError, match="UNDEF"):
+        match_pattern(df, [("?x", "w", "?y")], values={"x": [1, None]})
+    with pytest.raises(ValueError, match="match the variable list"):
+        match_pattern(df, [("?x", "w", "?y")],
+                      values=(("x", "y"), [(1,)]))
+    with pytest.raises(ValueError, match="UNDEF"):
+        match_pattern(df, [("?x", "w", "?y")],
+                      values=(("x", "y"), [(1, None)]))
+
+
+def test_match_pattern_values_pushdown_and_order(spark, tmp_path):
+    """The dict form reaches the parquet scan as an In filter (the 100-TB
+    point of VALUES), and VALUES applies BEFORE optional groups (constrained
+    solutions drive the left join)."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    path = str(tmp_path / "edges.parquet")
+    _edges_df(spark, [(1, 2, "a"), (3, 4, "a"), (5, 6, "a"),
+                      (2, 9, "t")]).write.parquet(path)
+    edges = spark.read.parquet(path)
+    q = match_pattern(edges, [("?x", "a", "?y")], values={"x": [1, 3]},
+                      optional=[[("?y", "t", "?z")]])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(src_id" in plan
+    got = {tuple(r) for r in q.collect()}
+    assert got == {(1, 2, 9), (3, 4, None)}
