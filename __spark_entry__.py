@@ -344,7 +344,7 @@ def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
     with property paths, OPTIONAL/UNION/MINUS and FILTER, plus the
-    generation-diff audit read) as ONE driver row, eleven arms under a
+    generation-diff audit read) as ONE driver row, twelve arms under a
     variant column (50-row cap), every arm checked against the same
     algebra lowered to plain/recursive SQL over the golden edges parquet:
 
@@ -360,6 +360,9 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``union``: a UNION branch binding a DIFFERENT variable (NULL-padded bag
       merge) vs the same NULL-padded UNION ALL.
     - ``minus``: MINUS on the shared subject vs NOT EXISTS.
+    - ``values``: SPARQL VALUES — the two smallest subjects of the top
+      predicate (computed identically both sides) inlined as bindings vs the
+      same IN-subquery.
     - ``diff``: graph.edge_diff between a derived old generation (occurrence
       counts rewritten ``% 3 + 1``, single-occurrence edges dropped, one
       synthetic edge injected so every status occurs) and the current edges —
@@ -397,6 +400,10 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm("minus", match_pattern(edges, [("?a", p1, "?b")],
                                    minus=[[("?a", p2, "?z")]])),
     ]
+    seeds = [r["src_id"] for r in edges.where(F.col("pred") == p1)
+             .select("src_id").distinct().orderBy("src_id").limit(2).collect()]
+    arms.append(arm("values", match_pattern(
+        edges, [("?a", p1, "?b")], values={"a": seeds})))
     from lingvo_spark_kg.operators.graph import edge_diff
 
     old = (edges.where(F.col("n_occurrences") > 1)
@@ -1571,7 +1578,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The eleven kg_graph_query arms lowered to plain/recursive SQL over the
+    """The twelve kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1619,6 +1626,10 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
           WHERE w.p = (SELECT p FROM t1) AND NOT EXISTS (
             SELECT 1 FROM ge b WHERE b.p = (SELECT p FROM t2)
               AND b.s = w.s)
+        UNION ALL SELECT 'values', s, d, NULL FROM ge
+          WHERE p = (SELECT p FROM t1) AND s IN (
+            SELECT DISTINCT s FROM ge WHERE p = (SELECT p FROM t1)
+            ORDER BY s LIMIT 2)
         UNION ALL SELECT 'diff', COALESCE(o.s, n.s), COALESCE(o.d, n.d),
                COALESCE(o.p, n.p) || '|' ||
                CASE WHEN o.occ IS NULL THEN 'added'
