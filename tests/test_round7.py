@@ -528,3 +528,27 @@ def test_match_pattern_values_pushdown_and_order(spark, tmp_path):
     assert "PushedFilters" in plan and "In(src_id" in plan
     got = {tuple(r) for r in q.collect()}
     assert got == {(1, 2, 9), (3, 4, None)}
+
+
+def test_zero_or_one_constant_outside_graph(spark):
+    """p? zero-length arm also covers query constants absent from the graph
+    (same SPARQL 'terms mentioned in the query' rule as p*)."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "p")])
+    got = {tuple(r) for r in match_pattern(df, [(99, "p?", "?x")]).collect()}
+    assert got == {(99,)}
+
+
+def test_stats_with_path_terms(spark):
+    """stats=True estimates path terms too (closure multiplier + zero-length
+    addend) — results identical to the unordered compile."""
+    from lingvo_spark_kg.operators import graph
+
+    df = _edges_df(spark, [(1, 2, "in"), (2, 3, "in"), (1, 7, "tag"),
+                           (2, 8, "tag"), (3, 9, "tag")])
+    pats = [("?x", "in*", 3), ("?x", "tag", "?t")]
+    base = {tuple(r) for r in graph.match_pattern(df, pats).collect()}
+    got = {tuple(r) for r in
+           graph.match_pattern(df, pats, stats=True).collect()}
+    assert got == base and (3, 9) in got     # reflexive x=3 via zero-length
