@@ -561,7 +561,7 @@ def test_multimodal_stub(spark, docs):
             assert r["duration_ms"] > 0
     # formats beyond the stdlib codecs still fail fast at the PIL/ffmpeg seam —
     # the opaque fake payloads sniff as 'unknown' and raise inside the executor
-    with pytest.raises(Exception, match="PNG/WAV/CSV"):
+    with pytest.raises(Exception, match="PNG/JPEG/WAV/CSV"):
         decode_media(media_payloads(media_spans(docs)), impl="real").collect()
 
 
