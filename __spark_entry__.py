@@ -446,7 +446,10 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       tiny at every tier) vs a cost-capped recursive CTE with MIN(cost).
     - ``coreness``: graph.coreness (iterated neighborhood h-index, Lü et al.
       2016) vs a 30-stage unrolled h-index chain (ROW_NUMBER desc window,
-      max(least(rn, v))) — same fixpoint argument as lpa.
+      max(least(rn, v))). BOTH sides run max 30 rounds: Spark early-exits at
+      the fixpoint (extra SQL stages are then no-ops), and a graph that has
+      not converged by 30 still compares the identical 30-round recurrence —
+      never an oracle-depth artifact.
     - ``walks``: graph.random_walks (n_walks=2, walk_len=4 — the
       deterministic argmin-of-md5 DeepWalk kernel) vs the same md5 argmin as
       ROW_NUMBER windows; rows encoded (start, visited, walk_idx*16+step).
@@ -486,7 +489,7 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sssp = shortest_paths(e7, [src0], weight_col="w7").select(
         F.lit("sssp").alias("variant"), "node_id", null_s.alias("val_s"),
         F.col("cost").cast("long").alias("val_l"))
-    core = coreness(edges).select(
+    core = coreness(edges, max_iter=30).select(
         F.lit("coreness").alias("variant"), "node_id", null_s.alias("val_s"),
         F.col("coreness").cast("long").alias("val_l"))
     walks = random_walks(edges, n_walks=2, walk_len=4, seed=42).select(
@@ -1651,8 +1654,8 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
     SSSP weights are n_occurrences % 7 + 1, so the (node, cost) walk state is
     bounded by 7·|nodes| at every tier; all arithmetic integer-exact. The
     coreness arm unrolls ``core_iters`` h-index stages (init = degree; the
-    sequence is monotone non-increasing with fixpoint = coreness, so any
-    unroll ≥ the Spark side's convergence round agrees exactly); the walks
+    Spark side is capped at the SAME 30 rounds, so converged-or-not both
+    engines compare the identical recurrence depth); the walks
     arm unrolls walk_len=4 argmin-of-md5 steps — Spark's min(struct(md5, nbr))
     is DuckDB's ROW_NUMBER over (md5 ASC, nbr ASC), comparing identical hex
     strings of identical concat_ws inputs."""

@@ -545,8 +545,12 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2              # stuffed byte
-            elif 0xD0 <= nxt <= 0xD7:      # RSTn handled by caller via sync()
-                raise _RestartMarker()
+            elif 0xD0 <= nxt <= 0xD7:
+                # the MCU loop consumes RSTn proactively at every restart
+                # boundary (sync_restart); hitting one mid-entropy-data means
+                # the scan desynced — a corrupt file, not a control event
+                raise ValueError(
+                    "corrupt JPEG: restart marker inside entropy data")
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         else:
@@ -573,10 +577,6 @@ class _BitReader:
         while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
             self.pos += 1
         self.pos += 2
-
-
-class _RestartMarker(Exception):
-    pass
 
 
 def _huff_decode(rd: _BitReader, table: dict) -> int:
@@ -688,6 +688,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if not comps or h == 0 or w == 0:
         raise ValueError("corrupt JPEG: SOS before SOF")
+    if len(sel) < len(comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved per-component) baseline JPEG "
+            "(libjpeg seam); single interleaved scan is decoded here")
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is non-interleaved and its MCU is
+        # ONE data unit — sampling factors only scale components relative to
+        # EACH OTHER, so for one component they are effectively 1×1 (some
+        # grayscale pipelines still write 0x22 in SOF)
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
@@ -701,6 +711,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     rd = _BitReader(data, pos)
     prev = [0] * len(comps)
     mcu_count = 0
+    # loop-invariant per-component tables, hoisted out of the MCU loops
+    ctabs = [(dc_tbl[sel[c["id"]][0]], ac_tbl[sel[c["id"]][1]],
+              qts[c["tq"]].astype(np.float64)) for c in comps]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and \
@@ -709,9 +722,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 prev = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):
-                dtab = dc_tbl[sel[c["id"]][0]]
-                atab = ac_tbl[sel[c["id"]][1]]
-                qt = qts[c["tq"]].astype(np.float64)
+                dtab, atab, qt = ctabs[ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coefs = np.zeros(64, dtype=np.int64)
@@ -729,6 +740,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                                 continue
                             k += rs >> 4
                             size = rs & 0x0F
+                            if size == 0:
+                                # only EOB (0x00) and ZRL (0xF0) may carry
+                                # size 0 — any other (run, 0) symbol is a
+                                # corrupt table/stream, not a -1 shift
+                                raise ValueError(
+                                    "corrupt JPEG: invalid AC symbol "
+                                    f"0x{rs:02X}")
                             if k > 63:
                                 raise ValueError("AC index overflow in scan")
                             coefs[k] = _extend(rd.bits(size), size)

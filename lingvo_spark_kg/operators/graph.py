@@ -866,11 +866,16 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
 
     ``values=`` is SPARQL VALUES, inline bindings constraining the solutions:
     either ``{"x": [id1, id2]}`` — each variable independently restricted to
-    its list (an ``isin`` filter, which Catalyst pushes into the scans) — or
-    ``(("x", "y"), [(a1, b1), (a2, b2)])`` — row-wise bindings, a broadcast
-    inner join against the literal table (the spec's multi-variable form).
-    Variables must already be bound by the required/union part; UNDEF (None)
-    rows are not supported (raise) — split the query instead.
+    its list (an ``isin`` filter, which Catalyst pushes into the scans; a
+    solution whose variable is UNBOUND — NULL from a union branch — is KEPT,
+    the spec's compatibility rule) — or ``(("x", "y"), [(a1, b1), (a2, b2)])``
+    — row-wise bindings, a broadcast inner join against the literal table
+    (the spec's multi-variable form; BAG semantics, so duplicate binding rows
+    multiply matching solutions, and — SQL-null caveat, as with optional — a
+    NULL-valued variable never joins, so union-branch-unbound solutions DROP
+    here where the dict form keeps them). Variables must already be bound by
+    the required/union part; UNDEF (None) entries are not supported (raise) —
+    split the query instead.
 
     Evaluation order is fixed and documented: required patterns → UNION
     branches → VALUES → OPTIONAL groups → MINUS groups → FILTER (the spec's
@@ -1058,7 +1063,10 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 if any(c is None for c in consts):
                     raise ValueError("UNDEF (None) is not supported in "
                                      "values — split the query instead")
-                result = result.where(F.col(v).isin(consts))
+                # unbound (NULL, e.g. from a union branch that does not bind
+                # v) stays — SPARQL compatibility keeps such solutions
+                result = result.where(F.col(v).isNull()
+                                      | F.col(v).isin(consts))
         else:
             try:
                 vvars, rows = values
@@ -1078,7 +1086,9 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
             if any(c is None for r in rows for c in r):
                 raise ValueError("UNDEF (None) is not supported in values — "
                                  "split the query instead")
-            lit = edges.sparkSession.createDataFrame(rows, vvars).distinct()
+            # no distinct: VALUES is a bag join per the spec — duplicate
+            # binding rows multiply matching solutions
+            lit = edges.sparkSession.createDataFrame(rows, vvars)
             result = result.join(F.broadcast(lit), vvars)
     groups = [list(g) for g in (optional or [])]
     for g in groups:

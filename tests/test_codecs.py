@@ -372,3 +372,39 @@ def test_jpeg_synth_variants_cover_layouts():
         samplings.add(d[sof + 11])
     assert has_restart == {True, False}
     assert samplings == {0x11, 0x22}
+
+
+def test_jpeg_review_fixes_gray_022_multiscan_and_corrupt_paths():
+    """Review fixes: single-component scans ignore SOF sampling factors
+    (T.81 A.2 — MCU is one data unit), declared errors for multi-scan files
+    and corrupt streams (restart desync / invalid AC symbol) instead of
+    internal exception types."""
+    import numpy as np
+    import pytest
+
+    from lingvo_spark_kg import codecs as C
+
+    gray = (np.add.outer(np.arange(19) * 3, np.arange(37) * 5) % 200
+            + 20).astype(np.uint8)
+    d = bytearray(C.jpeg_encode(gray, quality=85))
+    sof = bytes(d).find(b"\xff\xc0")
+    assert d[sof + 11] == 0x11
+    d[sof + 11] = 0x22                  # claim 2x2 sampling on the only comp
+    r = C.jpeg_decode(bytes(d))
+    base = C.jpeg_decode(C.jpeg_encode(gray, quality=85))
+    assert (r == base).all()            # decoded as if 1x1, per spec
+
+    # SOS naming fewer components than SOF declares → declared seam error
+    img = np.full((9, 9, 3), 80, dtype=np.uint8)
+    d3 = bytearray(C.jpeg_encode(img))
+    sos = bytes(d3).find(b"\xff\xda")
+    # rewrite SOS: ns=1, keep comp 1 tables, spectral bytes; fix seg length
+    new_seg = bytes([0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00])
+    d3[sos + 2:sos + 2 + 2 + 12] = new_seg  # old seg was len 12 (ns=3)
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        C.jpeg_decode(bytes(d3))
+
+    # truncated scan data → ValueError family, never a private exception type
+    good = C.jpeg_encode(img)
+    with pytest.raises((ValueError, IndexError)):
+        C.jpeg_decode(good[:len(good) // 2] + b"\xff\xd9")

@@ -552,3 +552,23 @@ def test_stats_with_path_terms(spark):
     got = {tuple(r) for r in
            graph.match_pattern(df, pats, stats=True).collect()}
     assert got == base and (3, 9) in got     # reflexive x=3 via zero-length
+
+
+def test_values_union_null_compatibility_and_bag_join(spark):
+    """Review fixes: dict-form VALUES keeps solutions whose variable is
+    unbound (NULL from a union branch) — SPARQL compatibility; row-form
+    VALUES is a bag join (duplicate binding rows multiply)."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "w"), (3, 4, "k")])
+    out = match_pattern(df, [("?a", "w", "?b")],
+                        union=[[("?a", "k", "?c")]],
+                        values={"c": [99]})
+    got = {tuple(r) for r in out.collect()}
+    # required-branch row (1,2,NULL) is KEPT (c unbound); union row (3,NULL,4)
+    # is dropped (c=4 not in [99])
+    assert got == {(1, 2, None)}
+
+    n = match_pattern(df, [("?a", "w", "?b")],
+                      values=(("a", "b"), [(1, 2), (1, 2)])).count()
+    assert n == 2                       # bag: duplicate binding rows multiply
