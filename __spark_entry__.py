@@ -429,7 +429,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The iterative graph-ANALYTICS layer as ONE driver row, seven arms under
+    """The iterative graph-ANALYTICS layer as ONE driver row, ten arms under
     a variant column, each an exact-arithmetic recurrence checked
     engine-vs-engine against DuckDB running the SAME recurrence (unrolled
     materialized CTEs / recursive CTEs) over the golden edges parquet:
@@ -457,11 +457,22 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       the exact integer modularity inputs (n_nodes, intra, boundary,
       degree_sum) packed into one base-100000 integer per community — vs the
       same classification in SQL over the l8 stage.
+    - ``predstats``: graph.predicate_stats — per-predicate schema summary,
+      the five exact integers pipe-joined into one string — vs GROUP BY.
+    - ``ego``: graph.ego_subgraph, the 2-hop ball around the same min node —
+      every induced edge as (src, pred|dst) — vs the bfs CTE's ≤2 ball
+      semi-restricting the edge scan.
+    - ``linkpred``: graph.neighbor_similarity — wedge-built common-neighbor /
+      integer-Jaccard pairs (default hub cut), seven fields pipe-joined —
+      vs the same wedge join + degree join + edge flag in SQL.
 
     All integer/string outputs — no float drift surface anywhere."""
     from lingvo_spark_kg.operators.graph import (bfs_distances, components,
                                                  community_stats, coreness,
+                                                 ego_subgraph,
                                                  label_propagation,
+                                                 neighbor_similarity,
+                                                 predicate_stats,
                                                  random_walks, shortest_paths)
 
     edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=False)
@@ -498,8 +509,23 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_id").alias("val_s"),
         (F.col("walk_idx") * F.lit(16) + F.col("step"))
         .cast("long").alias("val_l"))
+    ps = predicate_stats(edges).select(
+        F.lit("predstats").alias("variant"), F.col("pred").alias("node_id"),
+        F.concat_ws("|", "n_edges", "n_src_nodes", "n_dst_nodes",
+                    "sum_occurrences", "max_occurrences").alias("val_s"),
+        null_l.alias("val_l"))
+    ego = ego_subgraph(edges, [src0], k=2).select(
+        F.lit("ego").alias("variant"), F.col("src_id").alias("node_id"),
+        F.concat_ws("|", "pred", "dst_id").alias("val_s"),
+        null_l.alias("val_l"))
+    lp = neighbor_similarity(edges).select(
+        F.lit("linkpred").alias("variant"), F.col("node_a").alias("node_id"),
+        F.concat_ws("|", "node_b", "n_common", "deg_a", "deg_b",
+                    "jaccard_num", "jaccard_den", "is_edge").alias("val_s"),
+        null_l.alias("val_l"))
     return (lpa.unionByName(bfs).unionByName(cc).unionByName(sssp)
-            .unionByName(core).unionByName(walks).unionByName(cs))
+            .unionByName(core).unionByName(walks).unionByName(cs)
+            .unionByName(ps).unionByName(ego).unionByName(lp))
 
 
 def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,7 +1686,7 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
     is DuckDB's ROW_NUMBER over (md5 ASC, nbr ASC), comparing identical hex
     strings of identical concat_ws inputs."""
     parts = [
-        "ge AS MATERIALIZED (SELECT src_id, dst_id, n_occurrences "
+        "ge AS MATERIALIZED (SELECT src_id, pred, dst_id, n_occurrences "
         f"FROM read_parquet('{edges_path}'))",
         "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(src_id, dst_id) AS u, "
         "GREATEST(src_id, dst_id) AS v FROM ge WHERE src_id <> dst_id)",
@@ -1742,6 +1768,19 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
         f"cmem AS MATERIALIZED (SELECT label AS com, COUNT(*) AS n_nodes, "
         f"COALESCE(SUM(dg), 0) AS degree_sum FROM l{lpa_iters} l "
         "LEFT JOIN cdeg ON cdeg.node = l.node GROUP BY 1)",
+        # predicate_stats / 2-hop ego ball / link-prediction wedges
+        "pstat AS MATERIALIZED (SELECT pred, COUNT(*) AS n_edges, "
+        "COUNT(DISTINCT src_id) AS n_src, COUNT(DISTINCT dst_id) AS n_dst, "
+        "SUM(n_occurrences) AS s_occ, MAX(n_occurrences) AS m_occ "
+        "FROM ge GROUP BY pred)",
+        "ball2 AS MATERIALIZED (SELECT node FROM bfs GROUP BY node "
+        "HAVING MIN(dist) <= 2)",
+        "ctr AS MATERIALIZED (SELECT nb.node, nb.nbr FROM nb "
+        "JOIN k0 ON k0.node = nb.node WHERE k0.c <= 1000)",
+        "lpr AS MATERIALIZED (SELECT x.nbr AS a, y.nbr AS b, "
+        "COUNT(*) AS n_common FROM ctr x JOIN ctr y "
+        "ON x.node = y.node AND x.nbr < y.nbr GROUP BY 1, 2 "
+        "HAVING COUNT(*) >= 1)",
     ]
     return ("WITH RECURSIVE " + ",\n".join(parts) + f"""
         SELECT 'lpa' AS variant, node AS node_id, label AS val_s,
@@ -1759,6 +1798,20 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
                     AS BIGINT)
           FROM cmem LEFT JOIN cintra ON cintra.com = cmem.com
           LEFT JOIN cbnd ON cbnd.com = cmem.com
+        UNION ALL SELECT 'predstats', pred,
+               concat_ws('|', n_edges, n_src, n_dst, s_occ, m_occ), NULL
+          FROM pstat
+        UNION ALL SELECT 'ego', ge.src_id,
+               concat_ws('|', ge.pred, ge.dst_id), NULL FROM ge
+          WHERE ge.src_id IN (SELECT node FROM ball2)
+            AND ge.dst_id IN (SELECT node FROM ball2)
+        UNION ALL SELECT 'linkpred', lpr.a,
+               concat_ws('|', lpr.b, lpr.n_common, da.c, db.c, lpr.n_common,
+                         da.c + db.c - lpr.n_common,
+                         CASE WHEN ux.u IS NOT NULL THEN 1 ELSE 0 END), NULL
+          FROM lpr JOIN k0 da ON da.node = lpr.a
+          JOIN k0 db ON db.node = lpr.b
+          LEFT JOIN u0 ux ON ux.u = lpr.a AND ux.v = lpr.b
     """)
 
 
