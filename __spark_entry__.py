@@ -343,10 +343,11 @@ def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
-    with property paths, OPTIONAL/UNION/MINUS and FILTER, plus the
-    generation-diff audit read) as ONE driver row, twelve arms under a
-    variant column (50-row cap), every arm checked against the same
-    algebra lowered to plain/recursive SQL over the golden edges parquet:
+    with property paths incl. negated sets, OPTIONAL/UNION/MINUS, FILTER,
+    EXISTS, BIND and the solution modifiers, plus the generation-diff audit
+    read) as ONE driver row, sixteen arms under a variant column (50-row
+    cap), every arm checked against the same algebra lowered to
+    plain/recursive SQL over the golden edges parquet:
 
     - ``bgp2``: 2-hop constant-pred BGP (two patterns, one mid-keyed join;
       compiled with ``stats=True`` so the selectivity-aware order runs in the
@@ -363,6 +364,15 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``values``: SPARQL VALUES — the two smallest subjects of the top
       predicate (computed identically both sides) inlined as bindings vs the
       same IN-subquery.
+    - ``nps``/``npsmix``: negated property sets — ``!p1`` (the complement
+      scan) and ``!(p1|^p2)`` (forward complement ∪ swapped complement, the
+      spec's NPS translation) vs ``<>`` / NOT-IN scans.
+    - ``exists``: FILTER EXISTS — solutions whose object has an outgoing p2
+      edge (left-semi on the shared variable) vs SQL EXISTS.
+    - ``bindmod``: BIND + the solution modifiers — a computed ``a>b`` column
+      over the deterministic ORDER BY (a, b) LIMIT 50 slice vs the same
+      clause stack ((a, b) is unique per predicate, so the slice is stable
+      on both engines).
     - ``diff``: graph.edge_diff between a derived old generation (occurrence
       counts rewritten ``% 3 + 1``, single-occurrence edges dropped, one
       synthetic edge injected so every status occurs) and the current edges —
@@ -404,6 +414,15 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("src_id").distinct().orderBy("src_id").limit(2).collect()]
     arms.append(arm("values", match_pattern(
         edges, [("?a", p1, "?b")], values={"a": seeds})))
+    arms += [
+        arm("nps", match_pattern(edges, [("?a", f"!{p1}", "?b")])),
+        arm("npsmix", match_pattern(edges, [("?a", f"!({p1}|^{p2})", "?b")])),
+        arm("exists", match_pattern(edges, [("?a", p1, "?b")],
+                                    exists=[[("?b", p2, "?z")]])),
+        arm("bindmod", match_pattern(edges, [("?a", p1, "?b")],
+                                     bind={"c": "concat(a, '>', b)"},
+                                     order_by=["a", "b"], limit=50)),
+    ]
     from lingvo_spark_kg.operators.graph import edge_diff
 
     old = (edges.where(F.col("n_occurrences") > 1)
@@ -1607,7 +1626,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The twelve kg_graph_query arms lowered to plain/recursive SQL over the
+    """The sixteen kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1659,6 +1678,19 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
           WHERE p = (SELECT p FROM t1) AND s IN (
             SELECT DISTINCT s FROM ge WHERE p = (SELECT p FROM t1)
             ORDER BY s LIMIT 2)
+        UNION ALL SELECT 'nps', s, d, NULL FROM ge
+          WHERE p <> (SELECT p FROM t1)
+        UNION ALL SELECT 'npsmix', s, d, NULL FROM ge
+          WHERE p <> (SELECT p FROM t1)
+        UNION ALL SELECT 'npsmix', d, s, NULL FROM ge
+          WHERE p <> (SELECT p FROM t2)
+        UNION ALL SELECT 'exists', w.s, w.d, NULL FROM ge w
+          WHERE w.p = (SELECT p FROM t1) AND EXISTS (
+            SELECT 1 FROM ge b WHERE b.p = (SELECT p FROM t2)
+              AND b.s = w.d)
+        UNION ALL SELECT 'bindmod', s, d, s || '>' || d
+          FROM (SELECT s, d FROM ge WHERE p = (SELECT p FROM t1)
+                ORDER BY s, d LIMIT 50) q
         UNION ALL SELECT 'diff', COALESCE(o.s, n.s), COALESCE(o.d, n.d),
                COALESCE(o.p, n.p) || '|' ||
                CASE WHEN o.occ IS NULL THEN 'added'

@@ -713,7 +713,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
     return ranks
 
 
-_PATH_CHARS = set("+*?|/^")
+_PATH_CHARS = set("+*?|/^!()")
 
 
 def _is_path(pred_t) -> bool:
@@ -721,28 +721,77 @@ def _is_path(pred_t) -> bool:
             and any(c in _PATH_CHARS for c in pred_t))
 
 
+def _split_path(s: str, sep: str, expr: str) -> list:
+    """Split ``s`` on ``sep`` OUTSIDE parentheses (the ``!(...)`` negated
+    property sets are the only parenthesized form in the grammar)."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in property path {expr!r}")
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth:
+        raise ValueError(f"unbalanced '(' in property path {expr!r}")
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_nps(body: str, step: str, expr: str) -> tuple:
+    """Parse the body of a negated property set ``!body`` → the step spec
+    ``("!", frozenset(forward names), frozenset(inverse names))`` — SPARQL
+    1.1 §9.1 ``!(p1|…|pk|^q1|…|^qm)``; the surrounding parentheses are
+    optional for a single element (``!p``, ``!^p``)."""
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1]
+    elems = body.split("|")
+    fwd, bwd = set(), set()
+    for e in elems:
+        einv = e.startswith("^")
+        name = e[1:] if einv else e
+        if not name or any(c in _PATH_CHARS for c in name):
+            raise ValueError(
+                f"malformed negated-property-set element {e!r} in step "
+                f"{step!r} of {expr!r} — expected '^'? predicate")
+        (bwd if einv else fwd).add(name)
+    return ("!", frozenset(fwd), frozenset(bwd))
+
+
 def _parse_path(expr: str) -> list:
     """Parse a SPARQL-ish property-path string → a list of ALTERNATIVES
     (``|``, lowest precedence, as in SPARQL 1.1 §9.1), each a ``/``-SEQUENCE
-    of steps, each step ``^``? name (``+``|``*``|``?``)? — returned as
-    ``[[(inverse, name, modifier), ...], ...]``. No parentheses: grouping
-    beyond this precedence is composed from multiple patterns instead.
-    ``+ * ? | / ^`` are reserved path syntax inside a constant predicate."""
+    of steps, each step ``^``? primary (``+``|``*``|``?``)? where primary is
+    a predicate name or a NEGATED PROPERTY SET ``!p`` / ``!(p|^q|...)`` —
+    returned as ``[[(inverse, spec, modifier), ...], ...]`` with ``spec`` a
+    plain name or the tuple ``("!", fwd_names, inv_names)``. Parentheses only
+    delimit negated sets: grouping beyond this precedence is composed from
+    multiple patterns instead. ``+ * ? | / ^ ! ( )`` are reserved path syntax
+    inside a constant predicate."""
     alts = []
-    for alt in expr.split("|"):
+    for alt in _split_path(expr, "|", expr):
         steps = []
-        for step in alt.split("/"):
+        for step in _split_path(alt, "/", expr):
             s = step
             inv = s.startswith("^")
             if inv:
                 s = s[1:]
             mod = s[-1] if s and s[-1] in "+*?" else ""
-            name = s[:-1] if mod else s
-            if not name or any(c in _PATH_CHARS for c in name):
+            s = s[:-1] if mod else s
+            if s.startswith("!"):
+                steps.append((inv, _parse_nps(s[1:], step, expr), mod))
+                continue
+            if not s or any(c in _PATH_CHARS for c in s):
                 raise ValueError(
                     f"malformed property-path step {step!r} in {expr!r} — "
-                    "expected '^'? predicate ('+'|'*'|'?')? between '|' / '/'")
-            steps.append((inv, name, mod))
+                    "expected '^'? ('!'? predicate | '!(...)') "
+                    "('+'|'*'|'?')? between '|' / '/'")
+            steps.append((inv, s, mod))
         alts.append(steps)
     return alts
 
@@ -775,7 +824,11 @@ def _order_patterns(ests: list, varsets: list) -> list:
 def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                   optional: list | None = None, filter=None,
                   stats=None, union: list | None = None,
-                  minus: list | None = None, values=None) -> DataFrame:
+                  minus: list | None = None, values=None,
+                  bind: dict | None = None, exists: list | None = None,
+                  not_exists: list | None = None, select: list | None = None,
+                  order_by: list | None = None, limit: int | None = None,
+                  offset: int | None = None) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over the edges table: the core
     KG query primitive ("find every (author, book, publisher) wired like X").
     ``patterns`` is a list of (subj, pred, obj) triple patterns; a term that is
@@ -809,9 +862,14 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     A constant predicate may be a SPARQL 1.1 PROPERTY PATH (§9.1; the
     reference has no query language — this is north-star scope). Supported
     grammar, by precedence: alternation ``p|q`` (lowest), sequence ``p/q``,
-    then per-step ``^p`` (inverse) and the closures ``p+`` (one-or-more),
-    ``p*`` (zero-or-more), ``p?`` (zero-or-one). No parentheses — compose
-    multiple patterns for deeper grouping. Lowering follows the spec's
+    then per-step ``^p`` (inverse), the closures ``p+`` (one-or-more),
+    ``p*`` (zero-or-more), ``p?`` (zero-or-one), and NEGATED PROPERTY SETS
+    ``!p`` / ``!(p|^q|...)`` — match any edge whose predicate is NOT in the
+    set, the spec's forward-scan ∪ swapped-scan translation (each arm present
+    only when it has elements), composable with the closure modifiers
+    (``!(p)+`` closes over the complement scan). Parentheses only delimit
+    negated sets — compose multiple patterns for deeper grouping. Lowering
+    follows the spec's
     semantics: ``p`` / ``/`` / ``|`` are bag-semantics (a ``/`` hop
     multiplies by the number of routes through the mid, exactly the fresh-
     variable rewrite), while ``+``/``*``/``?`` are DISTINCT node-pair
@@ -877,10 +935,35 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     the required/union part; UNDEF (None) entries are not supported (raise) —
     split the query instead.
 
+    ``bind=`` is SPARQL BIND: an ordered ``{var: Column | SQL string}`` dict
+    of computed variables extended onto the solutions (later entries may
+    reference earlier ones). Reassigning an in-scope variable raises (the
+    spec forbids it); bound variables project into the output after the
+    pattern variables and are visible to ``exists`` / ``filter`` /
+    ``select`` / ``order_by``, not to ``values`` or group joins.
+
+    ``exists=[group, ...]`` / ``not_exists=[group, ...]`` are SPARQL FILTER
+    EXISTS / NOT EXISTS: each group keeps (drops) the solutions that have a
+    matching binding — a LEFT SEMI (ANTI) join on the shared variables, the
+    same SQL lowering caveat as ``minus`` (a NULL shared variable never
+    matches: NOT EXISTS keeps such rows, EXISTS drops them). Unlike
+    ``minus``, a group sharing NO variable is legal — it is the spec's
+    uncorrelated EXISTS, one boolean over the whole group (evaluated as a
+    limit-1 one-row broadcast flag, not a per-row probe).
+
+    ``select=`` / ``order_by=`` / ``limit=`` / ``offset=`` are the solution
+    modifiers: projection to a subset of bound variables (unknown names
+    raise), sort keys (a variable name, ``"-name"`` for descending, or any
+    Column), and the slice. Applied after everything else in the spec's
+    order — project → DISTINCT → order → offset → limit — so
+    ``order_by + limit`` lowers to Spark's TakeOrdered, never a full sort
+    when a limit is present.
+
     Evaluation order is fixed and documented: required patterns → UNION
-    branches → VALUES → OPTIONAL groups → MINUS groups → FILTER (the spec's
-    Filter-last group semantics; put MINUS-dependent bindings in the
-    required/union part)."""
+    branches → VALUES → OPTIONAL groups → MINUS groups → BIND →
+    EXISTS / NOT EXISTS → FILTER (the spec's Filter-last group semantics;
+    put MINUS-dependent bindings in the required/union part) → solution
+    modifiers."""
     if not patterns:
         raise ValueError("match_pattern needs at least one triple pattern")
     slots = ("src_id", "pred", "dst_id")
@@ -893,10 +976,13 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
 
     union_groups = [list(g) for g in (union or [])]
     minus_groups = [list(g) for g in (minus or [])]
+    exists_groups = [(True, list(g)) for g in (exists or [])] \
+        + [(False, list(g)) for g in (not_exists or [])]
     for p in (list(patterns)
               + [p for g in union_groups for p in g]
               + [p for g in (optional or []) for p in g]
-              + [p for g in minus_groups for p in g]):
+              + [p for g in minus_groups for p in g]
+              + [p for _, g in exists_groups for p in g]):
         if len(p) != 3:
             raise ValueError(f"pattern {p!r} is not a (subj, pred, obj) triple")
         if not pat_vars(p):
@@ -916,11 +1002,42 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 .distinct().localCheckpoint(eager=False))
         return nodes_cache[0]
 
-    def closure_df(pred_name):
-        if pred_name not in closures:
-            closures[pred_name] = transitive_closure(
-                edges, pred=pred_name).select("src_id", "dst_id")
-        return closures[pred_name]
+    def step_pairs(spec):
+        """Single-hop (src, dst) pairs of one path step: a constant-predicate
+        scan, or — for a negated property set — the union of the forward scan
+        (pred ∉ forward names) and the SWAPPED scan (pred ∉ inverse names),
+        each arm present only when its element set is non-empty (SPARQL 1.1
+        §9.1's NPS translation). Bag semantics: every matching edge row is a
+        solution, so an (s, d) pair connected by two non-excluded predicates
+        binds twice — exactly the spec's triple-per-solution rule."""
+        if isinstance(spec, tuple):
+            _, fwd, bwd = spec
+            frames = []
+            if fwd:
+                frames.append(
+                    edges.where(~F.col("pred").isin(sorted(fwd)))
+                    .select("src_id", "dst_id"))
+            if bwd:
+                frames.append(
+                    edges.where(~F.col("pred").isin(sorted(bwd)))
+                    .select(F.col("dst_id").alias("src_id"),
+                            F.col("src_id").alias("dst_id")))
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionAll(fr)
+            return out
+        return (edges.where(F.col("pred") == F.lit(spec))
+                .select("src_id", "dst_id"))
+
+    def closure_df(spec):
+        # keyed by name or by the hashable NPS tuple — one doubling loop per
+        # distinct closed step per call, whatever the step shape
+        if spec not in closures:
+            base = (transitive_closure(edges, pred=spec)
+                    if isinstance(spec, str)
+                    else transitive_closure(step_pairs(spec)))
+            closures[spec] = base.select("src_id", "dst_id")
+        return closures[spec]
 
     def ident_df(consts):
         base = nodes_df().select(F.col("n").alias("src_id"),
@@ -932,12 +1049,11 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 f"src_id {src_type}, dst_id {src_type}"))
         return base
 
-    def compile_step(inv, name, mod, consts):
+    def compile_step(inv, spec, mod, consts):
         if mod in ("+", "*"):
-            pairs = closure_df(name)
+            pairs = closure_df(spec)
         else:
-            pairs = edges.where(F.col("pred") == F.lit(name)) \
-                .select("src_id", "dst_id")
+            pairs = step_pairs(spec)
         if mod in ("*", "?"):
             # zero-length arm: identity over graph nodes ∪ pattern constants;
             # distinct overall (SPARQL gives * / ? set semantics)
@@ -1012,10 +1128,23 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         if isinstance(pred_t, str) and is_var(pred_t):
             est = total
         elif _is_path(pred_t):
-            names = [name for seq in _parse_path(pred_t)
-                     for _, name, _ in seq]
-            est = (float(sum(pstats.get(n, (0, 0, 0))[0] for n in names))
-                   if pstats is not None else total / 1e3)
+            def step_est(spec):
+                if isinstance(spec, tuple):     # negated set ≈ total − excluded
+                    if pstats is None:
+                        return total / 2.0
+                    _, fwd, bwd = spec
+                    e = 0.0
+                    for names in (fwd, bwd):
+                        if names:
+                            e += max(total - sum(pstats.get(n, (0, 0, 0))[0]
+                                                 for n in names), 0.0)
+                    return e
+                return (float(pstats.get(spec, (0, 0, 0))[0])
+                        if pstats is not None else total / 1e3)
+
+            specs = [spec for seq in _parse_path(pred_t)
+                     for _, spec, _ in seq]
+            est = float(sum(step_est(s) for s in specs))
             if "+" in pred_t or "*" in pred_t:
                 est *= 4.0   # a closure is a superset of its predicate scan
             if "*" in pred_t or "?" in pred_t:
@@ -1116,6 +1245,32 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 "a query bug; split the query if you mean it")
         # MINUS variables never project into the output — anti-join only
         result = result.join(gdf, shared, "left_anti")
+    bind = dict(bind or {})
+    for v, expr in bind.items():
+        if v in have:
+            raise ValueError(
+                f"bind would reassign {v!r} (bound: {sorted(have)}) — "
+                "SPARQL forbids BIND onto an in-scope variable")
+        result = result.withColumn(
+            v, F.expr(expr) if isinstance(expr, str) else expr)
+        have.add(v)
+    for keep, g in exists_groups:
+        kind = "exists" if keep else "not_exists"
+        if not g:
+            raise ValueError(f"a {kind} group must not be empty")
+        gdf, gvars = compile_group(g)
+        shared = sorted(gvars & have)
+        if shared:
+            result = result.join(gdf, shared,
+                                 "left_semi" if keep else "left_anti")
+        else:
+            # uncorrelated EXISTS: one boolean over the whole group — a
+            # one-row broadcast flag (limit-1 bounds the group scan), the
+            # macro-F1 crossJoin shape
+            flag = gdf.limit(1).agg(F.count(F.lit(1)).alias("_exists"))
+            result = (result.crossJoin(F.broadcast(flag))
+                      .where(F.col("_exists") == F.lit(1 if keep else 0))
+                      .drop("_exists"))
     if filter is not None:
         conds = filter if isinstance(filter, (list, tuple)) else [filter]
         if not conds:
@@ -1128,8 +1283,34 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         for t in p:
             if is_var(t) and t[1:] not in first_seen:
                 first_seen.append(t[1:])
+    first_seen += [v for v in bind if v not in first_seen]
     result = result.select(*first_seen)
-    return result.distinct() if distinct else result
+    if select is not None:
+        sel = list(select)
+        missing = [v for v in sel if v not in first_seen]
+        if not sel or missing:
+            raise ValueError(
+                f"select must be a non-empty subset of the bound variables "
+                f"{first_seen}; unknown: {missing}")
+        result = result.select(*sel)
+    if distinct:
+        result = result.distinct()
+    if order_by is not None:
+        cols = []
+        for o in order_by:
+            if isinstance(o, str):
+                cols.append(F.col(o[1:]).desc() if o.startswith("-")
+                            else F.col(o))
+            else:
+                cols.append(o)
+        if not cols:
+            raise ValueError("order_by must not be an empty list")
+        result = result.orderBy(*cols)
+    if offset:
+        result = result.offset(int(offset))
+    if limit is not None:
+        result = result.limit(int(limit))
+    return result
 
 
 def label_propagation(edges: DataFrame, max_iter: int = 10,

@@ -680,25 +680,24 @@ class KgPipeline:
                 F.lit(name).alias("stage"), "n") for name, df in frames.items()])
         return {r["stage"]: r["n"] for r in counts_df.collect()}
 
-    def query(self, patterns: list, distinct: bool = False,
-              optional: list | None = None, filter=None,
-              stats=None, union: list | None = None,
-              minus: list | None = None, values=None) -> DataFrame:
+    def query(self, patterns: list, **kw) -> DataFrame:
         """Run a basic graph pattern against the committed KG (the latest edges
         generation) — ``graph.match_pattern`` over ``table("edges")``, with
-        property paths, OPTIONAL/UNION/MINUS groups, FILTER and
-        selectivity-aware join ordering passed through (``stats=True``
-        computes per-predicate counts once per query)::
+        the full algebra passed through: property paths (incl. negated
+        property sets), OPTIONAL/UNION/MINUS groups, VALUES, BIND,
+        EXISTS/NOT EXISTS, FILTER, selectivity-aware join ordering
+        (``stats=True`` computes per-predicate counts once per query) and the
+        solution modifiers ``select`` / ``order_by`` / ``limit`` /
+        ``offset``::
 
             p.query([("?who", "возглавлять", "?org"),
                      ("?org", "located_in*", some_city_id)],
-                    filter="who != org", stats=True)
+                    filter="who != org", stats=True,
+                    order_by=["who"], limit=100)
         """
         from .operators.graph import match_pattern
 
-        return match_pattern(self.table("edges"), patterns, distinct=distinct,
-                             optional=optional, filter=filter, stats=stats,
-                             union=union, minus=minus, values=values)
+        return match_pattern(self.table("edges"), patterns, **kw)
 
     def export_ntriples(self, path: str, base: str | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest
