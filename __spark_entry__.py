@@ -345,7 +345,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
     with property paths incl. negated sets, OPTIONAL/UNION/MINUS, FILTER,
     EXISTS, BIND and the solution modifiers, plus the generation-diff audit
-    read) as ONE driver row, sixteen arms under a variant column (50-row
+    read) as ONE driver row, seventeen arms under a variant column (50-row
     cap), every arm checked against the same algebra lowered to
     plain/recursive SQL over the golden edges parquet:
 
@@ -373,6 +373,8 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       over the deterministic ORDER BY (a, b) LIMIT 50 slice vs the same
       clause stack ((a, b) is unique per predicate, so the slice is stable
       on both engines).
+    - ``groupagg``: SPARQL aggregation — GROUP BY subject with max-object +
+      stringified count + a HAVING pass vs the same GROUP BY in SQL.
     - ``diff``: graph.edge_diff between a derived old generation (occurrence
       counts rewritten ``% 3 + 1``, single-occurrence edges dropped, one
       synthetic edge injected so every status occurs) and the current edges —
@@ -422,6 +424,10 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm("bindmod", match_pattern(edges, [("?a", p1, "?b")],
                                      bind={"c": "concat(a, '>', b)"},
                                      order_by=["a", "b"], limit=50)),
+        arm("groupagg", match_pattern(
+            edges, [("?a", p1, "?b")], group_by=["a"],
+            agg={"b": "max(b)", "c": "cast(count(*) as string)"},
+            having="b is not null")),
     ]
     from lingvo_spark_kg.operators.graph import edge_diff
 
@@ -1626,7 +1632,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The sixteen kg_graph_query arms lowered to plain/recursive SQL over the
+    """The seventeen kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1691,6 +1697,9 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
         UNION ALL SELECT 'bindmod', s, d, s || '>' || d
           FROM (SELECT s, d FROM ge WHERE p = (SELECT p FROM t1)
                 ORDER BY s, d LIMIT 50) q
+        UNION ALL SELECT 'groupagg', s, MAX(d), CAST(COUNT(*) AS VARCHAR)
+          FROM ge WHERE p = (SELECT p FROM t1)
+          GROUP BY s HAVING MAX(d) IS NOT NULL
         UNION ALL SELECT 'diff', COALESCE(o.s, n.s), COALESCE(o.d, n.d),
                COALESCE(o.p, n.p) || '|' ||
                CASE WHEN o.occ IS NULL THEN 'added'

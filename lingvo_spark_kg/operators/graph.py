@@ -826,7 +826,9 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                   stats=None, union: list | None = None,
                   minus: list | None = None, values=None,
                   bind: dict | None = None, exists: list | None = None,
-                  not_exists: list | None = None, select: list | None = None,
+                  not_exists: list | None = None,
+                  group_by: list | None = None, agg: dict | None = None,
+                  having=None, select: list | None = None,
                   order_by: list | None = None, limit: int | None = None,
                   offset: int | None = None) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over the edges table: the core
@@ -951,6 +953,18 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     uncorrelated EXISTS, one boolean over the whole group (evaluated as a
     limit-1 one-row broadcast flag, not a per-row probe).
 
+    ``group_by=`` / ``agg=`` / ``having=`` are SPARQL aggregation: group the
+    solutions on bound variables (``group_by=[]`` / ``None`` with ``agg`` =
+    one global group, the spec's implicit-group form), compute the
+    ``{name: Column | SQL string}`` aggregates (map-side-combinable hash
+    aggregates — ``count``/``sum``/``min``/``max``/``avg``/
+    ``count(distinct ...)`` and friends), then filter groups with
+    ``having=`` (same Column/string/list form as ``filter``). The grouped
+    output carries the keys then the aggregate names; ``select`` /
+    ``order_by`` operate on those. Aggregate names colliding with keys
+    raise, as does ``group_by`` without ``agg`` (that is ``distinct=True``)
+    or ``having`` without aggregation.
+
     ``select=`` / ``order_by=`` / ``limit=`` / ``offset=`` are the solution
     modifiers: projection to a subset of bound variables (unknown names
     raise), sort keys (a variable name, ``"-name"`` for descending, or any
@@ -962,8 +976,8 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     Evaluation order is fixed and documented: required patterns → UNION
     branches → VALUES → OPTIONAL groups → MINUS groups → BIND →
     EXISTS / NOT EXISTS → FILTER (the spec's Filter-last group semantics;
-    put MINUS-dependent bindings in the required/union part) → solution
-    modifiers."""
+    put MINUS-dependent bindings in the required/union part) → GROUP
+    BY/aggregates → HAVING → solution modifiers."""
     if not patterns:
         raise ValueError("match_pattern needs at least one triple pattern")
     slots = ("src_id", "pred", "dst_id")
@@ -1285,13 +1299,40 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 first_seen.append(t[1:])
     first_seen += [v for v in bind if v not in first_seen]
     result = result.select(*first_seen)
+    out_cols = first_seen
+    if agg is not None or group_by is not None:
+        if not agg:
+            raise ValueError(
+                "group_by needs agg: at least one {name: aggregate} entry "
+                "(GROUP BY with no aggregates is just distinct=True)")
+        keys = list(group_by or [])
+        unknown = [k for k in keys if k not in first_seen]
+        if unknown:
+            raise ValueError(f"group_by variables {unknown} are not bound "
+                             f"(bound: {first_seen})")
+        clash = [n for n in agg if n in keys]
+        if clash:
+            raise ValueError(f"agg names {clash} collide with group_by keys")
+        exprs = [(F.expr(a) if isinstance(a, str) else a).alias(n)
+                 for n, a in agg.items()]
+        result = (result.groupBy(*keys).agg(*exprs) if keys
+                  else result.agg(*exprs))
+        out_cols = keys + list(agg)
+    elif having is not None:
+        raise ValueError("having needs agg / group_by")
+    if having is not None:
+        conds = having if isinstance(having, (list, tuple)) else [having]
+        if not conds:
+            raise ValueError("having must not be an empty list")
+        for c in conds:
+            result = result.where(F.expr(c) if isinstance(c, str) else c)
     if select is not None:
         sel = list(select)
-        missing = [v for v in sel if v not in first_seen]
+        missing = [v for v in sel if v not in out_cols]
         if not sel or missing:
             raise ValueError(
                 f"select must be a non-empty subset of the bound variables "
-                f"{first_seen}; unknown: {missing}")
+                f"{out_cols}; unknown: {missing}")
         result = result.select(*sel)
     if distinct:
         result = result.distinct()

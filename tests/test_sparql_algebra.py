@@ -297,3 +297,71 @@ def test_pipeline_query_passes_new_algebra_through(spark, tmp_path):
                   select=["pair"], order_by=["pair"], limit=5)
     assert out.columns == ["pair"]
     assert out.count() == min(5, edges.count())
+
+
+def test_group_by_aggregates_match_duckdb(spark):
+    """SPARQL aggregation: GROUP BY bound variables + COUNT/SUM/MAX + HAVING
+    vs the same clause stack in DuckDB; aggregates are map-side-combinable
+    hash aggregates, and the grouped output is keys-then-aggregate-names."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = _rand_rows(71)
+    out = match_pattern(
+        _edges_df(spark, rows), [("?a", "?p", "?b")],
+        group_by=["a"], agg={"n": "count(*)", "mx": "max(b)",
+                             "tot": F.sum("b")},
+        having="n >= 2")
+    assert out.columns == ["a", "n", "mx", "tot"]
+    got = sorted(tuple(r) for r in out.collect())
+    ref = sorted(_duck(rows).execute("""
+        SELECT s, COUNT(*) AS n, MAX(d) AS mx, SUM(d) AS tot
+        FROM e GROUP BY s HAVING COUNT(*) >= 2""").fetchall())
+    assert got == ref and len(got) > 0
+
+
+def test_global_aggregate_implicit_group(spark):
+    """agg without group_by = the spec's one implicit group: a single row."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = _rand_rows(73)
+    got = match_pattern(
+        _edges_df(spark, rows), [("?a", "w", "?b")],
+        agg={"n": "count(*)", "ndst": "count(distinct b)"}).collect()
+    ref = _duck(rows).execute(
+        "SELECT COUNT(*), COUNT(DISTINCT d) FROM e WHERE p = 'w'").fetchone()
+    assert [tuple(r) for r in got] == [tuple(ref)]
+
+
+def test_aggregation_composes_with_modifiers_and_bind(spark):
+    """Aggregates see BIND output; select/order_by/limit operate on the
+    grouped columns (the spec's projection-after-aggregation)."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = _rand_rows(79)
+    got = [tuple(r) for r in match_pattern(
+        _edges_df(spark, rows), [("?a", "w", "?b")],
+        bind={"dbl": "b * 2"},
+        group_by=["a"], agg={"s2": "sum(dbl)"},
+        select=["s2", "a"], order_by=["-s2", "a"], limit=3).collect()]
+    ref = [tuple(r) for r in _duck(rows).execute("""
+        SELECT SUM(d * 2) AS s2, s FROM e WHERE p = 'w'
+        GROUP BY s ORDER BY s2 DESC, s LIMIT 3""").fetchall()]
+    assert got == ref and len(got) == 3
+
+
+def test_aggregation_validation(spark):
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "w")])
+    base = [("?a", "w", "?b")]
+    with pytest.raises(ValueError, match="group_by needs agg"):
+        match_pattern(df, base, group_by=["a"])
+    with pytest.raises(ValueError, match="not bound"):
+        match_pattern(df, base, group_by=["zz"], agg={"n": "count(*)"})
+    with pytest.raises(ValueError, match="collide"):
+        match_pattern(df, base, group_by=["a"], agg={"a": "count(*)"})
+    with pytest.raises(ValueError, match="having needs agg"):
+        match_pattern(df, base, having="a > 1")
+    with pytest.raises(ValueError, match="select"):
+        match_pattern(df, base, group_by=["a"], agg={"n": "count(*)"},
+                      select=["b"])  # b is pre-group, not in grouped output
