@@ -345,7 +345,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
     with property paths incl. negated sets, OPTIONAL/UNION/MINUS, FILTER,
     EXISTS, BIND and the solution modifiers, plus the generation-diff audit
-    read) as ONE driver row, seventeen arms under a variant column (50-row
+    read) as ONE driver row, eighteen arms under a variant column (50-row
     cap), every arm checked against the same algebra lowered to
     plain/recursive SQL over the golden edges parquet:
 
@@ -375,6 +375,10 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       on both engines).
     - ``groupagg``: SPARQL aggregation — GROUP BY subject with max-object +
       stringified count + a HAVING pass vs the same GROUP BY in SQL.
+    - ``sparqltxt``: the SPARQL TEXT front-end end-to-end —
+      operators.sparql.sparql_query parsing a SELECT string (IRI predicates,
+      FILTER EXISTS, a computed projection, ORDER BY + LIMIT over the unique
+      (a, b) key) vs the same clause stack in SQL.
     - ``diff``: graph.edge_diff between a derived old generation (occurrence
       counts rewritten ``% 3 + 1``, single-occurrence edges dropped, one
       synthetic edge injected so every status occurs) and the current edges —
@@ -429,6 +433,13 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg={"b": "max(b)", "c": "cast(count(*) as string)"},
             having="b is not null")),
     ]
+    from lingvo_spark_kg.operators.sparql import sparql_query
+
+    arms.append(arm("sparqltxt", sparql_query(
+        edges,
+        "SELECT ?a ?b (CONCAT(?a, '~', ?b) AS ?c) WHERE { "
+        f"?a <{p1}> ?b . FILTER EXISTS {{ ?b <{p2}> ?z }} }} "
+        "ORDER BY ?a ?b LIMIT 30")))
     from lingvo_spark_kg.operators.graph import edge_diff
 
     old = (edges.where(F.col("n_occurrences") > 1)
@@ -1632,7 +1643,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The seventeen kg_graph_query arms lowered to plain/recursive SQL over the
+    """The eighteen kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1700,6 +1711,11 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
         UNION ALL SELECT 'groupagg', s, MAX(d), CAST(COUNT(*) AS VARCHAR)
           FROM ge WHERE p = (SELECT p FROM t1)
           GROUP BY s HAVING MAX(d) IS NOT NULL
+        UNION ALL SELECT 'sparqltxt', s, d, s || '~' || d
+          FROM (SELECT s, d FROM ge w WHERE p = (SELECT p FROM t1)
+                  AND EXISTS (SELECT 1 FROM ge b
+                              WHERE b.p = (SELECT p FROM t2) AND b.s = w.d)
+                ORDER BY s, d LIMIT 30) q
         UNION ALL SELECT 'diff', COALESCE(o.s, n.s), COALESCE(o.d, n.d),
                COALESCE(o.p, n.p) || '|' ||
                CASE WHEN o.occ IS NULL THEN 'added'

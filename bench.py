@@ -499,8 +499,9 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> d
 def run_graph_query_bench(spark) -> dict:
     """Graph-QUERY section: the query layer timed on the Zipf-hub shape the
     pagerank section uses (2M edges / 200k nodes, hub drawing 20% of in-edges,
-    3 predicates). Eight reads (round 7 added the four VERDICT-r6 item-7 arms
-    so regressions in them are visible round-over-round): a 2-hop BGP with
+    3 predicates). Ten reads (round 7 added the four VERDICT-r6 item-7 arms
+    and the second-pass NPS/aggregation reads so regressions in them are
+    visible round-over-round): a 2-hop BGP with
     constant predicates (match_pattern — one mid-keyed self-join), the same
     BGP with the second hop OPTIONAL (left join), 3 label-propagation
     iterations (edge-volume voting joins), a 4-hop multi-source BFS from the
@@ -509,9 +510,12 @@ def run_graph_query_bench(spark) -> dict:
     forest predicate unioned into the graph (log-round doubling; closing a
     hierarchy-shaped predicate, the shape the operator is FOR — a dense
     random predicate's closure is quadratic output by definition),
-    CONSTRUCT-rule materialization over the 2-hop body, and the N-Triples
+    CONSTRUCT-rule materialization over the 2-hop body, the N-Triples
     export expression (zero-shuffle codegen map; lines/sec is the
-    interchange-throughput read; sum(length) forces the encode)."""
+    interchange-throughput read; sum(length) forces the encode), plus the
+    round-7 second-pass algebra: a negated-property-set scan (``!p0``, the
+    complement read) and a GROUP BY aggregation with HAVING over the top
+    predicate's solutions (one hash aggregate)."""
     from pyspark.sql import functions as F
 
     from lingvo_spark_kg.operators.graph import (bfs_distances,
@@ -561,6 +565,11 @@ def run_graph_query_bench(spark) -> dict:
         con_sec, n_con = _time(lambda: construct_edges(
             edges, [("?a", "p0", "?b"), ("?b", "p1", "?c")],
             ("?a", "linked", "?c")).count())
+        nps_sec, n_nps = _time(lambda: match_pattern(
+            edges, [("?a", "!p0", "?b")]).count())
+        agg_sec, n_agg = _time(lambda: match_pattern(
+            edges, [("?a", "p0", "?b")], group_by=["a"],
+            agg={"n": "count(*)"}, having="n >= 2").count())
         # sum(length(line)) FORCES the encode: a bare count() lets Catalyst
         # prune the projection and times nothing but the cached row count
         nt = to_ntriples(edges)
@@ -578,6 +587,8 @@ def run_graph_query_bench(spark) -> dict:
             "sssp_sec": sp_sec, "sssp_reached": n_sp,
             "closure_tree200k_sec": clo_sec, "closure_ancestors_of_root": n_clo,
             "construct_sec": con_sec, "construct_edges": n_con,
+            "nps_sec": nps_sec, "nps_solutions": n_nps,
+            "groupagg_sec": agg_sec, "groupagg_groups": n_agg,
             "ntriples_sec": nt_sec,
             "ntriples_lines_per_sec": round(n_lines / nt_sec, 1)}
 

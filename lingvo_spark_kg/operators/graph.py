@@ -968,10 +968,12 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     ``select=`` / ``order_by=`` / ``limit=`` / ``offset=`` are the solution
     modifiers: projection to a subset of bound variables (unknown names
     raise), sort keys (a variable name, ``"-name"`` for descending, or any
-    Column), and the slice. Applied after everything else in the spec's
-    order — project → DISTINCT → order → offset → limit — so
-    ``order_by + limit`` lowers to Spark's TakeOrdered, never a full sort
-    when a limit is present.
+    Column), and the slice (offset → limit last). Sort keys MAY be
+    non-projected variables — the spec's OrderBy-before-Project — except
+    with ``distinct=True``, where the dedupe runs on the projection first
+    and sort keys must be projected (ordering a deduped bag on a dropped
+    column is undefined). ``order_by + limit`` lowers to Spark's
+    TakeOrderedAndProject, never a full sort when a limit is present.
 
     Evaluation order is fixed and documented: required patterns → UNION
     branches → VALUES → OPTIONAL groups → MINUS groups → BIND →
@@ -1326,6 +1328,7 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
             raise ValueError("having must not be an empty list")
         for c in conds:
             result = result.where(F.expr(c) if isinstance(c, str) else c)
+    sel = None
     if select is not None:
         sel = list(select)
         missing = [v for v in sel if v not in out_cols]
@@ -1333,20 +1336,33 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
             raise ValueError(
                 f"select must be a non-empty subset of the bound variables "
                 f"{out_cols}; unknown: {missing}")
-        result = result.select(*sel)
-    if distinct:
-        result = result.distinct()
+    sort_cols = None
     if order_by is not None:
-        cols = []
+        sort_cols = []
         for o in order_by:
             if isinstance(o, str):
-                cols.append(F.col(o[1:]).desc() if o.startswith("-")
-                            else F.col(o))
+                sort_cols.append(F.col(o[1:]).desc() if o.startswith("-")
+                                 else F.col(o))
             else:
-                cols.append(o)
-        if not cols:
+                sort_cols.append(o)
+        if not sort_cols:
             raise ValueError("order_by must not be an empty list")
-        result = result.orderBy(*cols)
+    if distinct:
+        # set semantics: project, dedupe, THEN sort — sort keys must be
+        # projected (ordering a deduped bag on a dropped column is undefined)
+        if sel is not None:
+            result = result.select(*sel)
+        result = result.distinct()
+        if sort_cols is not None:
+            result = result.orderBy(*sort_cols)
+    else:
+        # the spec's OrderBy-before-Project: sort keys MAY be non-projected
+        # variables; Catalyst still collapses sort+project+limit into
+        # TakeOrderedAndProject
+        if sort_cols is not None:
+            result = result.orderBy(*sort_cols)
+        if sel is not None:
+            result = result.select(*sel)
     if offset:
         result = result.offset(int(offset))
     if limit is not None:

@@ -1,0 +1,610 @@
+"""SPARQL text front-end: parse a (well-defined subset of a) SPARQL 1.1 query
+STRING and run it through the existing algebra — :func:`graph.match_pattern`
+for SELECT/ASK, :func:`graph.construct_edges` for CONSTRUCT. The reference
+repo has no query language at all (north-star scope); the lowering target is
+the kwargs surface match_pattern already oracles against DuckDB, so the parser
+adds NO new execution semantics — only syntax. Everything still compiles to
+filtered scans + equi-joins that Catalyst plans.
+
+Supported grammar (documented subset — anything outside raises ``ValueError``
+with the reason, never a silent wrong answer):
+
+- ``PREFIX ns: <iri>`` declarations; prefixed names expand in term position.
+- ``SELECT [DISTINCT] (* | ?var... | (expr AS ?name)...) WHERE { ... }``
+  — a non-aggregate ``(expr AS ?name)`` lowers to BIND; ``COUNT/SUM/MIN/
+  MAX/AVG(...)`` items lower to the aggregation kwargs.
+- Triple blocks with ``;`` predicate-object lists and ``,`` object lists;
+  terms: ``?var``, ``<iri>``, ``'str'``/``"str"``, numbers, ``true/false``,
+  prefixed or bare names; the predicate slot additionally takes the full
+  property-path grammar (``^ + * ? | / !``) over bare/prefixed names, and
+  the keyword ``a`` expands to ``rdf:type`` (SPARQL shorthand).
+- ``OPTIONAL { ... }``, ``MINUS { ... }``, ``FILTER (expr)``,
+  ``FILTER [NOT] EXISTS { ... }``, ``BIND (expr AS ?v)``,
+  ``VALUES ?v { lits }`` / ``VALUES (?a ?b) { (l l) ... }``, and
+  ``{ A } UNION { B }`` when the union IS the group's pattern (a union
+  mixed with sibling triples in the same group is rejected — compose two
+  queries instead; nested groups inside branches hold triples only).
+- ``GROUP BY ?var...``, ``HAVING (expr)``, ``ORDER BY [ASC|DESC](?v) ...``,
+  ``LIMIT n``, ``OFFSET n``.
+- ``ASK { ... }`` → one-row boolean frame; ``CONSTRUCT { s p o } WHERE
+  { ... }`` (single head triple) → inferred edges with support counts.
+
+Filter/bind/having expressions translate to Spark SQL: ``?var`` → column,
+``&&``/``||``/``!`` → ``AND``/``OR``/``NOT``, and the common builtins
+``REGEX``→``rlike``, ``STRLEN``→``length``, ``UCASE``/``LCASE``→``upper``/
+``lower``, ``STRSTARTS``/``STRENDS``→``startswith``/``endswith``,
+``STR``→``CAST(... AS STRING)``; everything else passes through to
+``F.expr`` (Spark SQL is the expression dialect — documented, not hidden).
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+_VAR_RE = re.compile(r"\?([A-Za-z_]\w*)")
+_WORD_END = set(" \t\r\n{}();,")
+_PATH_ONLY = set("+*?|/^!()")
+_AGG_RE = re.compile(r"^\s*(count|sum|min|max|avg)\s*\(", re.I)
+_FN_MAP = {"regex": "rlike", "strlen": "length", "ucase": "upper",
+           "lcase": "lower", "strstarts": "startswith",
+           "strends": "endswith", "contains": "contains"}
+
+
+class _Cursor:
+    def __init__(self, text: str):
+        self.t = text
+        self.i = 0
+
+    def skip(self):
+        t, n = self.t, len(self.t)
+        while self.i < n:
+            c = t[self.i]
+            if c in " \t\r\n":
+                self.i += 1
+            elif c == "#":                       # comment to end of line
+                while self.i < n and t[self.i] != "\n":
+                    self.i += 1
+            else:
+                break
+
+    def eof(self) -> bool:
+        self.skip()
+        return self.i >= len(self.t)
+
+    def peek(self) -> str:
+        self.skip()
+        return self.t[self.i] if self.i < len(self.t) else ""
+
+    def error(self, msg: str):
+        around = self.t[max(0, self.i - 20):self.i + 20].replace("\n", " ")
+        raise ValueError(f"SPARQL parse error: {msg} near ...{around!r}...")
+
+    def keyword(self, *kws) -> str | None:
+        """Consume one of the case-insensitive keywords (longest first), only
+        at a word boundary. Returns the canonical keyword or None."""
+        self.skip()
+        rest = self.t[self.i:]
+        for kw in sorted(kws, key=len, reverse=True):
+            if rest[:len(kw)].upper() == kw.upper():
+                after = rest[len(kw):len(kw) + 1]
+                if not after or not (after.isalnum() or after == "_"):
+                    self.i += len(kw)
+                    return kw.upper()
+        return None
+
+    def expect(self, ch: str):
+        if self.peek() != ch:
+            self.error(f"expected {ch!r}")
+        self.i += 1
+
+    def read_parens(self) -> str:
+        """Read a balanced ``( ... )`` group (quote-aware), return the inside."""
+        self.expect("(")
+        t, n, depth, out = self.t, len(self.t), 1, []
+        while self.i < n:
+            c = t[self.i]
+            if c in "'\"":
+                j = self.i + 1
+                while j < n and t[j] != c:
+                    j += 2 if t[j] == "\\" else 1
+                if j >= n:
+                    self.error("unterminated string")
+                out.append(t[self.i:j + 1])
+                self.i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    self.i += 1
+                    return "".join(out)
+            out.append(c)
+            self.i += 1
+        self.error("unbalanced '('")
+
+    def read_word(self) -> str:
+        self.skip()
+        j = self.i
+        t, n = self.t, len(self.t)
+        while j < n and t[j] not in _WORD_END:
+            j += 1
+        w = t[self.i:j]
+        if not w:
+            self.error("expected a term")
+        self.i = j
+        return w
+
+    def read_path_token(self) -> str:
+        """Predicate-slot token: path syntax chars INCLUDING parentheses (for
+        ``!(...)``) run to whitespace / ``{};,.`` — but a '.' inside digits
+        stays (decimal numbers never appear in the pred slot, so '.' always
+        terminates here)."""
+        self.skip()
+        t, n = self.t, len(self.t)
+        j = self.i
+        stop = set(" \t\r\n{};,.")
+        while j < n and t[j] not in stop:
+            j += 1
+        w = t[self.i:j]
+        if not w:
+            self.error("expected a predicate")
+        self.i = j
+        return w
+
+
+def _unescape(s: str) -> str:
+    return (s.replace("\\\\", "\x00").replace("\\n", "\n")
+            .replace("\\t", "\t").replace("\\'", "'").replace('\\"', '"')
+            .replace("\x00", "\\"))
+
+
+def _expand(word: str, prefixes: dict):
+    if ":" in word:
+        ns, local = word.split(":", 1)
+        if ns in prefixes:
+            return prefixes[ns] + local
+    return word
+
+
+def _read_term(cur: _Cursor, prefixes: dict):
+    c = cur.peek()
+    if c == "?":
+        cur.i += 1
+        w = cur.read_word()
+        return "?" + w
+    if c == "<":
+        j = cur.t.find(">", cur.i)
+        if j < 0:
+            cur.error("unterminated <iri>")
+        iri = cur.t[cur.i + 1:j]
+        cur.i = j + 1
+        return iri
+    if c in "'\"":
+        cur.i += 1
+        j = cur.i
+        t, n = cur.t, len(cur.t)
+        while j < n and t[j] != c:
+            j += 2 if t[j] == "\\" else 1
+        if j >= n:
+            cur.error("unterminated string")
+        s = _unescape(t[cur.i:j])
+        cur.i = j + 1
+        return s
+    w = cur.read_word()
+    # a word-final '.' is the triple terminator unless it makes a decimal
+    if w.endswith(".") and not re.fullmatch(r"-?\d*\.\d+", w):
+        cur.i -= 1
+        w = w[:-1]
+        if not w:
+            cur.error("expected a term before '.'")
+    low = w.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    if re.fullmatch(r"-?\d+", w):
+        return int(w)
+    if re.fullmatch(r"-?\d*\.\d+", w):
+        return float(w)
+    return _expand(w, prefixes)
+
+
+def _read_predicate(cur: _Cursor, prefixes: dict):
+    c = cur.peek()
+    if c == "?":
+        cur.i += 1
+        return "?" + cur.read_word()
+    if c == "<":
+        return _read_term(cur, prefixes)     # IRI: never path syntax
+    w = cur.read_path_token()
+    # strip parens that wrap the WHOLE path — `(p|q)` is `p|q` (precedence
+    # already makes | lowest); a partial wrap like `(p|q)/r` or `(p)+` needs
+    # grouping the algebra cannot close over and falls through to the path
+    # parser's malformed-step error
+    while w.startswith("(") and w.endswith(")"):
+        depth, full = 0, True
+        for i, ch in enumerate(w):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(w) - 1:
+                    full = False
+                    break
+        if not full:
+            break
+        w = w[1:-1]
+    if w == "a":
+        return "rdf:type"                    # SPARQL shorthand
+    if any(ch in _PATH_ONLY for ch in w):
+        return w                             # property path, names stay bare
+    return _expand(w, prefixes)
+
+
+def _translate_expr(expr: str) -> str:
+    """SPARQL expression → Spark SQL: ``?v``→``v``, logical ops, builtins."""
+    e = _VAR_RE.sub(r"\1", expr)
+    e = e.replace("&&", " AND ").replace("||", " OR ")
+    e = re.sub(r"!(?![=])", " NOT ", e)
+    for sp, sql in _FN_MAP.items():
+        e = re.sub(rf"\b{sp}\s*\(", sql + "(", e, flags=re.I)
+    e = re.sub(r"\bstr\s*\(", "CAST(", e, flags=re.I)
+    if re.search(r"\bCAST\(", e) and "AS STRING" not in e.upper():
+        e = re.sub(r"\bCAST\(([^()]*)\)", r"CAST(\1 AS STRING)", e)
+    return e
+
+
+def _parse_triples_only(cur: _Cursor, prefixes: dict) -> list:
+    """A nested group body: triples only (OPTIONAL/FILTER inside a nested
+    group would need general sub-group algebra — rejected explicitly)."""
+    g = _parse_group(cur, prefixes)
+    extras = [k for k in ("optional", "minus", "exists", "not_exists")
+              if g[k]] + (["filter"] if g["filters"] else []) \
+        + (["bind"] if g["binds"] else []) \
+        + (["values"] if g["values"] is not None else []) \
+        + (["union"] if g["union"] else [])
+    if extras:
+        raise ValueError(
+            f"nested groups hold triple patterns only here; found {extras} — "
+            "compose multiple queries for deeper algebra")
+    return g["triples"]
+
+
+def _parse_group(cur: _Cursor, prefixes: dict) -> dict:
+    """Parse ``{ ... }`` → the group's algebra pieces."""
+    cur.expect("{")
+    out = {"triples": [], "optional": [], "minus": [], "exists": [],
+           "not_exists": [], "filters": [], "binds": {}, "values": None,
+           "union": []}
+    while True:
+        if cur.eof():
+            cur.error("unterminated '{'")
+        if cur.peek() == "}":
+            cur.i += 1
+            return out
+        kw = cur.keyword("OPTIONAL", "MINUS", "FILTER", "BIND", "VALUES",
+                         "UNION")
+        if kw == "OPTIONAL":
+            out["optional"].append(_parse_triples_only(cur, prefixes))
+        elif kw == "MINUS":
+            out["minus"].append(_parse_triples_only(cur, prefixes))
+        elif kw == "FILTER":
+            sub = cur.keyword("EXISTS", "NOT")
+            if sub == "NOT":
+                if not cur.keyword("EXISTS"):
+                    cur.error("FILTER NOT needs EXISTS")
+                out["not_exists"].append(_parse_triples_only(cur, prefixes))
+            elif sub == "EXISTS":
+                out["exists"].append(_parse_triples_only(cur, prefixes))
+            else:
+                out["filters"].append(_translate_expr(cur.read_parens()))
+        elif kw == "BIND":
+            inner = cur.read_parens()
+            m = re.search(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", inner,
+                          flags=re.I)
+            if not m:
+                cur.error("BIND needs (expr AS ?var)")
+            out["binds"][m.group(1)] = _translate_expr(inner[:m.start()])
+        elif kw == "VALUES":
+            out["values"] = _parse_values(cur, prefixes, out["values"])
+        elif kw == "UNION":
+            if not out["union"]:
+                cur.error("UNION without a preceding { } branch")
+            out["union"].append(_parse_triples_only(cur, prefixes))
+        elif cur.peek() == "{":
+            if out["union"] or out["triples"]:
+                raise ValueError(
+                    "a { } UNION { } chain must be the group's whole "
+                    "pattern — triples next to a union (or two chains) are "
+                    "not lowered; compose two queries instead")
+            out["union"].append(_parse_triples_only(cur, prefixes))
+            if cur.keyword("UNION") is None:
+                cur.error("bare { } group: only { } UNION { } is supported")
+            out["union"].append(_parse_triples_only(cur, prefixes))
+            while cur.keyword("UNION"):
+                out["union"].append(_parse_triples_only(cur, prefixes))
+        else:
+            _parse_triple_lines(cur, prefixes, out["triples"])
+
+
+def _parse_triple_lines(cur: _Cursor, prefixes: dict, into: list):
+    subj = _read_term(cur, prefixes)
+    while True:
+        pred = _read_predicate(cur, prefixes)
+        while True:
+            obj = _read_term(cur, prefixes)
+            into.append((subj, pred, obj))
+            if cur.peek() == ",":
+                cur.i += 1
+                continue
+            break
+        if cur.peek() == ";":
+            cur.i += 1
+            if cur.peek() in "}.":               # dangling ';' is legal
+                break
+            continue
+        break
+    if cur.peek() == ".":
+        cur.i += 1
+
+
+def _parse_values(cur: _Cursor, prefixes: dict, prev):
+    if prev is not None:
+        raise ValueError("one VALUES clause per query here — merge the rows")
+    if cur.peek() == "(":                        # (vars) { (row) ... }
+        inner = _Cursor(cur.read_parens())
+        vars_ = []
+        while not inner.eof():
+            t = _read_term(inner, prefixes)
+            if not (isinstance(t, str) and t.startswith("?")):
+                cur.error("VALUES (...) takes ?vars")
+            vars_.append(t[1:])
+        cur.expect("{")
+        rows = []
+        while cur.peek() != "}":
+            if cur.eof():
+                cur.error("unterminated VALUES block")
+            row = _Cursor(cur.read_parens())
+            vals = []
+            while not row.eof():
+                v = _read_term(row, prefixes)
+                if isinstance(v, str) and v.upper() == "UNDEF":
+                    v = None
+                vals.append(v)
+            rows.append(tuple(vals))
+        cur.i += 1
+        return (tuple(vars_), rows)
+    t = _read_term(cur, prefixes)
+    if not (isinstance(t, str) and t.startswith("?")):
+        cur.error("VALUES takes ?var { ... } or (?vars) { ... }")
+    cur.expect("{")
+    lits = []
+    while cur.peek() != "}":
+        if cur.eof():
+            cur.error("unterminated VALUES block")
+        lits.append(_read_term(cur, prefixes))
+    cur.i += 1
+    return {t[1:]: lits}
+
+
+def _parse_select_items(cur: _Cursor):
+    """SELECT item list → (star, [plain vars], {name: agg_sql},
+    {name: bind_sql}, order of output names)."""
+    star, plain, aggs, binds, order = False, [], {}, {}, []
+    while True:
+        c = cur.peek()
+        if c == "*":
+            cur.i += 1
+            star = True
+        elif c == "?":
+            cur.i += 1
+            v = cur.read_word()
+            plain.append(v)
+            order.append(v)
+        elif c == "(":
+            inner = cur.read_parens()
+            m = re.search(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", inner, flags=re.I)
+            if not m:
+                cur.error("SELECT (expr AS ?name) needs the AS alias")
+            name, expr = m.group(1), inner[:m.start()]
+            expr = re.sub(r"\bDISTINCT\s+", "distinct ", expr, flags=re.I)
+            tgt = aggs if _AGG_RE.match(expr) else binds
+            tgt[name] = _translate_expr(expr)
+            order.append(name)
+        else:
+            break
+    if not star and not order:
+        cur.error("empty SELECT list")
+    return star, plain, aggs, binds, order
+
+
+def parse_sparql(query: str) -> dict:
+    """Parse a SPARQL string → ``{"form": "select" | "ask" | "construct",
+    "kwargs": match_pattern kwargs, "head": construct head or None}``.
+    Raises ``ValueError`` on anything outside the documented subset."""
+    cur = _Cursor(query)
+    prefixes: dict = {}
+    while cur.keyword("PREFIX"):
+        ns = cur.read_word()
+        if not ns.endswith(":"):
+            cur.error("PREFIX needs 'ns:'")
+        if cur.peek() != "<":
+            cur.error("PREFIX needs a <iri>")
+        prefixes[ns[:-1]] = _read_term(cur, prefixes)
+    form = cur.keyword("SELECT", "ASK", "CONSTRUCT")
+    if form is None:
+        cur.error("expected SELECT / ASK / CONSTRUCT")
+
+    head = None
+    star, plain, sel_aggs, sel_binds, sel_order = True, [], {}, {}, []
+    distinct = False
+    if form == "SELECT":
+        distinct = cur.keyword("DISTINCT", "REDUCED") is not None
+        star, plain, sel_aggs, sel_binds, sel_order = _parse_select_items(cur)
+        cur.keyword("WHERE")
+    elif form == "CONSTRUCT":
+        heads: list = []
+        hcur_start = cur.peek()
+        if hcur_start != "{":
+            cur.error("CONSTRUCT needs a { head } template")
+        cur.expect("{")
+        while cur.peek() != "}":
+            if cur.eof():
+                cur.error("unterminated CONSTRUCT template")
+            _parse_triple_lines(cur, prefixes, heads)
+        cur.i += 1
+        if len(heads) != 1:
+            raise ValueError("CONSTRUCT lowers ONE head triple per query "
+                             f"(got {len(heads)}) — run one query per rule")
+        head = heads[0]
+        if isinstance(head[1], str) and not head[1].startswith("?") \
+                and any(c in _PATH_ONLY for c in head[1]):
+            raise ValueError("the CONSTRUCT head predicate must be a plain "
+                             f"constant, not a path ({head[1]!r})")
+        cur.keyword("WHERE")
+    else:
+        cur.keyword("WHERE")
+
+    g = _parse_group(cur, prefixes)
+
+    kwargs: dict = {}
+    if g["union"]:
+        if g["triples"]:
+            raise ValueError(
+                "a { } UNION { } chain must be the group's whole pattern — "
+                "triples next to a union are not lowered; compose two "
+                "queries instead")
+        kwargs["patterns"] = g["union"][0]
+        kwargs["union"] = g["union"][1:]
+    else:
+        kwargs["patterns"] = g["triples"]
+    if not kwargs["patterns"]:
+        raise ValueError("the WHERE group has no triple patterns")
+    for k in ("optional", "minus", "exists", "not_exists"):
+        if g[k]:
+            kwargs[k] = g[k]
+    binds = dict(g["binds"])
+    binds.update(sel_binds)
+    if binds:
+        kwargs["bind"] = binds
+    if g["filters"]:
+        kwargs["filter"] = g["filters"]
+    if g["values"] is not None:
+        kwargs["values"] = g["values"]
+
+    group_keys = None
+    if cur.keyword("GROUP"):
+        if not cur.keyword("BY"):
+            cur.error("GROUP needs BY")
+        group_keys = []
+        while cur.peek() == "?":
+            cur.i += 1
+            group_keys.append(cur.read_word())
+        if not group_keys:
+            cur.error("GROUP BY needs ?vars")
+    if sel_aggs or group_keys is not None:
+        if not sel_aggs:
+            raise ValueError("GROUP BY needs at least one aggregate in "
+                             "SELECT — use SELECT DISTINCT for plain keys")
+        kwargs["group_by"] = group_keys or []
+        kwargs["agg"] = sel_aggs
+        bad = [v for v in plain if v not in (group_keys or [])]
+        if bad:
+            raise ValueError(f"SELECT vars {bad} are not GROUP BY keys "
+                             "(SPARQL requires grouped-or-aggregated)")
+    if cur.keyword("HAVING"):
+        if cur.peek() != "(":
+            cur.error("HAVING needs (expr)")
+        kwargs["having"] = _translate_expr(cur.read_parens())
+    if cur.keyword("ORDER"):
+        if not cur.keyword("BY"):
+            cur.error("ORDER needs BY")
+        order_by = []
+        while True:
+            kw = cur.keyword("ASC", "DESC")
+            if kw:
+                inner = cur.read_parens().strip()
+                m = _VAR_RE.fullmatch(inner)
+                if not m:
+                    cur.error("ORDER BY ASC/DESC(?var)")
+                order_by.append(("-" if kw == "DESC" else "") + m.group(1))
+            elif cur.peek() == "?":
+                cur.i += 1
+                order_by.append(cur.read_word())
+            else:
+                break
+        if not order_by:
+            cur.error("ORDER BY needs keys")
+        kwargs["order_by"] = order_by
+    while True:
+        kw = cur.keyword("LIMIT", "OFFSET")
+        if not kw:
+            break
+        num = cur.read_word()
+        if not num.isdigit():
+            cur.error(f"{kw} needs an integer")
+        kwargs["limit" if kw == "LIMIT" else "offset"] = int(num)
+    if not cur.eof():
+        cur.error("trailing content after the query")
+
+    if form == "SELECT":
+        if distinct:
+            kwargs["distinct"] = True
+        if not star and "agg" not in kwargs:
+            kwargs["select"] = sel_order
+        elif not star and "agg" in kwargs:
+            kwargs["select"] = sel_order
+        return {"form": "select", "kwargs": kwargs, "head": None}
+    if form == "CONSTRUCT":
+        unsupported = [k for k in ("union", "minus", "exists", "not_exists",
+                                   "values", "bind", "group_by", "order_by",
+                                   "limit", "offset") if k in kwargs]
+        if unsupported:
+            raise ValueError(f"CONSTRUCT supports triples + OPTIONAL + "
+                             f"FILTER only (got {unsupported})")
+        return {"form": "construct", "kwargs": kwargs, "head": head}
+    return {"form": "ask", "kwargs": kwargs, "head": None}
+
+
+def sparql_query(edges: DataFrame, query: str, stats=None) -> DataFrame:
+    """Run a SPARQL string against the edges table. SELECT → the solution
+    frame (one column per projected variable), ASK → a one-row
+    ``(ask boolean)`` frame, CONSTRUCT → the inferred-edges frame of
+    :func:`construct_edges`. ``stats=`` passes through to the
+    selectivity-aware join ordering. Pure lowering — the plan is exactly the
+    one the kwargs API would build."""
+    from .graph import construct_edges, match_pattern
+
+    q = parse_sparql(query)
+    kw = dict(q["kwargs"])
+    if q["form"] == "construct":
+        s, p, o = q["head"]
+        return construct_edges(edges, kw.pop("patterns"), (s, p, o),
+                               optional=kw.pop("optional", None),
+                               filter=kw.pop("filter", None), stats=stats)
+    if q["form"] == "ask":
+        def has_var(p):
+            return any(isinstance(t, str) and t.startswith("?") for t in p)
+
+        pats = kw.pop("patterns")
+        const_pats = [p for p in pats if not has_var(p)]
+        var_pats = [p for p in pats if has_var(p)]
+        if const_pats and not var_pats and kw:
+            raise ValueError("ASK over constant-only triples cannot take "
+                             f"further algebra (got {sorted(kw)})")
+        hit = True
+        # constant-only triples probe one at a time (a fresh pinned variable
+        # turns each into a legal one-row existence check; limit-1 bounded)
+        for s, p, o in const_pats:
+            probe = match_pattern(edges, [("?ask_probe", p, o)],
+                                  values={"ask_probe": [s]})
+            if probe.limit(1).count() == 0:
+                hit = False
+                break
+        if hit and var_pats:
+            sol = match_pattern(edges, var_pats, stats=stats, **kw)
+            hit = sol.limit(1).count() > 0
+        return edges.sparkSession.createDataFrame([(hit,)], "ask boolean")
+    return match_pattern(edges, kw.pop("patterns"), stats=stats, **kw)

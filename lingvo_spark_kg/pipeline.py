@@ -699,6 +699,21 @@ class KgPipeline:
 
         return match_pattern(self.table("edges"), patterns, **kw)
 
+    def sparql(self, query: str, stats=None) -> DataFrame:
+        """Run a SPARQL query STRING against the committed KG —
+        :func:`operators.sparql.sparql_query` over ``table("edges")``:
+        SELECT → solution frame, ASK → one-row boolean frame, CONSTRUCT →
+        inferred edges. Same lowering as :meth:`query`; the string form is
+        parsed, never a second engine::
+
+            p.sparql('''SELECT ?who (COUNT(*) AS ?n) WHERE {
+                          ?who возглавлять ?org .
+                        } GROUP BY ?who ORDER BY DESC(?n) LIMIT 10''')
+        """
+        from .operators.sparql import sparql_query
+
+        return sparql_query(self.table("edges"), query, stats=stats)
+
     def export_ntriples(self, path: str, base: str | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest
         generation after any delta ingests) as a W3C N-Triples text directory:
