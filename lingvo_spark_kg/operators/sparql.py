@@ -27,7 +27,10 @@ with the reason, never a silent wrong answer):
 - ``GROUP BY ?var...``, ``HAVING (expr)``, ``ORDER BY [ASC|DESC](?v) ...``,
   ``LIMIT n``, ``OFFSET n``.
 - ``ASK { ... }`` → one-row boolean frame; ``CONSTRUCT { s p o } WHERE
-  { ... }`` (single head triple) → inferred edges with support counts.
+  { ... }`` (single head triple) → inferred edges with support counts;
+  ``DESCRIBE <node>...`` / ``DESCRIBE ?x [?y...] WHERE { ... }`` → every
+  edge row touching the described nodes (the concise-bounded description a
+  graph store returns, here the induced star: all columns kept).
 
 Filter/bind/having expressions translate to Spark SQL: ``?var`` → column,
 ``&&``/``||``/``!`` → ``AND``/``OR``/``NOT``, and the common builtins
@@ -433,11 +436,43 @@ def parse_sparql(query: str) -> dict:
         if cur.peek() != "<":
             cur.error("PREFIX needs a <iri>")
         prefixes[ns[:-1]] = _read_term(cur, prefixes)
-    form = cur.keyword("SELECT", "ASK", "CONSTRUCT")
+    form = cur.keyword("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
     if form is None:
-        cur.error("expected SELECT / ASK / CONSTRUCT")
+        cur.error("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
 
     head = None
+    if form == "DESCRIBE":
+        described: list = []
+        while not cur.eof() and cur.keyword("WHERE") is None \
+                and cur.peek() != "{":
+            described.append(_read_term(cur, prefixes))
+        if not described:
+            cur.error("DESCRIBE needs terms")
+        desc_vars = [t[1:] for t in described
+                     if isinstance(t, str) and t.startswith("?")]
+        desc_consts = [t for t in described
+                       if not (isinstance(t, str) and t.startswith("?"))]
+        kwargs: dict = {}
+        if cur.peek() == "{":
+            g = _parse_group(cur, prefixes)
+            if g["union"] or g["binds"] or g["values"] is not None:
+                raise ValueError("DESCRIBE ... WHERE supports triples + "
+                                 "OPTIONAL/MINUS/EXISTS/FILTER only")
+            kwargs["patterns"] = g["triples"]
+            if not kwargs["patterns"]:
+                raise ValueError("the WHERE group has no triple patterns")
+            for k in ("optional", "minus", "exists", "not_exists"):
+                if g[k]:
+                    kwargs[k] = g[k]
+            if g["filters"]:
+                kwargs["filter"] = g["filters"]
+        elif desc_vars:
+            raise ValueError("DESCRIBE ?vars needs a WHERE group binding "
+                             "them")
+        if not cur.eof():
+            cur.error("trailing content after the query")
+        return {"form": "describe", "kwargs": kwargs, "head": None,
+                "describe": {"vars": desc_vars, "consts": desc_consts}}
     star, plain, sel_aggs, sel_binds, sel_order = True, [], {}, {}, []
     distinct = False
     if form == "SELECT":
@@ -446,8 +481,7 @@ def parse_sparql(query: str) -> dict:
         cur.keyword("WHERE")
     elif form == "CONSTRUCT":
         heads: list = []
-        hcur_start = cur.peek()
-        if hcur_start != "{":
+        if cur.peek() != "{":
             cur.error("CONSTRUCT needs a { head } template")
         cur.expect("{")
         while cur.peek() != "}":
@@ -572,13 +606,41 @@ def sparql_query(edges: DataFrame, query: str, stats=None) -> DataFrame:
     """Run a SPARQL string against the edges table. SELECT → the solution
     frame (one column per projected variable), ASK → a one-row
     ``(ask boolean)`` frame, CONSTRUCT → the inferred-edges frame of
-    :func:`construct_edges`. ``stats=`` passes through to the
-    selectivity-aware join ordering. Pure lowering — the plan is exactly the
-    one the kwargs API would build."""
+    :func:`construct_edges`, DESCRIBE → the distinct edge rows touching the
+    described nodes (two semi-joins against the node set — neighborhood-
+    sized output, the scan prunes on the bucketed layout). ``stats=`` passes
+    through to the selectivity-aware join ordering. Pure lowering — the
+    plan is exactly the one the kwargs API would build."""
     from .graph import construct_edges, match_pattern
 
     q = parse_sparql(query)
     kw = dict(q["kwargs"])
+    if q["form"] == "describe":
+        spark, d = edges.sparkSession, q["describe"]
+        id_type = dict(edges.dtypes)["src_id"]
+        nodes = None
+        if d["consts"]:
+            nodes = spark.createDataFrame([(c,) for c in d["consts"]],
+                                          f"n {id_type}")
+        if d["vars"]:
+            sol = match_pattern(edges, kw.pop("patterns"), stats=stats,
+                                **kw)
+            for v in d["vars"]:
+                if v not in sol.columns:
+                    raise ValueError(f"DESCRIBE variable ?{v} is not bound "
+                                     f"by the WHERE group ({sol.columns})")
+                col = sol.select(F.col(v).alias("n")).where(
+                    F.col("n").isNotNull())
+                nodes = col if nodes is None else nodes.unionByName(col)
+        nodes = nodes.distinct().localCheckpoint(eager=False)
+        touching = (edges.join(nodes.withColumnRenamed("n", "src_id"),
+                               "src_id", "left_semi")
+                    .unionByName(
+                        edges.join(nodes.withColumnRenamed("n", "dst_id"),
+                                   "dst_id", "left_semi")
+                        .select(*edges.columns))
+                    .select(*edges.columns))
+        return touching.distinct()
     if q["form"] == "construct":
         s, p, o = q["head"]
         return construct_edges(edges, kw.pop("patterns"), (s, p, o),

@@ -286,3 +286,41 @@ def test_pipeline_sparql_sugar(spark, tmp_path):
            .groupBy("src_id").count())
     assert out.count() == ref.count()
     assert p.sparql("ASK { ?s <%s> ?o }" % pred).collect()[0]["ask"] is True
+
+
+def test_describe_constants_and_vars(spark):
+    """DESCRIBE returns every edge row touching the described nodes (the
+    induced star, all columns kept, set semantics) — constants directly,
+    variables through the WHERE solutions."""
+    from lingvo_spark_kg.operators.sparql import sparql_query
+
+    df = _edges_df(spark, [("a", "b", "w"), ("b", "c", "w"),
+                           ("c", "d", "p"), ("d", "e", "p")])
+    got = sorted((r["src_id"], r["pred"], r["dst_id"]) for r in
+                 sparql_query(df, "DESCRIBE 'b'").collect())
+    assert got == [("a", "w", "b"), ("b", "w", "c")]
+    assert sparql_query(df, "DESCRIBE 'b'").columns == df.columns
+
+    # every node with an outgoing p edge → c and d → edges touching c or d
+    got = sorted((r["src_id"], r["pred"], r["dst_id"]) for r in sparql_query(
+        df, "DESCRIBE ?x WHERE { ?x p ?y }").collect())
+    assert got == [("b", "w", "c"), ("c", "p", "d"), ("d", "p", "e")]
+
+    # mixed: a constant plus a bound variable, WHERE algebra applies
+    got = sorted((r["src_id"], r["pred"], r["dst_id"]) for r in sparql_query(
+        df, "DESCRIBE 'e' ?x WHERE { ?x p ?y FILTER(?x = 'c') }").collect())
+    assert got == [("b", "w", "c"), ("c", "p", "d"), ("d", "p", "e")]
+
+
+def test_describe_errors(spark):
+    from lingvo_spark_kg.operators.sparql import parse_sparql, sparql_query
+
+    df = _edges_df(spark, [("a", "b", "w")])
+    with pytest.raises(ValueError, match="DESCRIBE needs terms"):
+        parse_sparql("DESCRIBE WHERE { ?x w ?y }")
+    with pytest.raises(ValueError, match="WHERE group binding"):
+        parse_sparql("DESCRIBE ?x")
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_query(df, "DESCRIBE ?zz WHERE { ?x w ?y }")
+    with pytest.raises(ValueError, match="triples \\+"):
+        parse_sparql("DESCRIBE ?x WHERE { { ?x w ?y } UNION { ?x p ?y } }")
