@@ -825,6 +825,7 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                   optional: list | None = None, filter=None,
                   stats=None, union: list | None = None,
                   minus: list | None = None, values=None,
+                  sub: list | None = None,
                   bind: dict | None = None, exists: list | None = None,
                   not_exists: list | None = None,
                   group_by: list | None = None, agg: dict | None = None,
@@ -937,6 +938,19 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     the required/union part; UNDEF (None) entries are not supported (raise) —
     split the query instead.
 
+    ``sub=`` is SPARQL 1.1 SUBQUERIES (§12): a list of pre-evaluated solution
+    frames — typically the output of an inner :func:`match_pattern` /
+    ``sparql_query`` call (the spec evaluates subqueries first, innermost
+    out) — each joined with the solutions. A frame sharing ≥1 column name
+    with the bound variables inner-joins on ALL shared names (the spec's
+    compatibility join); a frame sharing none is the spec's disjoint-domain
+    join, i.e. a product, lowered as a BROADCAST cross join — meant for the
+    one-row aggregate-subquery idiom (``{ SELECT (COUNT(*) AS ?n) WHERE
+    ... }`` giving every solution the global total); the sub side must be
+    small, share a variable otherwise. New columns project after the
+    pattern variables and are visible to ``bind`` / ``exists`` / ``filter``
+    / aggregation / the modifiers, not to ``values``.
+
     ``bind=`` is SPARQL BIND: an ordered ``{var: Column | SQL string}`` dict
     of computed variables extended onto the solutions (later entries may
     reference earlier ones). Reassigning an in-scope variable raises (the
@@ -976,7 +990,7 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     TakeOrderedAndProject, never a full sort when a limit is present.
 
     Evaluation order is fixed and documented: required patterns → UNION
-    branches → VALUES → OPTIONAL groups → MINUS groups → BIND →
+    branches → SUB frames → VALUES → OPTIONAL groups → MINUS groups → BIND →
     EXISTS / NOT EXISTS → FILTER (the spec's Filter-last group semantics;
     put MINUS-dependent bindings in the required/union part) → GROUP
     BY/aggregates → HAVING → solution modifiers."""
@@ -1196,6 +1210,20 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         # from one branch is unbound (NULL) in that branch's rows
         result = result.unionByName(gdf, allowMissingColumns=True)
         have |= gvars
+    for sdf in (sub or []):
+        if not isinstance(sdf, DataFrame):
+            raise ValueError("sub takes solution DataFrames (inner-query "
+                             f"results), got {type(sdf).__name__}")
+        shared = sorted(set(sdf.columns) & have)
+        if shared:
+            # the spec's compatibility join on every shared variable
+            result = result.join(sdf, shared)
+        else:
+            # disjoint domains: the spec's product — broadcast, for the
+            # one-row aggregate-subquery idiom (documented small-side
+            # contract; share a variable for anything row-proportional)
+            result = result.crossJoin(F.broadcast(sdf))
+        have |= set(sdf.columns)
     if values is not None:
         if isinstance(values, dict):
             pairs = [(v, list(consts)) for v, consts in values.items()]
@@ -1299,6 +1327,8 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         for t in p:
             if is_var(t) and t[1:] not in first_seen:
                 first_seen.append(t[1:])
+    for sdf in (sub or []):
+        first_seen += [c for c in sdf.columns if c not in first_seen]
     first_seen += [v for v in bind if v not in first_seen]
     result = result.select(*first_seen)
     out_cols = first_seen

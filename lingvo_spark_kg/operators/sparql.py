@@ -12,7 +12,17 @@ with the reason, never a silent wrong answer):
 - ``PREFIX ns: <iri>`` declarations; prefixed names expand in term position.
 - ``SELECT [DISTINCT] (* | ?var... | (expr AS ?name)...) WHERE { ... }``
   — a non-aggregate ``(expr AS ?name)`` lowers to BIND; ``COUNT/SUM/MIN/
-  MAX/AVG(...)`` items lower to the aggregation kwargs.
+  MAX/AVG(...)`` items lower to the aggregation kwargs, plus the
+  SPARQL-only spellings ``GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR='s'])``
+  (values sorted, then joined — deterministic where the spec leaves order
+  open) and ``SAMPLE(?v)`` (→ ``min``, a legal deterministic choice).
+- SUBQUERIES (§12): ``{ SELECT ... WHERE { ... } [GROUP BY ...] ... }``
+  nested as an element of the WHERE group — evaluated innermost-first and
+  joined with the sibling solutions on the shared projected variables
+  (none shared → the spec's product, lowered as a broadcast cross join —
+  the one-row aggregate-subquery idiom). Subqueries nest; the outer group
+  still needs ≥1 triple pattern of its own, and subqueries inside
+  OPTIONAL/MINUS/EXISTS/UNION branches are rejected, not mis-lowered.
 - Triple blocks with ``;`` predicate-object lists and ``,`` object lists;
   terms: ``?var``, ``<iri>``, ``'str'``/``"str"``, numbers, ``true/false``,
   prefixed or bare names; the predicate slot additionally takes the full
@@ -48,7 +58,13 @@ from pyspark.sql import DataFrame, functions as F
 _VAR_RE = re.compile(r"\?([A-Za-z_]\w*)")
 _WORD_END = set(" \t\r\n{}();,")
 _PATH_ONLY = set("+*?|/^!()")
-_AGG_RE = re.compile(r"^\s*(count|sum|min|max|avg)\s*\(", re.I)
+_AGG_RE = re.compile(
+    r"^\s*(count|sum|min|max|avg|group_concat|sample)\s*\(", re.I)
+_GC_RE = re.compile(r"^\s*group_concat\s*\((.*)\)\s*$", re.I | re.S)
+_SAMPLE_RE = re.compile(r"^\s*sample\s*\((.*)\)\s*$", re.I | re.S)
+_SEP_RE = re.compile(
+    r";\s*separator\s*=\s*('((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\")\s*$",
+    re.I)
 _FN_MAP = {"regex": "rlike", "strlen": "length", "ucase": "upper",
            "lcase": "lower", "strstarts": "startswith",
            "strends": "endswith", "contains": "contains"}
@@ -259,6 +275,52 @@ def _translate_expr(expr: str) -> str:
     return e
 
 
+def _lower_agg(expr: str) -> str:
+    """SELECT-item aggregate → Spark SQL. ``COUNT/SUM/MIN/MAX/AVG`` pass
+    through :func:`_translate_expr` (Spark spells them the same, incl.
+    ``count(distinct v)``); the two SPARQL-only spellings lower here:
+
+    - ``GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR='s'])`` → values SORTED then
+      joined (``sort_array(collect_list|collect_set)``). SPARQL leaves the
+      concatenation order implementation-defined; sorting makes the output
+      deterministic across partitionings and engines (DuckDB parity:
+      ``string_agg(... ORDER BY ...)``). Default separator is a single
+      space, the spec's.
+    - ``SAMPLE(?v)`` → ``min(v)``: the spec allows ANY value from the group,
+      so the deterministic choice is legal and reproducible.
+
+    Both take a single ``?var`` here — BIND a computed expression first."""
+    m = _GC_RE.match(expr)
+    if m:
+        inner = m.group(1).strip()
+        sep = " "
+        sm = _SEP_RE.search(inner)
+        if sm:
+            sep = _unescape(sm.group(2) if sm.group(2) is not None
+                            else sm.group(3))
+            inner = inner[:sm.start()].strip()
+        dm = re.match(r"^distinct\s+", inner, re.I)
+        coll = "collect_set" if dm else "collect_list"
+        if dm:
+            inner = inner[dm.end():].strip()
+        vm = _VAR_RE.fullmatch(inner)
+        if not vm:
+            raise ValueError("GROUP_CONCAT takes a single ?var here "
+                             f"(got {inner!r}) — BIND the expression first")
+        sep_sql = sep.replace("\\", "\\\\").replace("'", "\\'")
+        return (f"array_join(transform(sort_array({coll}({vm.group(1)})), "
+                f"x -> cast(x as string)), '{sep_sql}')")
+    m = _SAMPLE_RE.match(expr)
+    if m:
+        inner = re.sub(r"^distinct\s+", "", m.group(1).strip(), flags=re.I)
+        vm = _VAR_RE.fullmatch(inner)
+        if not vm:
+            raise ValueError(f"SAMPLE takes a single ?var here "
+                             f"(got {inner!r})")
+        return f"min({vm.group(1)})"
+    return _translate_expr(expr)
+
+
 def _parse_triples_only(cur: _Cursor, prefixes: dict) -> list:
     """A nested group body: triples only (OPTIONAL/FILTER inside a nested
     group would need general sub-group algebra — rejected explicitly)."""
@@ -267,7 +329,8 @@ def _parse_triples_only(cur: _Cursor, prefixes: dict) -> list:
               if g[k]] + (["filter"] if g["filters"] else []) \
         + (["bind"] if g["binds"] else []) \
         + (["values"] if g["values"] is not None else []) \
-        + (["union"] if g["union"] else [])
+        + (["union"] if g["union"] else []) \
+        + (["subquery"] if g["subs"] else [])
     if extras:
         raise ValueError(
             f"nested groups hold triple patterns only here; found {extras} — "
@@ -280,7 +343,7 @@ def _parse_group(cur: _Cursor, prefixes: dict) -> dict:
     cur.expect("{")
     out = {"triples": [], "optional": [], "minus": [], "exists": [],
            "not_exists": [], "filters": [], "binds": {}, "values": None,
-           "union": []}
+           "union": [], "subs": []}
     while True:
         if cur.eof():
             cur.error("unterminated '{'")
@@ -317,6 +380,14 @@ def _parse_group(cur: _Cursor, prefixes: dict) -> dict:
                 cur.error("UNION without a preceding { } branch")
             out["union"].append(_parse_triples_only(cur, prefixes))
         elif cur.peek() == "{":
+            save = cur.i
+            cur.expect("{")
+            if cur.keyword("SELECT"):
+                # SPARQL 1.1 §12 subquery: evaluated first, joined with the
+                # group's other solutions on the shared projected variables
+                out["subs"].append(_parse_subselect(cur, prefixes))
+                continue
+            cur.i = save
             if out["union"] or out["triples"]:
                 raise ValueError(
                     "a { } UNION { } chain must be the group's whole "
@@ -413,8 +484,10 @@ def _parse_select_items(cur: _Cursor):
                 cur.error("SELECT (expr AS ?name) needs the AS alias")
             name, expr = m.group(1), inner[:m.start()]
             expr = re.sub(r"\bDISTINCT\s+", "distinct ", expr, flags=re.I)
-            tgt = aggs if _AGG_RE.match(expr) else binds
-            tgt[name] = _translate_expr(expr)
+            if _AGG_RE.match(expr):
+                aggs[name] = _lower_agg(expr)
+            else:
+                binds[name] = _translate_expr(expr)
             order.append(name)
         else:
             break
@@ -423,93 +496,17 @@ def _parse_select_items(cur: _Cursor):
     return star, plain, aggs, binds, order
 
 
-def parse_sparql(query: str) -> dict:
-    """Parse a SPARQL string → ``{"form": "select" | "ask" | "construct",
-    "kwargs": match_pattern kwargs, "head": construct head or None}``.
-    Raises ``ValueError`` on anything outside the documented subset."""
-    cur = _Cursor(query)
-    prefixes: dict = {}
-    while cur.keyword("PREFIX"):
-        ns = cur.read_word()
-        if not ns.endswith(":"):
-            cur.error("PREFIX needs 'ns:'")
-        if cur.peek() != "<":
-            cur.error("PREFIX needs a <iri>")
-        prefixes[ns[:-1]] = _read_term(cur, prefixes)
-    form = cur.keyword("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
-    if form is None:
-        cur.error("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
-
-    head = None
-    if form == "DESCRIBE":
-        described: list = []
-        while not cur.eof() and cur.keyword("WHERE") is None \
-                and cur.peek() != "{":
-            described.append(_read_term(cur, prefixes))
-        if not described:
-            cur.error("DESCRIBE needs terms")
-        desc_vars = [t[1:] for t in described
-                     if isinstance(t, str) and t.startswith("?")]
-        desc_consts = [t for t in described
-                       if not (isinstance(t, str) and t.startswith("?"))]
-        kwargs: dict = {}
-        if cur.peek() == "{":
-            g = _parse_group(cur, prefixes)
-            if g["union"] or g["binds"] or g["values"] is not None:
-                raise ValueError("DESCRIBE ... WHERE supports triples + "
-                                 "OPTIONAL/MINUS/EXISTS/FILTER only")
-            kwargs["patterns"] = g["triples"]
-            if not kwargs["patterns"]:
-                raise ValueError("the WHERE group has no triple patterns")
-            for k in ("optional", "minus", "exists", "not_exists"):
-                if g[k]:
-                    kwargs[k] = g[k]
-            if g["filters"]:
-                kwargs["filter"] = g["filters"]
-        elif desc_vars:
-            raise ValueError("DESCRIBE ?vars needs a WHERE group binding "
-                             "them")
-        if not cur.eof():
-            cur.error("trailing content after the query")
-        return {"form": "describe", "kwargs": kwargs, "head": None,
-                "describe": {"vars": desc_vars, "consts": desc_consts}}
-    star, plain, sel_aggs, sel_binds, sel_order = True, [], {}, {}, []
-    distinct = False
-    if form == "SELECT":
-        distinct = cur.keyword("DISTINCT", "REDUCED") is not None
-        star, plain, sel_aggs, sel_binds, sel_order = _parse_select_items(cur)
-        cur.keyword("WHERE")
-    elif form == "CONSTRUCT":
-        heads: list = []
-        if cur.peek() != "{":
-            cur.error("CONSTRUCT needs a { head } template")
-        cur.expect("{")
-        while cur.peek() != "}":
-            if cur.eof():
-                cur.error("unterminated CONSTRUCT template")
-            _parse_triple_lines(cur, prefixes, heads)
-        cur.i += 1
-        if len(heads) != 1:
-            raise ValueError("CONSTRUCT lowers ONE head triple per query "
-                             f"(got {len(heads)}) — run one query per rule")
-        head = heads[0]
-        if isinstance(head[1], str) and not head[1].startswith("?") \
-                and any(c in _PATH_ONLY for c in head[1]):
-            raise ValueError("the CONSTRUCT head predicate must be a plain "
-                             f"constant, not a path ({head[1]!r})")
-        cur.keyword("WHERE")
-    else:
-        cur.keyword("WHERE")
-
-    g = _parse_group(cur, prefixes)
-
+def _group_to_kwargs(g: dict) -> dict:
+    """A parsed WHERE group → the match_pattern pattern/group kwargs. Binds
+    are left to the caller (SELECT-expression binds merge in on top); a
+    nested-subquery list rides under the ``"subs"`` key for the compiler."""
     kwargs: dict = {}
     if g["union"]:
-        if g["triples"]:
+        if g["triples"] or g["subs"]:
             raise ValueError(
                 "a { } UNION { } chain must be the group's whole pattern — "
-                "triples next to a union are not lowered; compose two "
-                "queries instead")
+                "triples or subqueries next to a union are not lowered; "
+                "compose two queries instead")
         kwargs["patterns"] = g["union"][0]
         kwargs["union"] = g["union"][1:]
     else:
@@ -519,15 +516,20 @@ def parse_sparql(query: str) -> dict:
     for k in ("optional", "minus", "exists", "not_exists"):
         if g[k]:
             kwargs[k] = g[k]
-    binds = dict(g["binds"])
-    binds.update(sel_binds)
-    if binds:
-        kwargs["bind"] = binds
     if g["filters"]:
         kwargs["filter"] = g["filters"]
     if g["values"] is not None:
         kwargs["values"] = g["values"]
+    if g["subs"]:
+        kwargs["subs"] = g["subs"]
+    return kwargs
 
+
+def _parse_select_tail(cur: _Cursor, kwargs: dict, plain: list,
+                       sel_aggs: dict):
+    """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET after a WHERE group —
+    parsing stops at the first token that is none of them ('}' for a
+    subquery, EOF for a top-level query)."""
     group_keys = None
     if cur.keyword("GROUP"):
         if not cur.keyword("BY"):
@@ -580,26 +582,154 @@ def parse_sparql(query: str) -> dict:
         if not num.isdigit():
             cur.error(f"{kw} needs an integer")
         kwargs["limit" if kw == "LIMIT" else "offset"] = int(num)
+
+
+def _finish_select(kwargs: dict, star: bool, sel_order: list,
+                   distinct: bool):
+    if distinct:
+        kwargs["distinct"] = True
+    if not star:
+        kwargs["select"] = sel_order
+
+
+def _parse_subselect(cur: _Cursor, prefixes: dict) -> dict:
+    """The body of a nested ``{ SELECT ... }`` (SPARQL 1.1 §12; cursor just
+    past the SELECT keyword) → match_pattern kwargs; the closing ``}`` is
+    consumed here. Subqueries nest (the inner WHERE group may itself hold
+    ``{ SELECT ... }``), inherit the outer PREFIXes (static scoping), and
+    project ONLY their selected variables — the compatibility join with the
+    outer solutions runs on the shared projected names."""
+    distinct = cur.keyword("DISTINCT", "REDUCED") is not None
+    star, plain, sel_aggs, sel_binds, sel_order = _parse_select_items(cur)
+    cur.keyword("WHERE")
+    g = _parse_group(cur, prefixes)
+    kwargs = _group_to_kwargs(g)
+    binds = dict(g["binds"])
+    binds.update(sel_binds)
+    if binds:
+        kwargs["bind"] = binds
+    _parse_select_tail(cur, kwargs, plain, sel_aggs)
+    _finish_select(kwargs, star, sel_order, distinct)
+    cur.expect("}")
+    return kwargs
+
+
+def parse_sparql(query: str) -> dict:
+    """Parse a SPARQL string → ``{"form": "select" | "ask" | "construct",
+    "kwargs": match_pattern kwargs, "head": construct head or None}``.
+    Raises ``ValueError`` on anything outside the documented subset."""
+    cur = _Cursor(query)
+    prefixes: dict = {}
+    while cur.keyword("PREFIX"):
+        ns = cur.read_word()
+        if not ns.endswith(":"):
+            cur.error("PREFIX needs 'ns:'")
+        if cur.peek() != "<":
+            cur.error("PREFIX needs a <iri>")
+        prefixes[ns[:-1]] = _read_term(cur, prefixes)
+    form = cur.keyword("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
+    if form is None:
+        cur.error("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
+
+    head = None
+    if form == "DESCRIBE":
+        described: list = []
+        while not cur.eof() and cur.keyword("WHERE") is None \
+                and cur.peek() != "{":
+            described.append(_read_term(cur, prefixes))
+        if not described:
+            cur.error("DESCRIBE needs terms")
+        desc_vars = [t[1:] for t in described
+                     if isinstance(t, str) and t.startswith("?")]
+        desc_consts = [t for t in described
+                       if not (isinstance(t, str) and t.startswith("?"))]
+        kwargs: dict = {}
+        if cur.peek() == "{":
+            g = _parse_group(cur, prefixes)
+            if g["union"] or g["binds"] or g["values"] is not None \
+                    or g["subs"]:
+                raise ValueError("DESCRIBE ... WHERE supports triples + "
+                                 "OPTIONAL/MINUS/EXISTS/FILTER only")
+            kwargs["patterns"] = g["triples"]
+            if not kwargs["patterns"]:
+                raise ValueError("the WHERE group has no triple patterns")
+            for k in ("optional", "minus", "exists", "not_exists"):
+                if g[k]:
+                    kwargs[k] = g[k]
+            if g["filters"]:
+                kwargs["filter"] = g["filters"]
+        elif desc_vars:
+            raise ValueError("DESCRIBE ?vars needs a WHERE group binding "
+                             "them")
+        if not cur.eof():
+            cur.error("trailing content after the query")
+        return {"form": "describe", "kwargs": kwargs, "head": None,
+                "describe": {"vars": desc_vars, "consts": desc_consts}}
+    star, plain, sel_aggs, sel_binds, sel_order = True, [], {}, {}, []
+    distinct = False
+    if form == "SELECT":
+        distinct = cur.keyword("DISTINCT", "REDUCED") is not None
+        star, plain, sel_aggs, sel_binds, sel_order = _parse_select_items(cur)
+        cur.keyword("WHERE")
+    elif form == "CONSTRUCT":
+        heads: list = []
+        if cur.peek() != "{":
+            cur.error("CONSTRUCT needs a { head } template")
+        cur.expect("{")
+        while cur.peek() != "}":
+            if cur.eof():
+                cur.error("unterminated CONSTRUCT template")
+            _parse_triple_lines(cur, prefixes, heads)
+        cur.i += 1
+        if len(heads) != 1:
+            raise ValueError("CONSTRUCT lowers ONE head triple per query "
+                             f"(got {len(heads)}) — run one query per rule")
+        head = heads[0]
+        if isinstance(head[1], str) and not head[1].startswith("?") \
+                and any(c in _PATH_ONLY for c in head[1]):
+            raise ValueError("the CONSTRUCT head predicate must be a plain "
+                             f"constant, not a path ({head[1]!r})")
+        cur.keyword("WHERE")
+    else:
+        cur.keyword("WHERE")
+
+    g = _parse_group(cur, prefixes)
+
+    kwargs = _group_to_kwargs(g)
+    binds = dict(g["binds"])
+    binds.update(sel_binds)
+    if binds:
+        kwargs["bind"] = binds
+
+    _parse_select_tail(cur, kwargs, plain, sel_aggs)
     if not cur.eof():
         cur.error("trailing content after the query")
 
     if form == "SELECT":
-        if distinct:
-            kwargs["distinct"] = True
-        if not star and "agg" not in kwargs:
-            kwargs["select"] = sel_order
-        elif not star and "agg" in kwargs:
-            kwargs["select"] = sel_order
+        _finish_select(kwargs, star, sel_order, distinct)
         return {"form": "select", "kwargs": kwargs, "head": None}
     if form == "CONSTRUCT":
         unsupported = [k for k in ("union", "minus", "exists", "not_exists",
                                    "values", "bind", "group_by", "order_by",
-                                   "limit", "offset") if k in kwargs]
+                                   "limit", "offset", "subs") if k in kwargs]
         if unsupported:
             raise ValueError(f"CONSTRUCT supports triples + OPTIONAL + "
                              f"FILTER only (got {unsupported})")
         return {"form": "construct", "kwargs": kwargs, "head": head}
     return {"form": "ask", "kwargs": kwargs, "head": None}
+
+
+def _compile_select(edges: DataFrame, kwargs: dict, stats) -> DataFrame:
+    """Lower parsed query kwargs → a solution frame, compiling any nested
+    subqueries FIRST (the spec's innermost-out evaluation) into ``sub=``
+    frames for :func:`graph.match_pattern`."""
+    from .graph import match_pattern
+
+    kw = dict(kwargs)
+    subs = kw.pop("subs", None)
+    if subs:
+        kw["sub"] = [_compile_select(edges, s, stats) for s in subs]
+    return match_pattern(edges, kw.pop("patterns"), stats=stats, **kw)
 
 
 def sparql_query(edges: DataFrame, query: str, stats=None) -> DataFrame:
@@ -623,8 +753,7 @@ def sparql_query(edges: DataFrame, query: str, stats=None) -> DataFrame:
             nodes = spark.createDataFrame([(c,) for c in d["consts"]],
                                           f"n {id_type}")
         if d["vars"]:
-            sol = match_pattern(edges, kw.pop("patterns"), stats=stats,
-                                **kw)
+            sol = _compile_select(edges, kw, stats)
             for v in d["vars"]:
                 if v not in sol.columns:
                     raise ValueError(f"DESCRIBE variable ?{v} is not bound "
@@ -666,7 +795,7 @@ def sparql_query(edges: DataFrame, query: str, stats=None) -> DataFrame:
                 hit = False
                 break
         if hit and var_pats:
-            sol = match_pattern(edges, var_pats, stats=stats, **kw)
+            sol = _compile_select(edges, {**kw, "patterns": var_pats}, stats)
             hit = sol.limit(1).count() > 0
         return edges.sparkSession.createDataFrame([(hit,)], "ask boolean")
-    return match_pattern(edges, kw.pop("patterns"), stats=stats, **kw)
+    return _compile_select(edges, kw, stats)

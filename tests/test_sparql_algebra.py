@@ -365,3 +365,71 @@ def test_aggregation_validation(spark):
     with pytest.raises(ValueError, match="select"):
         match_pattern(df, base, group_by=["a"], agg={"n": "count(*)"},
                       select=["b"])  # b is pre-group, not in grouped output
+
+
+def test_sub_correlated_matches_duckdb(spark):
+    """SPARQL 1.1 §12 subqueries via ``sub=``: an inner grouped solution
+    frame joins the outer solutions on the shared projected variable —
+    vs the identical nested-subquery join in DuckDB."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = _rand_rows(83)
+    df = _edges_df(spark, rows)
+    inner = match_pattern(df, [("?a", "w", "?z")],
+                          group_by=["a"], agg={"n": "count(*)"})
+    got = sorted(tuple(r) for r in match_pattern(
+        df, [("?a", "w", "?b")], sub=[inner]).collect())
+    ref = sorted(_duck(rows).execute("""
+        SELECT w.s, w.d, q.n FROM e w
+        JOIN (SELECT s, COUNT(*) AS n FROM e WHERE p = 'w' GROUP BY s) q
+          ON q.s = w.s
+        WHERE w.p = 'w'""").fetchall())
+    assert got == ref and len(got) > 0
+
+
+def test_sub_uncorrelated_is_broadcast_product(spark):
+    """A sub frame sharing no variable is the spec's disjoint-domain join —
+    the one-row aggregate-subquery idiom: every solution carries the global
+    total. Parity vs a CROSS JOIN of the scalar subquery, and the plan
+    carries a broadcast (never a shuffle cartesian)."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = _rand_rows(89)
+    df = _edges_df(spark, rows)
+    tot = match_pattern(df, [("?x", "w", "?y")], agg={"t": "count(*)"})
+    out = match_pattern(df, [("?a", "p", "?b")], sub=[tot])
+    got = sorted(tuple(r) for r in out.collect())
+    ref = sorted(_duck(rows).execute("""
+        SELECT s, d, t FROM e
+        CROSS JOIN (SELECT COUNT(*) AS t FROM e WHERE p = 'w')
+        WHERE p = 'p'""").fetchall())
+    assert got == ref and len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan and "CartesianProduct" not in plan
+
+
+def test_sub_columns_feed_downstream_algebra(spark):
+    """Sub-frame columns are real bound variables: visible to filter /
+    bind / aggregation, projected after the pattern variables, and a later
+    BIND reusing the name raises (the in-scope rule)."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    rows = _rand_rows(97)
+    df = _edges_df(spark, rows)
+    inner = match_pattern(df, [("?a", "w", "?z")],
+                          group_by=["a"], agg={"n": "count(*)"})
+    out = match_pattern(df, [("?a", "w", "?b")], sub=[inner],
+                        filter="n > 1", bind={"n2": "n * 10"})
+    assert out.columns == ["a", "b", "n", "n2"]
+    got = sorted(tuple(r) for r in out.collect())
+    ref = sorted(_duck(rows).execute("""
+        SELECT w.s, w.d, q.n, q.n * 10 FROM e w
+        JOIN (SELECT s, COUNT(*) AS n FROM e WHERE p = 'w' GROUP BY s) q
+          ON q.s = w.s
+        WHERE w.p = 'w' AND q.n > 1""").fetchall())
+    assert got == ref and len(got) > 0
+    with pytest.raises(ValueError, match="reassign"):
+        match_pattern(df, [("?a", "w", "?b")], sub=[inner],
+                      bind={"n": "b"})
+    with pytest.raises(ValueError, match="solution DataFrames"):
+        match_pattern(df, [("?a", "w", "?b")], sub=[[("?a", "w", "?z")]])

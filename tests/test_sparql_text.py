@@ -324,3 +324,135 @@ def test_describe_errors(spark):
         sparql_query(df, "DESCRIBE ?zz WHERE { ?x w ?y }")
     with pytest.raises(ValueError, match="triples \\+"):
         parse_sparql("DESCRIBE ?x WHERE { { ?x w ?y } UNION { ?x p ?y } }")
+
+
+def test_subquery_text_matches_duckdb(spark):
+    """Nested ``{ SELECT ... }`` (§12): the inner grouped query joins the
+    outer pattern on the shared projected variable — direct DuckDB parity,
+    plus the kwargs-API equivalence through ``sub=``."""
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import match_pattern
+    from lingvo_spark_kg.operators.sparql import sparql_query
+
+    rows = _rand_rows(201)
+    df = _edges_df(spark, rows)
+    q = """SELECT ?a ?b ?n WHERE { ?a <w> ?b .
+             { SELECT ?a (COUNT(*) AS ?n) WHERE { ?a <w> ?z } GROUP BY ?a }
+           }"""
+    got = _same(
+        sparql_query(df, q),
+        match_pattern(df, [("?a", "w", "?b")],
+                      sub=[match_pattern(df, [("?a", "w", "?z")],
+                                         group_by=["a"],
+                                         agg={"n": "count(*)"})],
+                      select=["a", "b", "n"]))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"('{s}','{d}','{p}')" for s, d, p in rows))
+    ref = sorted(con.execute("""
+        SELECT w.s, w.d, q.n FROM e w
+        JOIN (SELECT s, COUNT(*) AS n FROM e WHERE p = 'w' GROUP BY s) q
+          ON q.s = w.s
+        WHERE w.p = 'w'""").fetchall())
+    assert got == ref and len(got) > 0
+
+
+def test_subquery_uncorrelated_and_nested(spark):
+    """An aggregate subquery projecting no shared variable gives every
+    solution the global total (broadcast product); subqueries NEST — the
+    inner WHERE group may itself hold a subquery."""
+    from lingvo_spark_kg.operators.sparql import sparql_query
+
+    rows = _rand_rows(203)
+    df = _edges_df(spark, rows)
+    n_w = len([r for r in rows if r[2] == "w"])
+    got = sorted(tuple(r) for r in sparql_query(
+        df, """SELECT ?a ?t WHERE { ?a <p> ?b .
+                 { SELECT (COUNT(*) AS ?t) WHERE { ?x <w> ?y } } }"""
+    ).collect())
+    assert len(got) > 0 and all(t == n_w for _, t in got)
+    # two levels: innermost counts w-edges per subject, middle keeps the
+    # subjects seen ≥2 times, outer joins the p-scan onto that subject set
+    got2 = sorted(tuple(r) for r in sparql_query(
+        df, """SELECT ?a ?b ?n WHERE { ?a <p> ?b .
+                 { SELECT ?a ?n WHERE { ?a <w> ?z .
+                     { SELECT ?a (COUNT(*) AS ?n) WHERE { ?a <w> ?q }
+                       GROUP BY ?a } }
+                 }
+               }"""
+    ).collect())
+    exp = {}
+    for s, d, p in rows:
+        if p == "w":
+            exp[s] = exp.get(s, 0) + 1
+    # bag semantics: the middle SELECT ?a ?n keeps one row per (a, z)
+    # binding, so each outer row repeats exp[a] times
+    ref2 = sorted((s, d, exp[s])
+                  for s, d, p in rows if p == "p" and s in exp
+                  for _ in range(exp[s]))
+    assert got2 == ref2 and len(got2) > 0
+
+
+def test_group_concat_and_sample_match_duckdb(spark):
+    """GROUP_CONCAT (sorted, custom separator, DISTINCT) and SAMPLE (→ min,
+    a legal deterministic choice) vs DuckDB's ordered string_agg / MIN."""
+    import duckdb
+
+    from lingvo_spark_kg.operators.sparql import sparql_query
+
+    rows = _rand_rows(207)
+    df = _edges_df(spark, rows)
+    got = sorted(tuple(r) for r in sparql_query(
+        df, """SELECT ?a (GROUP_CONCAT(?b; SEPARATOR=",") AS ?gc)
+                      (SAMPLE(?b) AS ?smp)
+               WHERE { ?a <w> ?b } GROUP BY ?a"""
+    ).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"('{s}','{d}','{p}')" for s, d, p in rows))
+    ref = sorted(con.execute("""
+        SELECT s, string_agg(d, ',' ORDER BY d), MIN(d)
+        FROM e WHERE p = 'w' GROUP BY s""").fetchall())
+    assert got == ref and len(got) > 0
+    # DISTINCT + default separator (single space, the spec's)
+    got = sorted(tuple(r) for r in sparql_query(
+        df, """SELECT ?a (GROUP_CONCAT(DISTINCT ?b) AS ?gc)
+               WHERE { ?a <w> ?b } GROUP BY ?a"""
+    ).collect())
+    ref = sorted(con.execute("""
+        SELECT s, string_agg(DISTINCT d, ' ' ORDER BY d)
+        FROM e WHERE p = 'w' GROUP BY s""").fetchall())
+    assert got == ref and len(got) > 0
+
+
+def test_subquery_and_agg_error_contracts(spark):
+    """Subqueries inside OPTIONAL/MINUS/EXISTS/union branches, next to a
+    UNION chain, in CONSTRUCT/DESCRIBE, and malformed GROUP_CONCAT /
+    SAMPLE arguments all raise with the reason — never a silent
+    mis-lowering."""
+    from lingvo_spark_kg.operators.sparql import parse_sparql
+
+    sub = "{ SELECT ?a WHERE { ?a <w> ?b } }"
+    with pytest.raises(ValueError, match="subquery"):
+        parse_sparql(
+            f"SELECT ?a WHERE {{ ?a <w> ?c OPTIONAL {{ {sub} }} }}")
+    with pytest.raises(ValueError, match="subquery"):
+        parse_sparql(
+            f"SELECT ?a WHERE {{ ?a <w> ?c MINUS {{ {sub} }} }}")
+    with pytest.raises(ValueError, match="whole pattern"):
+        parse_sparql(
+            f"SELECT ?a WHERE {{ {sub} {{ ?a <w> ?b }} UNION "
+            "{ ?a <p> ?b } }")
+    with pytest.raises(ValueError, match="CONSTRUCT"):
+        parse_sparql(
+            f"CONSTRUCT {{ ?a <r> ?a }} WHERE {{ ?a <w> ?b . {sub} }}")
+    with pytest.raises(ValueError, match="DESCRIBE"):
+        parse_sparql(f"DESCRIBE ?a WHERE {{ ?a <w> ?b . {sub} }}")
+    with pytest.raises(ValueError, match="no triple patterns"):
+        parse_sparql(f"SELECT ?a WHERE {{ {sub} }}")
+    with pytest.raises(ValueError, match="GROUP_CONCAT takes a single"):
+        parse_sparql("SELECT (GROUP_CONCAT(CONCAT(?a, ?b)) AS ?g) "
+                     "WHERE { ?a <w> ?b }")
+    with pytest.raises(ValueError, match="SAMPLE takes a single"):
+        parse_sparql("SELECT (SAMPLE(?a + 1) AS ?s) WHERE { ?a <w> ?b }")
