@@ -345,7 +345,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
     with property paths incl. negated sets, OPTIONAL/UNION/MINUS, FILTER,
     EXISTS, BIND and the solution modifiers, plus the generation-diff audit
-    read) as ONE driver row, eighteen arms under a variant column (50-row
+    read) as ONE driver row, twenty arms under a variant column (50-row
     cap), every arm checked against the same algebra lowered to
     plain/recursive SQL over the golden edges parquet:
 
@@ -379,6 +379,15 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       operators.sparql.sparql_query parsing a SELECT string (IRI predicates,
       FILTER EXISTS, a computed projection, ORDER BY + LIMIT over the unique
       (a, b) key) vs the same clause stack in SQL.
+    - ``subq``: a SPARQL 1.1 §12 SUBQUERY through the text front-end — the
+      nested ``{ SELECT ?a (COUNT(*) AS ?n) ... GROUP BY ?a }`` computes the
+      per-subject outdegree of the top predicate, joined onto the outer scan
+      on the shared projected variable, ``?n`` stringified into the packed
+      column — vs the same nested-subquery join in SQL.
+    - ``gconcat``: the SPARQL-only aggregates — ``SAMPLE(?b)`` (→ min, a
+      legal deterministic choice) and ``GROUP_CONCAT(?b; SEPARATOR=',')``
+      (values SORTED then joined — deterministic where the spec leaves
+      order open) — vs MIN + ordered string_agg in SQL.
     - ``diff``: graph.edge_diff between a derived old generation (occurrence
       counts rewritten ``% 3 + 1``, single-occurrence edges dropped, one
       synthetic edge injected so every status occurs) and the current edges —
@@ -440,6 +449,19 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT ?a ?b (CONCAT(?a, '~', ?b) AS ?c) WHERE { "
         f"?a <{p1}> ?b . FILTER EXISTS {{ ?b <{p2}> ?z }} }} "
         "ORDER BY ?a ?b LIMIT 30")))
+    arms.append(arm("subq", sparql_query(
+        edges,
+        "SELECT ?a ?b (CONCAT(?b, '#', STR(?n)) AS ?c) WHERE { "
+        f"?a <{p1}> ?b . "
+        f"{{ SELECT ?a (COUNT(*) AS ?n) WHERE {{ ?a <{p1}> ?z }} "
+        "GROUP BY ?a } }")))
+    arms.append(sparql_query(
+        edges,
+        "SELECT ?a (SAMPLE(?b) AS ?smp) "
+        "(GROUP_CONCAT(?b; SEPARATOR=',') AS ?gc) "
+        f"WHERE {{ ?a <{p1}> ?b }} GROUP BY ?a")
+        .select(F.lit("gconcat").alias("variant"), F.col("a"),
+                F.col("smp").alias("b"), F.col("gc").alias("c")))
     from lingvo_spark_kg.operators.graph import edge_diff
 
     old = (edges.where(F.col("n_occurrences") > 1)
@@ -1643,7 +1665,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The eighteen kg_graph_query arms lowered to plain/recursive SQL over the
+    """The twenty kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1716,6 +1738,13 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
                   AND EXISTS (SELECT 1 FROM ge b
                               WHERE b.p = (SELECT p FROM t2) AND b.s = w.d)
                 ORDER BY s, d LIMIT 30) q
+        UNION ALL SELECT 'subq', w.s, w.d, w.d || '#' || CAST(q.n AS VARCHAR)
+          FROM ge w JOIN (SELECT s, COUNT(*) AS n FROM ge
+                          WHERE p = (SELECT p FROM t1) GROUP BY s) q
+            ON q.s = w.s
+         WHERE w.p = (SELECT p FROM t1)
+        UNION ALL SELECT 'gconcat', s, MIN(d), string_agg(d, ',' ORDER BY d)
+          FROM ge WHERE p = (SELECT p FROM t1) GROUP BY s
         UNION ALL SELECT 'diff', COALESCE(o.s, n.s), COALESCE(o.d, n.d),
                COALESCE(o.p, n.p) || '|' ||
                CASE WHEN o.occ IS NULL THEN 'added'
