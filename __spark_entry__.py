@@ -345,7 +345,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
     with property paths incl. negated sets, OPTIONAL/UNION/MINUS, FILTER,
     EXISTS, BIND and the solution modifiers, plus the generation-diff audit
-    read) as ONE driver row, twenty arms under a variant column (50-row
+    read) as ONE driver row, twenty-one arms under a variant column (50-row
     cap), every arm checked against the same algebra lowered to
     plain/recursive SQL over the golden edges parquet:
 
@@ -388,6 +388,11 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       legal deterministic choice) and ``GROUP_CONCAT(?b; SEPARATOR=',')``
       (values SORTED then joined — deterministic where the spec leaves
       order open) — vs MIN + ordered string_agg in SQL.
+    - ``update``: SPARQL 1.1 UPDATE (operators.sparql.sparql_update) — a
+      predicate migration ``DELETE { ?s p2 ?o } INSERT { ?s p2_v2 ?o }
+      WHERE { ?s p2 ?o }`` applied to the golden edges; the resulting store
+      (surviving rows keep their metadata, inserted rows carry
+      n_occurrences=1) vs the same anti-join + distinct-union in SQL.
     - ``diff``: graph.edge_diff between a derived old generation (occurrence
       counts rewritten ``% 3 + 1``, single-occurrence edges dropped, one
       synthetic edge injected so every status occurs) and the current edges —
@@ -462,6 +467,17 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHERE {{ ?a <{p1}> ?b }} GROUP BY ?a")
         .select(F.lit("gconcat").alias("variant"), F.col("a"),
                 F.col("smp").alias("b"), F.col("gc").alias("c")))
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    arms.append(sparql_update(
+        edges,
+        f"DELETE {{ ?s <{p2}> ?o }} INSERT {{ ?s <{p2}_v2> ?o }} "
+        f"WHERE {{ ?s <{p2}> ?o }}")
+        .select(F.lit("update").alias("variant"),
+                F.col("src_id").alias("a"), F.col("dst_id").alias("b"),
+                F.concat_ws("|", "pred",
+                            F.coalesce(F.col("n_occurrences").cast("string"),
+                                       F.lit("-"))).alias("c")))
     from lingvo_spark_kg.operators.graph import edge_diff
 
     old = (edges.where(F.col("n_occurrences") > 1)
@@ -1665,7 +1681,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The twenty kg_graph_query arms lowered to plain/recursive SQL over the
+    """The twenty-one kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1745,6 +1761,12 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
          WHERE w.p = (SELECT p FROM t1)
         UNION ALL SELECT 'gconcat', s, MIN(d), string_agg(d, ',' ORDER BY d)
           FROM ge WHERE p = (SELECT p FROM t1) GROUP BY s
+        UNION ALL SELECT 'update', s, d, p || '|' || CAST(occ AS VARCHAR)
+          FROM gocc WHERE p <> (SELECT p FROM t2)
+        UNION ALL SELECT 'update', s, d,
+               (SELECT p FROM t2) || '_v2' || '|1'
+          FROM (SELECT DISTINCT s, d FROM gocc
+                WHERE p = (SELECT p FROM t2)) q
         UNION ALL SELECT 'diff', COALESCE(o.s, n.s), COALESCE(o.d, n.d),
                COALESCE(o.p, n.p) || '|' ||
                CASE WHEN o.occ IS NULL THEN 'added'

@@ -614,11 +614,7 @@ def _parse_subselect(cur: _Cursor, prefixes: dict) -> dict:
     return kwargs
 
 
-def parse_sparql(query: str) -> dict:
-    """Parse a SPARQL string → ``{"form": "select" | "ask" | "construct",
-    "kwargs": match_pattern kwargs, "head": construct head or None}``.
-    Raises ``ValueError`` on anything outside the documented subset."""
-    cur = _Cursor(query)
+def _parse_prefixes(cur: _Cursor) -> dict:
     prefixes: dict = {}
     while cur.keyword("PREFIX"):
         ns = cur.read_word()
@@ -627,6 +623,15 @@ def parse_sparql(query: str) -> dict:
         if cur.peek() != "<":
             cur.error("PREFIX needs a <iri>")
         prefixes[ns[:-1]] = _read_term(cur, prefixes)
+    return prefixes
+
+
+def parse_sparql(query: str) -> dict:
+    """Parse a SPARQL string → ``{"form": "select" | "ask" | "construct",
+    "kwargs": match_pattern kwargs, "head": construct head or None}``.
+    Raises ``ValueError`` on anything outside the documented subset."""
+    cur = _Cursor(query)
+    prefixes = _parse_prefixes(cur)
     form = cur.keyword("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
     if form is None:
         cur.error("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
@@ -799,3 +804,188 @@ def sparql_query(edges: DataFrame, query: str, stats=None) -> DataFrame:
             hit = sol.limit(1).count() > 0
         return edges.sparkSession.createDataFrame([(hit,)], "ask boolean")
     return _compile_select(edges, kw, stats)
+
+
+def _parse_template(cur: _Cursor, prefixes: dict, allow_vars: bool,
+                    what: str) -> list:
+    """An update ``{ triples }`` block (a template / quad pattern — triples
+    only, no keywords). Property paths never appear here (a path is not a
+    deletable/insertable triple); ``allow_vars=False`` is the DATA forms'
+    ground-triples rule."""
+    cur.expect("{")
+    triples: list = []
+    while cur.peek() != "}":
+        if cur.eof():
+            cur.error(f"unterminated {what} block")
+        _parse_triple_lines(cur, prefixes, triples)
+    cur.i += 1
+    if not triples:
+        raise ValueError(f"{what} needs at least one triple")
+    for s, p, o in triples:
+        if isinstance(p, str) and not p.startswith("?") \
+                and any(c in _PATH_ONLY for c in p):
+            raise ValueError(f"{what} predicates must be plain constants or "
+                             f"variables, not property paths ({p!r})")
+        if not allow_vars and any(isinstance(t, str) and t.startswith("?")
+                                  for t in (s, p, o)):
+            raise ValueError(f"{what} takes ground triples only (got a "
+                             "variable) — use the WHERE forms for patterns")
+    return triples
+
+
+def parse_sparql_update(update: str) -> dict:
+    """Parse ONE SPARQL 1.1 Update operation (§3.1) →
+    ``{"delete_data", "insert_data", "delete_tpl", "insert_tpl", "where"}``
+    (unused slots None). Supported forms:
+
+    - ``INSERT DATA { triples }`` / ``DELETE DATA { triples }`` — ground
+      triples only (the spec's rule).
+    - ``DELETE WHERE { patterns }`` — the pattern doubles as the delete
+      template (the spec's shortcut form; triples only, each with ≥1
+      variable — a ground triple in this form would make deletion of
+      EVERYTHING conditional on its presence, which is almost certainly a
+      bug: use DELETE DATA).
+    - ``DELETE { template } [INSERT { template }] WHERE { group }`` /
+      ``INSERT { template } WHERE { group }`` — the full form; the WHERE
+      group takes the SELECT-query group algebra (OPTIONAL / MINUS /
+      FILTER / BIND / VALUES / subqueries / { } UNION { }).
+
+    One operation per call — ``;``-sequences raise (run them one at a
+    time; each returns the store the next one reads)."""
+    cur = _Cursor(update)
+    prefixes = _parse_prefixes(cur)
+    out = {"delete_data": None, "insert_data": None,
+           "delete_tpl": None, "insert_tpl": None, "where": None}
+    kw = cur.keyword("INSERT", "DELETE")
+    if kw is None:
+        cur.error("expected INSERT / DELETE")
+
+    def where_kwargs():
+        g = _parse_group(cur, prefixes)
+        kwargs = _group_to_kwargs(g)
+        if g["binds"]:
+            kwargs["bind"] = g["binds"]
+        return kwargs
+
+    if kw == "INSERT":
+        if cur.keyword("DATA"):
+            out["insert_data"] = _parse_template(cur, prefixes, False,
+                                                 "INSERT DATA")
+        else:
+            out["insert_tpl"] = _parse_template(cur, prefixes, True,
+                                                "INSERT template")
+            if not cur.keyword("WHERE"):
+                cur.error("INSERT { template } needs WHERE { group }")
+            out["where"] = where_kwargs()
+    else:
+        if cur.keyword("DATA"):
+            out["delete_data"] = _parse_template(cur, prefixes, False,
+                                                 "DELETE DATA")
+        elif cur.keyword("WHERE"):
+            tpl = _parse_template(cur, prefixes, True, "DELETE WHERE")
+            ground = [t for t in tpl
+                      if not any(isinstance(x, str) and x.startswith("?")
+                                 for x in t)]
+            if ground:
+                raise ValueError(
+                    "DELETE WHERE triples need ≥1 variable each (ground "
+                    f"triple {ground[0]!r} would gate the whole delete on "
+                    "its own presence) — use DELETE DATA for constants")
+            out["delete_tpl"] = tpl
+            out["where"] = {"patterns": tpl}
+        else:
+            out["delete_tpl"] = _parse_template(cur, prefixes, True,
+                                                "DELETE template")
+            if cur.keyword("INSERT"):
+                out["insert_tpl"] = _parse_template(cur, prefixes, True,
+                                                    "INSERT template")
+            if not cur.keyword("WHERE"):
+                cur.error("DELETE { template } needs WHERE { group }")
+            out["where"] = where_kwargs()
+    if not cur.eof():
+        cur.error("one update operation per call — trailing content")
+    return out
+
+
+def sparql_update(edges: DataFrame, update: str, stats=None) -> DataFrame:
+    """Apply ONE SPARQL 1.1 Update operation to the edges table and return
+    the NEW edges frame (same columns — the caller owns persistence;
+    ``KgPipeline.sparql_update`` commits it as a graph generation).
+
+    Semantics (the spec's, §3.1): both templates instantiate against the
+    ORIGINAL store's solutions, deletes apply before inserts. The store is
+    a SET of triples keyed on (src_id, pred, dst_id): deleting removes the
+    matching rows wholesale (metadata and all); inserting a triple that
+    survives deletion is a no-op — the existing row KEEPS its provenance
+    metadata; a genuinely new triple carries ``n_occurrences = 1`` (one
+    assertion) and NULL for every other metadata column (an asserted edge
+    has no document provenance — downstream reads already treat those
+    columns as nullable). A template slot instantiated to NULL (an unbound
+    OPTIONAL variable) produces no triple, per the spec.
+
+    Scale shape: the WHERE group compiles through :func:`graph.
+    match_pattern` (filtered scans + equi-joins); the delete is ONE
+    key-equi anti-join, the insert ONE anti-join + union — solution-volume
+    work, never a store rescan beyond the single anti-join pass."""
+    u = parse_sparql_update(update)
+    key = ["src_id", "pred", "dst_id"]
+    spark = edges.sparkSession
+    types = dict(edges.dtypes)
+    schema3 = (f"src_id {types['src_id']}, pred {types['pred']}, "
+               f"dst_id {types['dst_id']}")
+
+    def lit_frame(triples):
+        return spark.createDataFrame(
+            [tuple(t) for t in sorted(set(map(tuple, triples)), key=repr)],
+            schema3)
+
+    if u["where"] is None:
+        del_df = lit_frame(u["delete_data"]) if u["delete_data"] else None
+        ins_df = lit_frame(u["insert_data"]) if u["insert_data"] else None
+    else:
+        sol = _compile_select(edges, u["where"], stats)
+        if u["delete_tpl"] and u["insert_tpl"]:
+            # both templates read the same solutions — cut the shared lineage
+            sol = sol.localCheckpoint(eager=False)
+
+        def inst(tpls):
+            frames = []
+            for s, p, o in tpls:
+                cols = []
+                for slot, term in (("src_id", s), ("pred", p),
+                                   ("dst_id", o)):
+                    t = types[slot]
+                    if isinstance(term, str) and term.startswith("?"):
+                        v = term[1:]
+                        if v not in sol.columns:
+                            raise ValueError(
+                                f"template variable {term} is not bound by "
+                                f"the WHERE group ({sol.columns})")
+                        cols.append(F.col(v).cast(t).alias(slot))
+                    else:
+                        cols.append(F.lit(term).cast(t).alias(slot))
+                frames.append(sol.select(*cols))
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            cond = None
+            for k in key:
+                c = F.col(k).isNotNull()
+                cond = c if cond is None else (cond & c)
+            return out.where(cond)
+
+        del_df = inst(u["delete_tpl"]) if u["delete_tpl"] else None
+        ins_df = inst(u["insert_tpl"]) if u["insert_tpl"] else None
+
+    out = edges
+    if del_df is not None:
+        out = out.join(del_df.distinct(), key, "left_anti")
+    if ins_df is not None:
+        fill = [(F.lit(1) if c == "n_occurrences" else F.lit(None))
+                .cast(t).alias(c)
+                for c, t in edges.dtypes if c not in key]
+        new_rows = (ins_df.distinct()
+                    .join(out.select(*key), key, "left_anti")
+                    .select(*key, *fill))
+        out = out.unionByName(new_rows).select(*edges.columns)
+    return out

@@ -276,15 +276,25 @@ class KgPipeline:
                     f"generation {generation} is not readable (committed: "
                     f"{self.generations()}) — expired or never committed")
             name = stage if generation == 0 else f"{stage}__g{generation}"
-            return w.read(self.spark, name)
+            return w.read(self.spark, self._resolve_alias(log, name))
         if stage in self._GRAPH_STAGES and log["graph_gen"]:
-            return w.read(self.spark, f"{stage}__g{log['graph_gen']}")
+            name = f"{stage}__g{log['graph_gen']}"
+            return w.read(self.spark, self._resolve_alias(log, name))
         df = w.read(self.spark, stage)
         for b in log["batches"]:
             t = f"{stage}__b{b}"
             if w.done(self.spark, t):
                 df = df.unionByName(w.read(self.spark, t))
         return df
+
+    @staticmethod
+    def _resolve_alias(log: dict, name: str) -> str:
+        """Snapshot-reuse indirection: a generation table that is unchanged
+        from its predecessor is an ALIAS in the ingest log (the Iceberg
+        manifest-reuse analog — commit points at the old files, zero data
+        copy). Aliases are stored pre-resolved (always point at a physical
+        table), so one hop suffices."""
+        return log.get("aliases", {}).get(name, name)
 
     def generations(self) -> list[int]:
         """Readable graph generations, oldest first: 0 (the base run) plus every
@@ -303,8 +313,23 @@ class KgPipeline:
         its unsuffixed tables double as run()'s resume state (they are
         marker-guarded by the config fingerprint, not by the ingest log)."""
         w = self._writer()
-        deltas = [g for g in self.generations() if g > 0]
+        log = self._ingest_log()
+        aliases = dict(log.get("aliases", {}))
+        all_gens = self.generations()
+        deltas = [g for g in all_gens if g > 0]
         expired = deltas[:-max(1, keep)]      # newest keep (≥ the current) stay
+        # snapshot reuse makes expiry reference-counted: a physical table is
+        # reclaimable only when NO surviving generation reads it (directly or
+        # through an alias) — the Iceberg remove-orphan-files rule. Gen 0 is
+        # always a survivor, so base tables are always referenced.
+        referenced = set()
+        for g in all_gens:
+            if g in expired:
+                continue
+            for stage in self._GRAPH_STAGES:
+                name = stage if g == 0 else f"{stage}__g{g}"
+                referenced.add(aliases.get(name, name))
+        to_drop: list[str] = []
         for g in expired:
             # edges FIRST: generations() keys on the edges marker, so a crash
             # mid-expire leaves the generation UNLISTED (time-travel reads fail
@@ -314,7 +339,19 @@ class KgPipeline:
             # writer owns its own layout (w.drop), never a hardcoded path.
             for stage in ("edges",) + tuple(
                     s for s in self._GRAPH_STAGES if s != "edges"):
-                w.drop(self.spark, f"{stage}__g{g}")
+                name = f"{stage}__g{g}"
+                target = aliases.pop(name, name)
+                if target not in referenced and target not in to_drop:
+                    to_drop.append(target)
+        for name in to_drop:
+            w.drop(self.spark, name)
+        if aliases != log.get("aliases", {}):
+            # persist the pruned alias map (same atomic-replace commit shape)
+            new_log = {**log, "aliases": aliases}
+            tmp = f"{self._ingest_log_path()}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(new_log, f)
+            os.replace(tmp, self._ingest_log_path())
         return expired
 
     def diff_generations(self, gen_old: int, gen_new: int | None = None,
@@ -438,7 +475,8 @@ class KgPipeline:
         self.timings[f"graph__g{g_new}"] = round(time.time() - t0, 3)
 
         # ---- the commit point: one atomic pointer replace ----
-        new_log = {"batches": sorted(log["batches"] + [b]), "graph_gen": g_new}
+        new_log = {**log, "batches": sorted(log["batches"] + [b]),
+                   "graph_gen": g_new}
         tmp = f"{self._ingest_log_path()}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(new_log, f)
@@ -713,6 +751,100 @@ class KgPipeline:
         from .operators.sparql import sparql_query
 
         return sparql_query(self.table("edges"), query, stats=stats)
+
+    def sparql_update(self, update: str, stats=None) -> dict:
+        """Apply ONE SPARQL 1.1 Update operation (INSERT DATA / DELETE DATA /
+        DELETE WHERE / DELETE-INSERT-WHERE — :func:`operators.sparql.
+        sparql_update`) to the committed KG and commit the result as a NEW
+        graph generation: the assertional-edit path (curation fixes, manual
+        assertions, predicate migrations) — no document re-scan, ever.
+
+        Generation contract, same as :meth:`ingest_delta`: the commit point
+        is the one atomic ingest-log replace; superseded generations stay
+        readable (``table(stage, generation=g)``) until
+        :meth:`expire_generations`. ``links`` / ``canonical_map`` describe
+        MENTION provenance, which an edge-level assertion does not change —
+        they carry forward by SNAPSHOT REUSE: an alias entry in the ingest
+        log pointing at the previous generation's physical table (the
+        Iceberg manifest-reuse analog — zero data copied, and expiry is
+        reference-counted so a shared table outlives the generations that
+        alias it). ``nodes`` gains minimal stub rows for node ids the update
+        introduces (``node_type='asserted'``, zero mention counts — no
+        document ever mentioned them); ``metrics`` is recomputed over the
+        new tables. Returns ``{"edges": n, "nodes": n, "graph_gen": g}``."""
+        from .operators.sparql import sparql_update as _apply_update
+
+        spark, w = self.spark, self._writer()
+        for stage in ("edges", "nodes"):
+            if not w.done(spark, stage):
+                raise ValueError(
+                    f"sparql_update needs a completed run() in "
+                    f"{self.workdir} (stage {stage!r} is not done)")
+        log = self._ingest_log()
+        g_new = log["graph_gen"] + 1
+        t0 = time.time()
+
+        new_edges = _apply_update(self.table("edges"), update, stats=stats)
+        # re-derive the layout column: inserted rows carry NULL metadata, but
+        # bucketing is structural (same hash as build_edges_table)
+        new_edges = new_edges.withColumn(
+            "bucket", F.pmod(F.hash("src_id"), F.lit(self.n_buckets)))
+
+        nodes_old = self.table("nodes")
+        ntypes = dict(nodes_old.dtypes)
+        ids = (new_edges.select(F.col("src_id").alias("canonical_id"))
+               .unionByName(new_edges.select(
+                   F.col("dst_id").alias("canonical_id")))
+               .distinct())
+        stubs = (ids.join(nodes_old.select("canonical_id"),
+                          "canonical_id", "left_anti")
+                 .select(
+                     "canonical_id",
+                     F.col("canonical_id").cast(ntypes["label"])
+                     .alias("label"),
+                     F.lit("asserted").cast(ntypes["node_type"])
+                     .alias("node_type"),
+                     F.lit(0).cast(ntypes["n_mentions"]).alias("n_mentions"),
+                     F.lit(0).cast(ntypes["n_surfaces"]).alias("n_surfaces"),
+                     F.col("canonical_id").cast(ntypes["entity_id"])
+                     .alias("entity_id"),
+                     F.pmod(F.hash("canonical_id"), F.lit(self.n_buckets))
+                     .cast(ntypes["bucket"]).alias("bucket"))
+                 .select(*nodes_old.columns))
+        new_nodes = nodes_old.unionByName(stubs)
+
+        w.write(new_nodes, f"nodes__g{g_new}", bucket_col="bucket",
+                n_buckets=self.n_buckets)
+        w.write(new_edges, f"edges__g{g_new}", bucket_col="bucket",
+                n_buckets=self.n_buckets)
+        nodes_t = w.read(spark, f"nodes__g{g_new}")
+        edges_t = w.read(spark, f"edges__g{g_new}")
+        w.write(graph.partition_metrics(nodes_t, "nodes").unionByName(
+            graph.partition_metrics(edges_t, "edges")), f"metrics__g{g_new}")
+        self.timings[f"graph__g{g_new}"] = round(time.time() - t0, 3)
+
+        aliases = dict(log.get("aliases", {}))
+        for stage in ("links", "canonical_map"):
+            cur = stage if log["graph_gen"] == 0 \
+                else f"{stage}__g{log['graph_gen']}"
+            # store pre-resolved: always point at the physical table
+            aliases[f"{stage}__g{g_new}"] = aliases.get(cur, cur)
+        # ---- the commit point: one atomic pointer replace ----
+        new_log = {**log, "graph_gen": g_new, "aliases": aliases}
+        tmp = f"{self._ingest_log_path()}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_log, f)
+        os.replace(tmp, self._ingest_log_path())
+
+        counts = {r["stage"]: r["n"] for r in
+                  nodes_t.agg(F.count(F.lit(1)).alias("n"))
+                  .select(F.lit("nodes").alias("stage"), "n")
+                  .unionByName(
+                      edges_t.agg(F.count(F.lit(1)).alias("n"))
+                      .select(F.lit("edges").alias("stage"), "n"))
+                  .collect()}
+        counts["graph_gen"] = g_new
+        return counts
 
     def export_ntriples(self, path: str, base: str | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest

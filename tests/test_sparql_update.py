@@ -1,0 +1,216 @@
+"""SPARQL 1.1 Update (operators/sparql.parse_sparql_update / sparql_update +
+KgPipeline.sparql_update): the assertional-edit path. Operator semantics are
+DuckDB-parity-checked (each form's new edge set vs the same anti-join/union
+SQL); the pipeline layer is checked for the generation contract — atomic
+commit, time travel, snapshot REUSE of links/canonical_map via ingest-log
+aliases (zero data copy), reference-counted expiry, and delta ingest still
+working on top of an updated graph."""
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = "src_id string, pred string, dst_id string, n_occurrences long"
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, d, n) for s, d, p, n in rows], EDGE_SCHEMA)
+
+
+def _rand_rows(seed, n=120, nodes=16, preds=("w", "p", "c")):
+    rng = random.Random(seed)
+    uniq = sorted({(f"n{rng.randrange(nodes)}", f"n{rng.randrange(nodes)}",
+                    rng.choice(preds)) for _ in range(n)})
+    return [(s, d, p, rng.randrange(1, 9)) for s, d, p in uniq]
+
+
+def _duck(rows):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, p, d, n)"
+                % ",".join(f"('{s}','{p}','{d}',{n})"
+                           for s, d, p, n in rows))
+    return con
+
+
+def _got(df):
+    return sorted(tuple(r) for r in df.select(
+        "src_id", "pred", "dst_id", "n_occurrences").collect())
+
+
+def test_insert_delete_data_match_duckdb(spark):
+    """Ground-triple forms: DELETE DATA removes exactly the listed keys
+    (metadata and all); INSERT DATA adds missing triples with
+    n_occurrences=1 and is a NO-OP on present ones (the existing row keeps
+    its metadata — set semantics on the key)."""
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    rows = _rand_rows(301)
+    df = _edges_df(spark, rows)
+    con = _duck(rows)
+    s0, d0, p0, n0 = rows[0]
+
+    got = _got(sparql_update(
+        df, f"DELETE DATA {{ <{s0}> <{p0}> <{d0}> . <zz> <q> <zz> }}"))
+    ref = sorted(con.execute(
+        f"SELECT s, p, d, n FROM e WHERE NOT (s = '{s0}' AND p = '{p0}' "
+        f"AND d = '{d0}')").fetchall())
+    assert got == ref and len(got) == len(rows) - 1
+
+    got = _got(sparql_update(
+        df, f"INSERT DATA {{ <zz:a> <q> <zz:b> . <{s0}> <{p0}> <{d0}> }}"))
+    ref = sorted(con.execute(
+        "SELECT s, p, d, n FROM e "
+        "UNION ALL SELECT 'zz:a', 'q', 'zz:b', 1").fetchall())
+    assert got == ref   # the present triple kept n_occurrences = n0, not 1
+    assert (s0, p0, d0, n0) in got
+
+
+def test_delete_where_and_full_form_match_duckdb(spark):
+    """DELETE WHERE (pattern doubles as template) and the full
+    DELETE-INSERT-WHERE form (predicate migration): both templates
+    instantiate against the ORIGINAL store, deletes before inserts,
+    inserted rows carry n_occurrences=1."""
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    rows = _rand_rows(307)
+    df = _edges_df(spark, rows)
+    con = _duck(rows)
+
+    got = _got(sparql_update(df, "DELETE WHERE { ?s <w> ?o }"))
+    ref = sorted(con.execute(
+        "SELECT s, p, d, n FROM e WHERE p <> 'w'").fetchall())
+    assert got == ref and len(got) > 0
+
+    got = _got(sparql_update(
+        df, "DELETE { ?s <w> ?o } INSERT { ?s <v2> ?o } "
+            "WHERE { ?s <w> ?o }"))
+    ref = sorted(con.execute("""
+        SELECT s, p, d, n FROM e WHERE p <> 'w'
+        UNION ALL SELECT DISTINCT s, 'v2', d, 1 FROM e WHERE p = 'w'
+    """).fetchall())
+    assert got == ref
+
+    # conditional insert with FILTER in the WHERE group
+    got = _got(sparql_update(
+        df, "INSERT { ?o <rev> ?s } WHERE { ?s <p> ?o FILTER (?s < ?o) }"))
+    ref = sorted(con.execute("""
+        SELECT s, p, d, n FROM e
+        UNION ALL
+        SELECT d, 'rev', s, 1 FROM (SELECT DISTINCT s, d FROM e
+                                    WHERE p = 'p' AND s < d) q
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.s = q.d AND e.p = 'rev' AND e.d = q.s)
+    """).fetchall())
+    assert got == ref
+
+
+def test_unbound_optional_slot_produces_no_triple(spark):
+    """A template slot instantiated to NULL (unbound OPTIONAL variable)
+    yields no triple — the spec's rule, not a NULL-keyed edge row."""
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    df = _edges_df(spark, [("a", "b", "w", 1), ("b", "c", "p", 1)])
+    out = sparql_update(
+        df, "INSERT { ?o <thru> ?z } WHERE { ?s <w> ?o "
+            "OPTIONAL { ?o <p> ?z } }")
+    got = _got(out)
+    assert ("b", "thru", "c", 1) in got
+    assert all(all(x is not None for x in t[:3]) for t in got)
+    assert len(got) == 3
+
+
+def test_update_parse_error_contracts(spark):
+    from lingvo_spark_kg.operators.sparql import parse_sparql_update
+
+    cases = [
+        ("INSERT DATA { ?s <w> <y> }", "ground triples"),
+        ("DELETE DATA { <a> <w> ?o }", "ground triples"),
+        ("DELETE WHERE { <a> <w> <b> }", "DELETE DATA"),
+        ("DELETE { ?s <w>+ ?o } WHERE { ?s <w> ?o }", "predicate"),
+        ("INSERT { ?s <v> ?o }", "needs WHERE"),
+        ("DELETE { ?s <w> ?o } INSERT { ?s <v> ?o }", "needs WHERE"),
+        ("INSERT DATA { <x> <w> <y> } ; DELETE DATA { <a> <w> <b> }",
+         "one update operation"),
+        ("SELECT ?s WHERE { ?s <w> ?o }", "expected INSERT / DELETE"),
+        ("INSERT DATA { }", "at least one triple"),
+    ]
+    for text, pat in cases:
+        with pytest.raises(ValueError, match=pat):
+            parse_sparql_update(text)
+    # an unbound template variable raises at execution
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    df = _edges_df(spark, [("a", "b", "w", 1)])
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_update(df, "INSERT { ?s <v> ?zz } WHERE { ?s <w> ?o }")
+
+
+def test_pipeline_update_generations_alias_and_expire(spark, tmp_path):
+    """KgPipeline.sparql_update commits a real generation: time travel keeps
+    the old edges, diff_generations reports the assertion, links /
+    canonical_map carry forward as ingest-log ALIASES (no physical copy on
+    disk), expiry is reference-counted (the alias target outlives the
+    generations that alias it), and a later ingest_delta still works on the
+    updated graph."""
+    from lingvo_spark_kg.operators.docsgen import generate_docs
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path / "kg")
+    p = KgPipeline(spark, wd, n_docs=120, edge_doc_sketch=True)
+    p.run()
+    n0 = p.table("edges").count()
+    nn0 = p.table("nodes").count()
+    l0 = sorted(tuple(r) for r in p.table("links").collect())
+
+    c1 = p.sparql_update(
+        "INSERT DATA { <zz:new1> <asserted_rel> <zz:new2> }")
+    assert c1 == {"nodes": nn0 + 2, "edges": n0 + 1, "graph_gen": 1}
+    assert p.generations() == [0, 1]
+    # zero-copy: no physical links/canonical_map for g1, but both readable
+    assert not os.path.exists(os.path.join(wd, "links__g1"))
+    assert sorted(tuple(r) for r in
+                  p.table("links", generation=1).collect()) == l0
+    # time travel + audit
+    assert p.table("edges", generation=0).count() == n0
+    d = p.diff_generations(0)
+    assert [tuple(r) for r in
+            d.select("src_id", "pred", "dst_id", "status").collect()] == \
+        [("zz:new1", "asserted_rel", "zz:new2", "added")]
+    # stub node rows: asserted, no mention provenance
+    stub = p.table("nodes").where(
+        F.col("canonical_id") == "zz:new1").collect()[0]
+    assert stub["node_type"] == "asserted" and stub["n_mentions"] == 0
+
+    # predicate migration on top (g2 aliases the same base links table)
+    pred = p.table("edges").groupBy("pred").count().orderBy(
+        F.desc("count"), "pred").first()["pred"]
+    p.sparql_update(
+        f"DELETE {{ ?s <{pred}> ?o }} INSERT {{ ?s <{pred}_v2> ?o }} "
+        f"WHERE {{ ?s <{pred}> ?o }}")
+    assert p.table("edges").where(F.col("pred") == pred).count() == 0
+    assert p.table("edges", generation=1).where(
+        F.col("pred") == pred).count() > 0
+    assert p.sparql(
+        f"ASK {{ ?s <{pred}_v2> ?o }}").collect()[0]["ask"] is True
+
+    # expire g1: g2's alias target (the base links table) must survive
+    assert p.expire_generations(keep=1) == [1]
+    assert p.generations() == [0, 2]
+    assert sorted(tuple(r) for r in p.table("links").collect()) == l0
+    with pytest.raises(ValueError, match="not readable"):
+        p.table("edges", generation=1)
+
+    # delta ingest on top of the updated graph: aliases resolve, the graph
+    # accumulates, and the asserted edge survives the merge
+    p.ingest_delta(generate_docs(spark, 30, start=500))
+    assert p.generations() == [0, 2, 3]
+    assert p.table("edges").where(
+        (F.col("src_id") == "zz:new1")
+        & (F.col("pred") == "asserted_rel")).count() == 1
+    assert p.table("links").count() >= len(l0)
