@@ -499,9 +499,10 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> d
 def run_graph_query_bench(spark) -> dict:
     """Graph-QUERY section: the query layer timed on the Zipf-hub shape the
     pagerank section uses (2M edges / 200k nodes, hub drawing 20% of in-edges,
-    3 predicates). Ten reads (round 7 added the four VERDICT-r6 item-7 arms
-    and the second-pass NPS/aggregation reads so regressions in them are
-    visible round-over-round): a 2-hop BGP with
+    3 predicates). Twelve reads (round 7 added the four VERDICT-r6 item-7
+    arms, the second-pass NPS/aggregation reads and the third-pass
+    subquery/UPDATE reads so regressions in them are visible
+    round-over-round): a 2-hop BGP with
     constant predicates (match_pattern — one mid-keyed self-join), the same
     BGP with the second hop OPTIONAL (left join), 3 label-propagation
     iterations (edge-volume voting joins), a 4-hop multi-source BFS from the
@@ -515,7 +516,10 @@ def run_graph_query_bench(spark) -> dict:
     interchange-throughput read; sum(length) forces the encode), plus the
     round-7 second-pass algebra: a negated-property-set scan (``!p0``, the
     complement read) and a GROUP BY aggregation with HAVING over the top
-    predicate's solutions (one hash aggregate)."""
+    predicate's solutions (one hash aggregate), a text-parsed SPARQL
+    SUBQUERY (inner per-subject aggregate joined onto the outer scan) and a
+    SPARQL UPDATE predicate migration (anti-join + distinct-union over the
+    whole store)."""
     from pyspark.sql import functions as F
 
     from lingvo_spark_kg.operators.graph import (bfs_distances,
@@ -570,6 +574,22 @@ def run_graph_query_bench(spark) -> dict:
         agg_sec, n_agg = _time(lambda: match_pattern(
             edges, [("?a", "p0", "?b")], group_by=["a"],
             agg={"n": "count(*)"}, having="n >= 2").count())
+        # round-7 third pass: the SPARQL text front-end's subquery join
+        # (inner per-subject aggregate joined onto the outer scan) and a
+        # SPARQL UPDATE predicate migration (one anti-join + one
+        # distinct-union over the whole store)
+        from lingvo_spark_kg.operators.sparql import (sparql_query,
+                                                      sparql_update)
+
+        sub_sec, n_sub = _time(lambda: sparql_query(
+            edges,
+            "SELECT ?a ?b ?n WHERE { ?a <p0> ?b . "
+            "{ SELECT ?a (COUNT(*) AS ?n) WHERE { ?a <p0> ?z } "
+            "GROUP BY ?a } }").count())
+        upd_sec, n_upd = _time(lambda: sparql_update(
+            edges,
+            "DELETE { ?s <p2> ?o } INSERT { ?s <p2_v2> ?o } "
+            "WHERE { ?s <p2> ?o }").count())
         # sum(length(line)) FORCES the encode: a bare count() lets Catalyst
         # prune the projection and times nothing but the cached row count
         nt = to_ntriples(edges)
@@ -589,6 +609,8 @@ def run_graph_query_bench(spark) -> dict:
             "construct_sec": con_sec, "construct_edges": n_con,
             "nps_sec": nps_sec, "nps_solutions": n_nps,
             "groupagg_sec": agg_sec, "groupagg_groups": n_agg,
+            "subquery_sec": sub_sec, "subquery_solutions": n_sub,
+            "update_sec": upd_sec, "update_store_rows": n_upd,
             "ntriples_sec": nt_sec,
             "ntriples_lines_per_sec": round(n_lines / nt_sec, 1)}
 
