@@ -1796,14 +1796,19 @@ def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
                     "degree_sum"))
 
 
-def construct_edges(edges: DataFrame, body: list, head: tuple,
+def construct_edges(edges: DataFrame, body: list, head,
                     optional: list | None = None, filter=None,
                     stats=None) -> DataFrame:
     """SPARQL CONSTRUCT / rule materialization: match ``body`` (and optional
     groups) like :func:`match_pattern`, then emit one INFERRED edge per head
-    binding → (src_id, pred, dst_id, n_support). ``head`` is
-    ``(?subj_var, "new_pred", ?obj_var)`` with both variables bound by the
-    body. This is the consumer of :func:`predicate_paths` discoveries: once
+    binding → (src_id, pred, dst_id, n_support). ``head`` is ONE
+    ``(subj, "new_pred", obj)`` triple or a LIST of them (the spec's
+    multi-triple template — the body matches ONCE, checkpointed and shared
+    across heads). A head endpoint is a body-bound ``?variable`` or a
+    CONSTANT (type-tagging rules like ``(?p, "rdf:type", person_id)`` —
+    cast to the edges id type); the predicate must be a plain constant (a
+    variable predicate would mint one relation per binding, a path is not
+    a triple). The consumer of :func:`predicate_paths` discoveries: once
     the bigram stats say ``works_at ∘ located_in`` composes, the rule ::
 
         construct_edges(edges,
@@ -1812,32 +1817,59 @@ def construct_edges(edges: DataFrame, body: list, head: tuple,
 
     materializes the ``works_in`` edges, with ``n_support`` = how many distinct
     body bindings derived each pair (the rule-confidence input). Inferred rows
-    dedupe on the (src, pred, dst) key — union them into the edges table (or a
-    new generation) to close the inference loop. Cost = the body match + one
-    (src, dst)-keyed count; nothing beyond the matcher's own shape."""
-    s_var, new_pred, o_var = head
-    for v in (s_var, o_var):
-        if not (isinstance(v, str) and v.startswith("?")):
-            raise ValueError(f"head endpoint {v!r} must be a ?variable")
-    if isinstance(new_pred, str) and new_pred.startswith("?"):
-        raise ValueError("the head predicate must be a constant — a variable "
-                         "predicate would mint one relation per binding")
+    dedupe on the (src, pred, dst) key per head — union them into the edges
+    table (or a new generation) to close the inference loop. Cost = the body
+    match + one (src, dst)-keyed count per head; nothing beyond the
+    matcher's own shape."""
+    heads = [head] if isinstance(head, tuple) else [tuple(h) for h in head]
+    if not heads:
+        raise ValueError("construct_edges needs at least one head triple")
+    for h in heads:
+        if len(h) != 3:
+            raise ValueError(f"head {h!r} is not a (subj, pred, obj) triple")
+        new_pred = h[1]
+        if isinstance(new_pred, str) and new_pred.startswith("?"):
+            raise ValueError(
+                "the head predicate must be a constant — a variable "
+                "predicate would mint one relation per binding")
+        if _is_path(new_pred):
+            raise ValueError(f"the head predicate must be plain, not a "
+                             f"property path ({new_pred!r})")
     sol = match_pattern(edges, body, optional=optional, filter=filter,
                         stats=stats)
-    for v in (s_var, o_var):
-        if v[1:] not in sol.columns:
-            raise ValueError(f"head variable {v} is not bound by the body "
-                             f"(bound: {sol.columns})")
-    # SPARQL CONSTRUCT semantics: a solution where a head variable is unbound
-    # (possible when it comes from an OPTIONAL group) produces NO triple —
-    # without this filter a NULL-endpoint edge would leak into the graph
-    sol = sol.where(F.col(s_var[1:]).isNotNull()
-                    & F.col(o_var[1:]).isNotNull())
-    return (sol.groupBy(F.col(s_var[1:]).alias("src_id"),
-                        F.col(o_var[1:]).alias("dst_id"))
+    if len(heads) > 1:
+        sol = sol.localCheckpoint(eager=False)
+    id_t = dict(edges.dtypes)["src_id"]
+
+    def is_var(t):
+        return isinstance(t, str) and t.startswith("?")
+
+    frames = []
+    for s_term, new_pred, o_term in heads:
+        h = sol
+        cols = []
+        for term, alias in ((s_term, "src_id"), (o_term, "dst_id")):
+            if is_var(term):
+                if term[1:] not in sol.columns:
+                    raise ValueError(
+                        f"head variable {term} is not bound by the body "
+                        f"(bound: {sol.columns})")
+                # SPARQL CONSTRUCT semantics: a solution where a head
+                # variable is unbound (an unmatched OPTIONAL) produces NO
+                # triple — never a NULL-endpoint edge
+                h = h.where(F.col(term[1:]).isNotNull())
+                cols.append(F.col(term[1:]).alias(alias))
+            else:
+                cols.append(F.lit(term).cast(id_t).alias(alias))
+        frames.append(
+            h.groupBy(*cols)
             .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
             .select("src_id", F.lit(new_pred).alias("pred"), "dst_id",
                     "n_support"))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def harmonic_centrality(edges: DataFrame, max_hops: int = 8,

@@ -36,8 +36,16 @@ with the reason, never a silent wrong answer):
   queries instead; nested groups inside branches hold triples only).
 - ``GROUP BY ?var...``, ``HAVING (expr)``, ``ORDER BY [ASC|DESC](?v) ...``,
   ``LIMIT n``, ``OFFSET n``.
-- ``ASK { ... }`` → one-row boolean frame; ``CONSTRUCT { s p o } WHERE
-  { ... }`` (single head triple) → inferred edges with support counts;
+- ``ASK { ... }`` → one-row boolean frame; ``CONSTRUCT { s p o . ... }
+  WHERE { ... }`` (a multi-triple template — the body matches once,
+  shared across heads; endpoints are body variables or constants, the
+  predicate a plain constant) → inferred edges with support counts;
+- SPARQL 1.1 UPDATE (:func:`parse_sparql_update` / :func:`sparql_update`):
+  ``INSERT DATA`` / ``DELETE DATA`` (ground triples), ``DELETE WHERE``,
+  ``DELETE { } INSERT { } WHERE { }``, ``LOAD <path>`` (N-Triples dump →
+  inserts) and ``CLEAR ALL|DEFAULT`` — one operation per call, applied to
+  the edges frame; ``KgPipeline.sparql_update`` commits each as a graph
+  generation.
   ``DESCRIBE <node>...`` / ``DESCRIBE ?x [?y...] WHERE { ... }`` → every
   edge row touching the described nodes (the concise-bounded description a
   graph store returns, here the induced star: all columns kept).
@@ -686,14 +694,14 @@ def parse_sparql(query: str) -> dict:
                 cur.error("unterminated CONSTRUCT template")
             _parse_triple_lines(cur, prefixes, heads)
         cur.i += 1
-        if len(heads) != 1:
-            raise ValueError("CONSTRUCT lowers ONE head triple per query "
-                             f"(got {len(heads)}) — run one query per rule")
-        head = heads[0]
-        if isinstance(head[1], str) and not head[1].startswith("?") \
-                and any(c in _PATH_ONLY for c in head[1]):
-            raise ValueError("the CONSTRUCT head predicate must be a plain "
-                             f"constant, not a path ({head[1]!r})")
+        if not heads:
+            raise ValueError("CONSTRUCT needs at least one head triple")
+        for h in heads:
+            if isinstance(h[1], str) and not h[1].startswith("?") \
+                    and any(c in _PATH_ONLY for c in h[1]):
+                raise ValueError("a CONSTRUCT head predicate must be a plain "
+                                 f"constant, not a path ({h[1]!r})")
+        head = heads
         cur.keyword("WHERE")
     else:
         cur.keyword("WHERE")
@@ -776,8 +784,7 @@ def sparql_query(edges: DataFrame, query: str, stats=None) -> DataFrame:
                     .select(*edges.columns))
         return touching.distinct()
     if q["form"] == "construct":
-        s, p, o = q["head"]
-        return construct_edges(edges, kw.pop("patterns"), (s, p, o),
+        return construct_edges(edges, kw.pop("patterns"), q["head"],
                                optional=kw.pop("optional", None),
                                filter=kw.pop("filter", None), stats=stats)
     if q["form"] == "ask":
@@ -850,15 +857,35 @@ def parse_sparql_update(update: str) -> dict:
       group takes the SELECT-query group algebra (OPTIONAL / MINUS /
       FILTER / BIND / VALUES / subqueries / { } UNION { }).
 
+    - ``LOAD <path>`` — graph management: read an N-Triples dump (the
+      ``export_ntriples`` format) from the path/URI and insert its edge
+      triples (ids come back as the strings they were serialized from).
+    - ``CLEAR ALL`` / ``CLEAR DEFAULT`` — empty the store (schema kept).
+
     One operation per call — ``;``-sequences raise (run them one at a
     time; each returns the store the next one reads)."""
     cur = _Cursor(update)
     prefixes = _parse_prefixes(cur)
     out = {"delete_data": None, "insert_data": None,
-           "delete_tpl": None, "insert_tpl": None, "where": None}
-    kw = cur.keyword("INSERT", "DELETE")
+           "delete_tpl": None, "insert_tpl": None, "where": None,
+           "load": None, "clear": False}
+    kw = cur.keyword("INSERT", "DELETE", "LOAD", "CLEAR")
     if kw is None:
-        cur.error("expected INSERT / DELETE")
+        cur.error("expected INSERT / DELETE / LOAD / CLEAR")
+    if kw == "LOAD":
+        if cur.peek() != "<":
+            cur.error("LOAD needs an <path-or-uri>")
+        out["load"] = _read_term(cur, prefixes)
+        if not cur.eof():
+            cur.error("one update operation per call — trailing content")
+        return out
+    if kw == "CLEAR":
+        if cur.keyword("ALL", "DEFAULT") is None:
+            cur.error("CLEAR takes ALL or DEFAULT (no named graphs here)")
+        out["clear"] = True
+        if not cur.eof():
+            cur.error("one update operation per call — trailing content")
+        return out
 
     def where_kwargs():
         g = _parse_group(cur, prefixes)
@@ -939,7 +966,18 @@ def sparql_update(edges: DataFrame, update: str, stats=None) -> DataFrame:
             [tuple(t) for t in sorted(set(map(tuple, triples)), key=repr)],
             schema3)
 
-    if u["where"] is None:
+    if u["clear"]:
+        # CLEAR: the empty store, schema kept (the caller's generation
+        # machinery still commits/diffs it like any other update)
+        return edges.where(F.lit(False))
+    if u["load"] is not None:
+        from .rdf import from_ntriples
+
+        tri = from_ntriples(spark.read.text(u["load"]))
+        ins_df = tri.select(*[F.col(k).cast(types[k]).alias(k)
+                              for k in key])
+        del_df = None
+    elif u["where"] is None:
         del_df = lit_frame(u["delete_data"]) if u["delete_data"] else None
         ins_df = lit_frame(u["insert_data"]) if u["insert_data"] else None
     else:

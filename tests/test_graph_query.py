@@ -592,8 +592,19 @@ def test_construct_edges_rule_materialization(spark):
                         ("?p", "x", "?nope"))
     with pytest.raises(ValueError, match="must be a constant"):
         construct_edges(df, [("?p", "?q", "?o")], ("?p", "?q", "?o"))
-    with pytest.raises(ValueError, match="variable"):
-        construct_edges(df, [("?p", "works_at", "?o")], (1, "x", "?o"))
+    with pytest.raises(ValueError, match="property path"):
+        construct_edges(df, [("?p", "works_at", "?o")], ("?p", "x+", "?o"))
+    with pytest.raises(ValueError, match="at least one head"):
+        construct_edges(df, [("?p", "works_at", "?o")], [])
+
+    # a CONSTANT head endpoint is the spec's type-tagging template; a
+    # multi-triple head shares ONE body match across templates
+    got = {tuple(r) for r in construct_edges(
+        df, [("?p", "works_at", "?o")],
+        [(1, "x", "?o"), ("?p", "employed", "?o")]).collect()}
+    assert got == {(1, "x", 10, 2), (1, "x", 11, 1),
+                   (1, "employed", 10, 1), (2, "employed", 10, 1),
+                   (3, "employed", 11, 1)}
 
 
 def test_match_pattern_pushes_pred_filter_to_parquet_scan(spark, tmp_path):

@@ -212,6 +212,15 @@ def test_construct_matches_construct_edges(spark):
     ref = construct_edges(df, [("?a", "w", "?b"), ("?b", "p", "?c")],
                           ("?a", "linked", "?c"), filter="a != c")
     _same(got, ref)
+    # multi-triple template: the body matches once, both heads emitted —
+    # equivalent to the bag-union of the per-head single-template queries
+    got2 = sparql_query(df, """
+        CONSTRUCT { ?a fwd ?c . ?c rev ?a } WHERE { ?a w ?b . ?b p ?c }""")
+    ref2 = construct_edges(
+        df, [("?a", "w", "?b"), ("?b", "p", "?c")], ("?a", "fwd", "?c")) \
+        .unionByName(construct_edges(
+            df, [("?a", "w", "?b"), ("?b", "p", "?c")], ("?c", "rev", "?a")))
+    _same(got2, ref2)
 
 
 def test_prefixes_and_iris(spark):
@@ -248,7 +257,7 @@ def test_error_contracts(spark):
          "whole pattern"),
         ("SELECT ?x WHERE { OPTIONAL { ?x p ?y FILTER(?x>1) } ?x c ?z }",
          "triple patterns only"),
-        ("CONSTRUCT { ?a x ?b . ?b y ?a } WHERE { ?a p ?b }", "ONE head"),
+        ("CONSTRUCT { } WHERE { ?a p ?b }", "at least one head"),
         ("CONSTRUCT { ?a x+ ?b } WHERE { ?a p ?b }", "plain constant"),
         ("CONSTRUCT { ?a x ?b } WHERE { { ?a p ?b } UNION { ?a c ?b } }",
          "CONSTRUCT supports"),

@@ -214,3 +214,34 @@ def test_pipeline_update_generations_alias_and_expire(spark, tmp_path):
         (F.col("src_id") == "zz:new1")
         & (F.col("pred") == "asserted_rel")).count() == 1
     assert p.table("links").count() >= len(l0)
+
+
+def test_load_and_clear(spark, tmp_path):
+    """LOAD round-trips an export_ntriples-format dump back into the store
+    (insert semantics — present triples keep their metadata); CLEAR empties
+    the store but keeps the schema."""
+    from lingvo_spark_kg.operators.rdf import to_ntriples
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    rows = _rand_rows(311, n=40)
+    df = _edges_df(spark, rows)
+    path = str(tmp_path / "dump.nt")
+    to_ntriples(df).write.mode("overwrite").text(path)
+
+    # loading a dump of a DISJOINT store inserts every triple at occ=1
+    empty = df.where(F.lit(False))
+    loaded = sparql_update(empty, f"LOAD <{path}>")
+    assert sorted(tuple(r) for r in
+                  loaded.select("src_id", "pred", "dst_id").collect()) == \
+        sorted((s, p, d) for s, d, p, n in rows)
+    assert loaded.where(F.col("n_occurrences") != 1).count() == 0
+
+    # loading a dump of the store itself is a full no-op (set semantics)
+    assert _got(sparql_update(df, f"LOAD <{path}>")) == _got(df)
+
+    cleared = sparql_update(df, "CLEAR ALL")
+    assert cleared.columns == df.columns and cleared.count() == 0
+    with pytest.raises(ValueError, match="CLEAR takes"):
+        sparql_update(df, "CLEAR GRAPH <g>")
+    with pytest.raises(ValueError, match="LOAD needs"):
+        sparql_update(df, "LOAD dump.nt")
