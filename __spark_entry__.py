@@ -503,8 +503,8 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The iterative graph-ANALYTICS layer as ONE driver row, ten arms under
-    a variant column, each an exact-arithmetic recurrence checked
+    """The iterative graph-ANALYTICS layer as ONE driver row, eleven arms
+    under a variant column, each an exact-arithmetic recurrence checked
     engine-vs-engine against DuckDB running the SAME recurrence (unrolled
     materialized CTEs / recursive CTEs) over the golden edges parquet:
 
@@ -539,6 +539,12 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``linkpred``: graph.neighbor_similarity — wedge-built common-neighbor /
       integer-Jaccard pairs (default hub cut), seven fields pipe-joined —
       vs the same wedge join + degree join + edge flag in SQL.
+    - ``brandes``: graph.shortest_path_counts (the tagged σ-BFS forward half
+      of Brandes betweenness — per-source hop distance AND shortest-path
+      COUNT, both exact integers) from the two smallest node ids (computed
+      identically both sides), 8 levels BOTH engines, vs the same unrolled
+      sum-over-frontier recurrence in SQL. The float dependency sweep on top
+      is pinned separately against a dense Brandes reference in pytest.
 
     All integer/string outputs — no float drift surface anywhere."""
     from lingvo_spark_kg.operators.graph import (bfs_distances, components,
@@ -547,7 +553,9 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  label_propagation,
                                                  neighbor_similarity,
                                                  predicate_stats,
-                                                 random_walks, shortest_paths)
+                                                 random_walks,
+                                                 shortest_path_counts,
+                                                 shortest_paths)
 
     edges = q_kg_edges(spark, sf_dir).localCheckpoint(eager=False)
     null_s = F.lit(None).cast("string")
@@ -597,9 +605,18 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "node_b", "n_common", "deg_a", "deg_b",
                     "jaccard_num", "jaccard_den", "is_edge").alias("val_s"),
         null_l.alias("val_l"))
+    ids2 = (edges.select(F.col("src_id").alias("n"))
+            .unionByName(edges.select(F.col("dst_id").alias("n")))
+            .distinct().orderBy("n").limit(2))
+    brand = shortest_path_counts(edges, ids2, max_hops=8).select(
+        F.lit("brandes").alias("variant"), "node_id",
+        F.concat_ws("|", "src", F.col("distance").cast("long"))
+        .alias("val_s"),
+        F.col("n_paths").cast("long").alias("val_l"))
     return (lpa.unionByName(bfs).unionByName(cc).unionByName(sssp)
             .unionByName(core).unionByName(walks).unionByName(cs)
-            .unionByName(ps).unionByName(ego).unionByName(lp))
+            .unionByName(ps).unionByName(ego).unionByName(lp)
+            .unionByName(brand))
 
 
 def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,7 +1906,28 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
         "COUNT(*) AS n_common FROM ctr x JOIN ctr y "
         "ON x.node = y.node AND x.nbr < y.nbr GROUP BY 1, 2 "
         "HAVING COUNT(*) >= 1)",
+        # Brandes forward σ-BFS from the two smallest node ids: 8 unrolled
+        # frontier stages (bp = new frontier with path-count sums, bc =
+        # cumulative settled), matching Spark's shortest_path_counts exactly
+        # DISTINCT is load-bearing: under WITH RECURSIVE, DuckDB treats the
+        # allnodes `SELECT ... UNION SELECT ...` as a recursive definition
+        # and materializes it with duplicates (harmless to the MIN/GROUP BY
+        # consumers above, fatal to a LIMIT 2 pivot pick)
+        "bsrc AS MATERIALIZED (SELECT DISTINCT n FROM allnodes "
+        "ORDER BY n LIMIT 2)",
+        "bp0 AS MATERIALIZED (SELECT n AS src, n AS node, "
+        "CAST(1 AS BIGINT) AS sigma FROM bsrc)",
+        "bc0 AS MATERIALIZED (SELECT src, node, 0 AS dist, sigma FROM bp0)",
     ]
+    for t in range(1, 9):
+        parts.append(
+            f"bp{t} AS MATERIALIZED (SELECT p.src, nb.nbr AS node, "
+            f"SUM(p.sigma) AS sigma FROM bp{t-1} p JOIN nb ON nb.node = "
+            f"p.node WHERE NOT EXISTS (SELECT 1 FROM bc{t-1} c "
+            "WHERE c.src = p.src AND c.node = nb.nbr) GROUP BY p.src, nb.nbr)")
+        parts.append(
+            f"bc{t} AS MATERIALIZED (SELECT * FROM bc{t-1} UNION ALL "
+            f"SELECT src, node, {t}, sigma FROM bp{t})")
     return ("WITH RECURSIVE " + ",\n".join(parts) + f"""
         SELECT 'lpa' AS variant, node AS node_id, label AS val_s,
                CAST(NULL AS BIGINT) AS val_l FROM l{lpa_iters}
@@ -1920,6 +1958,9 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
           FROM lpr JOIN k0 da ON da.node = lpr.a
           JOIN k0 db ON db.node = lpr.b
           LEFT JOIN u0 ux ON ux.u = lpr.a AND ux.v = lpr.b
+        UNION ALL SELECT 'brandes', node,
+               src || '|' || CAST(dist AS VARCHAR), CAST(sigma AS BIGINT)
+          FROM bc8
     """)
 
 

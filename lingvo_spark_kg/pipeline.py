@@ -620,7 +620,8 @@ class KgPipeline:
                   n_walks: int = 2, walk_len: int = 4, window: int = 2,
                   weighted_walks: bool = True, embedding_dim: int = 16,
                   embedding_epochs: int = 5, embedding_partitions: int = 8,
-                  seed: int = 42) -> dict[str, int]:
+                  seed: int = 42,
+                  betweenness_pivots: int = 16) -> dict[str, int]:
         """Post-run graph-analytics stages over the committed edges table, each a
         durable resumable stage table like run()'s (same writer/resume contract):
 
@@ -645,6 +646,10 @@ class KgPipeline:
         - ``an_preds``     (pred, n_edges, n_src_nodes, ...) — predicate_stats
         - ``an_centrality`` (node_id, centrality)     — harmonic_centrality
           (HyperANF sketch stream; the closeness ranking)
+        - ``an_betweenness`` (node_id, centrality)    — betweenness_centrality
+          (sampled Brandes, ``betweenness_pivots`` seeded-hash pivots; the
+          broker/bridge ranking — complements closeness, which cannot see
+          who GATES the paths)
 
         Reads the LOGICAL edges table (latest committed generation), so analytics
         run after ``ingest_delta`` see the maintained graph; re-running after a
@@ -653,7 +658,8 @@ class KgPipeline:
         contract of any derived table). Walk/embedding stages chain off the
         WRITTEN tables, so a resumed call never retrains on different walks."""
         from .operators import node2vec
-        from .operators.graph import (bfs_distances, components, coreness,
+        from .operators.graph import (betweenness_centrality, bfs_distances,
+                                      components, coreness,
                                       harmonic_centrality, label_propagation,
                                       neighbor_similarity,
                                       neighborhood_function, pagerank,
@@ -703,6 +709,11 @@ class KgPipeline:
             "an_preds", lambda: predicate_stats(edges), resume)
         centr = self._run_stage(
             "an_centrality", lambda: harmonic_centrality(edges), resume)
+        betw = self._run_stage(
+            "an_betweenness",
+            lambda: betweenness_centrality(edges,
+                                           n_pivots=betweenness_pivots),
+            resume)
 
         from functools import reduce
 
@@ -711,7 +722,8 @@ class KgPipeline:
                   "an_embeddings": emb, "an_linkpred": linkpred,
                   "an_components": comp, "an_nfunc": nfunc,
                   "an_communities": comm, "an_radius": radius,
-                  "an_preds": preds, "an_centrality": centr}
+                  "an_preds": preds, "an_centrality": centr,
+                  "an_betweenness": betw}
         counts_df = reduce(
             DataFrame.unionByName,
             [df.agg(F.count(F.lit(1)).alias("n")).select(

@@ -758,3 +758,79 @@ def test_label_propagation_weighted_matches_reference(spark):
     assert k[5] == k[0] == 0 and k[10] == 10
     k = tri_case(1, 9)
     assert k[5] == k[10] == 10 and k[0] == 0
+
+
+def test_betweenness_exact_mode_matches_dense_brandes(spark):
+    """With n_pivots ≥ n the sampled estimator is EXACT (scale 1): compare
+    against an independent dense Brandes (BFS + dependency accumulation in
+    plain Python) on a random graph, at float tolerance."""
+    import random
+    from collections import deque
+
+    from lingvo_spark_kg.operators.graph import betweenness_centrality
+
+    rng = random.Random(61)
+    n_nodes = 30
+    pairs = sorted({(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                    for _ in range(70)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    df = _edges_df(spark, [(u, v, "w") for u, v in pairs])
+
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:                       # dense Brandes, every source
+        dist, sigma, order = {s: 0}, {s: 1.0}, [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if v != s:
+                bc[v] += delta[v]
+
+    got = {r["node_id"]: r["centrality"] for r in betweenness_centrality(
+        df, n_pivots=n_nodes + 5, max_hops=30).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(bc[v], rel=1e-9, abs=1e-9), v
+
+
+def test_betweenness_sampled_and_shapes(spark):
+    """Sampling sanity on a barbell (two cliques + one bridge): the bridge
+    endpoints dominate every other node at ANY pivot subset that touches
+    both sides; the plan stays cartesian-free; pivot choice is
+    deterministic (two runs identical)."""
+    from lingvo_spark_kg.operators.graph import betweenness_centrality
+
+    k = 6
+    rows = [(u, v, "w") for u in range(k) for v in range(u + 1, k)]
+    rows += [(u, v, "w") for u in range(10, 10 + k)
+             for v in range(u + 1, 10 + k)]
+    rows += [(0, 10, "bridge")]
+    df = _edges_df(spark, rows)
+    out = betweenness_centrality(df, n_pivots=8, max_hops=10)
+    got = {r["node_id"]: r["centrality"] for r in out.collect()}
+    others = [got[v] for v in got if v not in (0, 10)]
+    assert got[0] > max(others) and got[10] > max(others)
+    got2 = {r["node_id"]: r["centrality"] for r in betweenness_centrality(
+        df, n_pivots=8, max_hops=10).collect()}
+    assert got == got2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="n_pivots"):
+        betweenness_centrality(df, n_pivots=0)

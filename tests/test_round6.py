@@ -767,12 +767,13 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path):
                            "an_paths", "an_walks", "an_pairs", "an_embeddings",
                            "an_linkpred", "an_components", "an_nfunc",
                            "an_communities", "an_radius", "an_preds",
-                           "an_centrality"}
+                           "an_centrality", "an_betweenness"}
     assert counts["an_components"] == counts["an_pagerank"]
     assert counts["an_communities"] == counts["an_coreness"]
     assert 0 < counts["an_radius"] <= counts["an_pagerank"]
     assert counts["an_preds"] > 0
     assert counts["an_centrality"] == counts["an_pagerank"]
+    assert counts["an_betweenness"] == counts["an_pagerank"]
     assert counts["an_pagerank"] == counts["an_coreness"] > 0
     n_nodes_walked = counts["an_walks"] // (2 * (4 + 1))  # n_walks*(walk_len+1)
     assert counts["an_embeddings"] == n_nodes_walked > 0
