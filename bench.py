@@ -499,9 +499,9 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> d
 def run_graph_query_bench(spark) -> dict:
     """Graph-QUERY section: the query layer timed on the Zipf-hub shape the
     pagerank section uses (2M edges / 200k nodes, hub drawing 20% of in-edges,
-    3 predicates). Twelve reads (round 7 added the four VERDICT-r6 item-7
+    3 predicates). Thirteen reads (round 7 added the four VERDICT-r6 item-7
     arms, the second-pass NPS/aggregation reads and the third-pass
-    subquery/UPDATE reads so regressions in them are visible
+    subquery/UPDATE/betweenness reads so regressions in them are visible
     round-over-round): a 2-hop BGP with
     constant predicates (match_pattern — one mid-keyed self-join), the same
     BGP with the second hop OPTIONAL (left join), 3 label-propagation
@@ -517,9 +517,10 @@ def run_graph_query_bench(spark) -> dict:
     round-7 second-pass algebra: a negated-property-set scan (``!p0``, the
     complement read) and a GROUP BY aggregation with HAVING over the top
     predicate's solutions (one hash aggregate), a text-parsed SPARQL
-    SUBQUERY (inner per-subject aggregate joined onto the outer scan) and a
+    SUBQUERY (inner per-subject aggregate joined onto the outer scan), a
     SPARQL UPDATE predicate migration (anti-join + distinct-union over the
-    whole store)."""
+    whole store) and a 2-pivot 4-hop sampled-Brandes betweenness (σ-BFS +
+    dependency sweep)."""
     from pyspark.sql import functions as F
 
     from lingvo_spark_kg.operators.graph import (bfs_distances,
@@ -590,6 +591,11 @@ def run_graph_query_bench(spark) -> dict:
             edges,
             "DELETE { ?s <p2> ?o } INSERT { ?s <p2_v2> ?o } "
             "WHERE { ?s <p2> ?o }").count())
+        from lingvo_spark_kg.operators.graph import betweenness_centrality
+
+        bet_sec, _ = _time(lambda: betweenness_centrality(
+            edges, n_pivots=2, max_hops=4)
+            .agg(F.sum("centrality")).collect() and 0)
         # sum(length(line)) FORCES the encode: a bare count() lets Catalyst
         # prune the projection and times nothing but the cached row count
         nt = to_ntriples(edges)
@@ -611,6 +617,7 @@ def run_graph_query_bench(spark) -> dict:
             "groupagg_sec": agg_sec, "groupagg_groups": n_agg,
             "subquery_sec": sub_sec, "subquery_solutions": n_sub,
             "update_sec": upd_sec, "update_store_rows": n_upd,
+            "betweenness_2pivot_sec": bet_sec,
             "ntriples_sec": nt_sec,
             "ntriples_lines_per_sec": round(n_lines / nt_sec, 1)}
 

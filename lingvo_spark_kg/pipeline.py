@@ -858,16 +858,20 @@ class KgPipeline:
         counts["graph_gen"] = g_new
         return counts
 
-    def export_ntriples(self, path: str, base: str | None = None) -> None:
+    def export_ntriples(self, path: str, base: str | None = None,
+                        generation: int | None = None) -> None:
         """Dump the committed KG (logical nodes + edges tables — the latest
-        generation after any delta ingests) as a W3C N-Triples text directory:
-        the interchange artifact a triple store / SPARQL endpoint loads. Pure
+        generation after any delta ingests, or ``generation=g`` for a
+        time-traveled snapshot dump: the audit/backup artifact "the graph as
+        of commit g") as a W3C N-Triples text directory: the interchange
+        artifact a triple store / SPARQL endpoint loads. Pure
         column expressions end-to-end and a line-per-triple format, so both
         the write here and any later read split line-parallel with zero
         shuffle (operators/rdf.py). Read back with ``spark.read.text(path)`` →
-        ``rdf.from_ntriples``."""
+        ``rdf.from_ntriples`` (or ``sparql_update("LOAD <path/part-*>")``)."""
         from .operators.rdf import DEFAULT_BASE, to_ntriples
 
-        lines = to_ntriples(self.table("edges"), self.table("nodes"),
+        lines = to_ntriples(self.table("edges", generation=generation),
+                            self.table("nodes", generation=generation),
                             base=base or DEFAULT_BASE)
         lines.write.mode("overwrite").text(path)

@@ -215,6 +215,17 @@ def test_pipeline_update_generations_alias_and_expire(spark, tmp_path):
         & (F.col("pred") == "asserted_rel")).count() == 1
     assert p.table("links").count() >= len(l0)
 
+    # snapshot dump: generation-0 N-Triples lack the asserted edge, the
+    # latest dump carries it (export → LOAD is the backup/restore loop)
+    from lingvo_spark_kg.operators.rdf import from_ntriples
+
+    p.export_ntriples(str(tmp_path / "nt_g0"), generation=0)
+    p.export_ntriples(str(tmp_path / "nt_new"))
+    g0 = from_ntriples(spark.read.text(str(tmp_path / "nt_g0")))
+    new = from_ntriples(spark.read.text(str(tmp_path / "nt_new")))
+    flt = (F.col("src_id") == "zz:new1") & (F.col("pred") == "asserted_rel")
+    assert g0.where(flt).count() == 0 and new.where(flt).count() == 1
+
 
 def test_load_and_clear(spark, tmp_path):
     """LOAD round-trips an export_ntriples-format dump back into the store
