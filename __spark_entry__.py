@@ -345,7 +345,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph-QUERY layer (graph.match_pattern — SPARQL-style BGP matching
     with property paths incl. negated sets, OPTIONAL/UNION/MINUS, FILTER,
     EXISTS, BIND and the solution modifiers, plus the generation-diff audit
-    read) as ONE driver row, twenty-one arms under a variant column (50-row
+    read) as ONE driver row, twenty-three arms under a variant column (50-row
     cap), every arm checked against the same algebra lowered to
     plain/recursive SQL over the golden edges parquet:
 
@@ -388,6 +388,10 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       legal deterministic choice) and ``GROUP_CONCAT(?b; SEPARATOR=',')``
       (values SORTED then joined — deterministic where the spec leaves
       order open) — vs MIN + ordered string_agg in SQL.
+    - ``ask``/``describe``: the other two SPARQL query forms through the
+      text front-end — ASK over the 2-hop join (boolean, stringified) vs
+      SQL EXISTS; DESCRIBE of the smallest node id (every edge row touching
+      it, the induced star) vs the OR-filtered scan.
     - ``update``: SPARQL 1.1 UPDATE (operators.sparql.sparql_update) — a
       predicate migration ``DELETE { ?s p2 ?o } INSERT { ?s p2_v2 ?o }
       WHERE { ?s p2 ?o }`` applied to the golden edges; the resulting store
@@ -467,6 +471,18 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHERE {{ ?a <{p1}> ?b }} GROUP BY ?a")
         .select(F.lit("gconcat").alias("variant"), F.col("a"),
                 F.col("smp").alias("b"), F.col("gc").alias("c")))
+    arms.append(sparql_query(
+        edges,
+        f"ASK {{ ?x <{p1}> ?y . ?y <{p2}> ?z }}")
+        .select(F.lit("ask").alias("variant"),
+                F.col("ask").cast("string").alias("a"),
+                null_s.alias("b"), null_s.alias("c")))
+    seed0 = edges.agg(F.least(F.min("src_id"), F.min("dst_id"))).first()[0]
+    arms.append(sparql_query(edges, f"DESCRIBE <{seed0}>").select(
+        F.lit("describe").alias("variant"),
+        F.col("src_id").alias("a"), F.col("dst_id").alias("b"),
+        F.concat_ws("|", "pred", F.col("n_occurrences").cast("string"))
+        .alias("c")))
     from lingvo_spark_kg.operators.sparql import sparql_update
 
     arms.append(sparql_update(
@@ -1698,7 +1714,7 @@ def _pagerank_oracle_sql(edges_path: str, damping: float = 0.85,
             f"AS BIGINT) AS rank_e9 FROM r{n_iter}")
 
 def _graph_query_oracle_sql(edges_path: str) -> str:
-    """The twenty-one kg_graph_query arms lowered to plain/recursive SQL over the
+    """The twenty-three kg_graph_query arms lowered to plain/recursive SQL over the
     golden edges parquet (q_kg_graph_query's docstring maps arm → algebra).
     Predicates are derived in-query (top-2 by count, pred-asc ties), matching
     the Spark side's deterministic choice."""
@@ -1778,6 +1794,14 @@ def _graph_query_oracle_sql(edges_path: str) -> str:
          WHERE w.p = (SELECT p FROM t1)
         UNION ALL SELECT 'gconcat', s, MIN(d), string_agg(d, ',' ORDER BY d)
           FROM ge WHERE p = (SELECT p FROM t1) GROUP BY s
+        UNION ALL SELECT 'ask',
+               CASE WHEN EXISTS (SELECT 1 FROM ge x JOIN ge y ON y.s = x.d
+                                 WHERE x.p = (SELECT p FROM t1)
+                                   AND y.p = (SELECT p FROM t2))
+                    THEN 'true' ELSE 'false' END, NULL, NULL
+        UNION ALL SELECT 'describe', s, d, p || '|' || CAST(occ AS VARCHAR)
+          FROM gocc WHERE s = (SELECT LEAST(MIN(s), MIN(d)) FROM ge)
+                       OR d = (SELECT LEAST(MIN(s), MIN(d)) FROM ge)
         UNION ALL SELECT 'update', s, d, p || '|' || CAST(occ AS VARCHAR)
           FROM gocc WHERE p <> (SELECT p FROM t2)
         UNION ALL SELECT 'update', s, d,
