@@ -953,7 +953,12 @@ def sparql_update(edges: DataFrame, update: str, stats=None) -> DataFrame:
     Scale shape: the WHERE group compiles through :func:`graph.
     match_pattern` (filtered scans + equi-joins); the delete is ONE
     key-equi anti-join, the insert ONE anti-join + union — solution-volume
-    work, never a store rescan beyond the single anti-join pass."""
+    work, never a store rescan beyond the single anti-join pass. When every
+    template predicate is CONSTANT (all DATA forms, and most templated
+    updates — e.g. a predicate migration), the anti-joins are PRED-PRUNED:
+    only the matching relation's slice joins, the rest of the store passes
+    through as a filter the parquet scan absorbs — at 100 TB a migration
+    shuffles one predicate's volume, not the store's."""
     u = parse_sparql_update(update)
     key = ["src_id", "pred", "dst_id"]
     spark = edges.sparkSession
@@ -1015,15 +1020,46 @@ def sparql_update(edges: DataFrame, update: str, stats=None) -> DataFrame:
         del_df = inst(u["delete_tpl"]) if u["delete_tpl"] else None
         ins_df = inst(u["insert_tpl"]) if u["insert_tpl"] else None
 
+    def const_preds(triples):
+        """The template's predicate set, or None when any predicate is a
+        variable (pruning impossible)."""
+        if not triples:
+            return None
+        preds = set()
+        for _, p, _ in triples:
+            if isinstance(p, str) and p.startswith("?"):
+                return None
+            preds.add(p)
+        return sorted(preds, key=repr)
+
     out = edges
     if del_df is not None:
-        out = out.join(del_df.distinct(), key, "left_anti")
+        dpreds = const_preds(u["delete_data"] or u["delete_tpl"])
+        if dpreds is not None:
+            # constant-predicate delete: only the matching pred slice can
+            # lose rows — anti-join THAT slice and pass the rest through
+            # untouched. The pred filter reaches the (bucketed, pred-stable)
+            # parquet scan, so at store scale the delete shuffles one
+            # relation's volume, never the whole store.
+            miss = F.col("pred").isNull() | ~F.col("pred").isin(dpreds)
+            out = (out.where(miss).unionByName(
+                out.where(F.col("pred").isin(dpreds))
+                .join(del_df.distinct(), key, "left_anti")))
+        else:
+            out = out.join(del_df.distinct(), key, "left_anti")
     if ins_df is not None:
         fill = [(F.lit(1) if c == "n_occurrences" else F.lit(None))
                 .cast(t).alias(c)
                 for c, t in edges.dtypes if c not in key]
+        existing = out.select(*key)
+        ipreds = const_preds(u["insert_data"] or u["insert_tpl"])
+        if ipreds is not None:
+            # same pruning on the no-op probe: a store row whose predicate
+            # is not in the insert templates can never collide with an
+            # inserted key, so the anti-join's right side is one slice
+            existing = existing.where(F.col("pred").isin(ipreds))
         new_rows = (ins_df.distinct()
-                    .join(out.select(*key), key, "left_anti")
+                    .join(existing, key, "left_anti")
                     .select(*key, *fill))
         out = out.unionByName(new_rows).select(*edges.columns)
     return out

@@ -256,3 +256,28 @@ def test_load_and_clear(spark, tmp_path):
         sparql_update(df, "CLEAR GRAPH <g>")
     with pytest.raises(ValueError, match="LOAD needs"):
         sparql_update(df, "LOAD dump.nt")
+
+
+def test_constant_pred_update_prunes_the_scan(spark, tmp_path):
+    """Constant-predicate deletes/inserts anti-join only the matching pred
+    slice: the slice filter must reach the parquet reader (PushedFilters),
+    and the semantics must equal the unpruned variable-pred spelling."""
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    rows = _rand_rows(313, n=60)
+    path = str(tmp_path / "edges.parquet")
+    _edges_df(spark, rows).write.parquet(path)
+    edges = spark.read.parquet(path)
+
+    out = sparql_update(
+        edges, "DELETE { ?s <w> ?o } INSERT { ?s <w2> ?o } "
+               "WHERE { ?s <w> ?o }")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(pred,w)" in plan
+    # the variable-pred spelling (no pruning possible) agrees exactly:
+    # ?p is constrained to 'w' by the WHERE scan, but the template pred is
+    # a VARIABLE, so the executor must fall back to the full-store anti-join
+    out2 = sparql_update(
+        edges, "DELETE { ?s ?p ?o } INSERT { ?s <w2> ?o } "
+               "WHERE { ?s ?p ?o FILTER (?p = 'w') }")
+    assert _got(out) == _got(out2)
