@@ -519,7 +519,7 @@ def q_kg_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The iterative graph-ANALYTICS layer as ONE driver row, eleven arms
+    """The iterative graph-ANALYTICS layer as ONE driver row, twelve arms
     under a variant column, each an exact-arithmetic recurrence checked
     engine-vs-engine against DuckDB running the SAME recurrence (unrolled
     materialized CTEs / recursive CTEs) over the golden edges parquet:
@@ -555,6 +555,13 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``linkpred``: graph.neighbor_similarity — wedge-built common-neighbor /
       integer-Jaccard pairs (default hub cut), seven fields pipe-joined —
       vs the same wedge join + degree join + edge flag in SQL.
+    - ``rules``: graph.materialize_rules (semi-naive Datalog forward
+      chaining) saturating the two-rule mutually-feeding program
+      {p1-transitivity; p2-extension through p1} from the top-2 predicates
+      (chosen identically both sides), restricted to those predicates —
+      vs the equivalent LINEAR recursive CTE (extend-by-base-p1), the
+      textbook nonlinear≡linear closure equivalence checked
+      engine-vs-engine on the golden edges.
     - ``brandes``: graph.shortest_path_counts (the tagged σ-BFS forward half
       of Brandes betweenness — per-source hop distance AND shortest-path
       COUNT, both exact integers) from the two smallest node ids (computed
@@ -568,6 +575,7 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  ego_subgraph,
                                                  label_propagation,
                                                  neighbor_similarity,
+                                                 materialize_rules,
                                                  predicate_stats,
                                                  random_walks,
                                                  shortest_path_counts,
@@ -621,6 +629,15 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "node_b", "n_common", "deg_a", "deg_b",
                     "jaccard_num", "jaccard_den", "is_edge").alias("val_s"),
         null_l.alias("val_l"))
+    rp1, rp2 = [r["pred"] for r in edges.groupBy("pred").count()
+                .orderBy(F.desc("count"), F.asc("pred")).limit(2).collect()]
+    sat = materialize_rules(edges, [
+        ([("?x", rp1, "?y"), ("?y", rp1, "?z")], ("?x", rp1, "?z")),
+        ([("?x", rp2, "?y"), ("?y", rp1, "?z")], ("?x", rp2, "?z"))])
+    rules_arm = sat.where(F.col("pred").isin([rp1, rp2])).select(
+        F.lit("rules").alias("variant"), F.col("src_id").alias("node_id"),
+        F.concat_ws("|", "pred", "dst_id").alias("val_s"),
+        null_l.alias("val_l"))
     ids2 = (edges.select(F.col("src_id").alias("n"))
             .unionByName(edges.select(F.col("dst_id").alias("n")))
             .distinct().orderBy("n").limit(2))
@@ -632,7 +649,7 @@ def q_kg_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lpa.unionByName(bfs).unionByName(cc).unionByName(sssp)
             .unionByName(core).unionByName(walks).unionByName(cs)
             .unionByName(ps).unionByName(ego).unionByName(lp)
-            .unionByName(brand))
+            .unionByName(brand).unionByName(rules_arm))
 
 
 def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,6 +1956,16 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
         # consumers above, fatal to a LIMIT 2 pivot pick)
         "bsrc AS MATERIALIZED (SELECT DISTINCT n FROM allnodes "
         "ORDER BY n LIMIT 2)",
+        # the rules arm: linear recursive closure equivalent of the two-rule
+        # semi-naive program (p1-transitivity + p2-extension through p1)
+        "rt1 AS MATERIALIZED (SELECT pred FROM ge GROUP BY pred "
+        "ORDER BY COUNT(*) DESC, pred LIMIT 1)",
+        "rt2 AS MATERIALIZED (SELECT pred FROM ge GROUP BY pred "
+        "ORDER BY COUNT(*) DESC, pred LIMIT 1 OFFSET 1)",
+        "rli(tag, s, d) AS (SELECT pred, src_id, dst_id FROM ge "
+        "WHERE pred IN ((SELECT pred FROM rt1), (SELECT pred FROM rt2)) "
+        "UNION SELECT i.tag, i.s, g.dst_id FROM rli i "
+        "JOIN ge g ON g.src_id = i.d AND g.pred = (SELECT pred FROM rt1))",
         "bp0 AS MATERIALIZED (SELECT n AS src, n AS node, "
         "CAST(1 AS BIGINT) AS sigma FROM bsrc)",
         "bc0 AS MATERIALIZED (SELECT src, node, 0 AS dist, sigma FROM bp0)",
@@ -1985,6 +2012,7 @@ def _graph_analytics_oracle_sql(edges_path: str, lpa_iters: int = 8) -> str:
         UNION ALL SELECT 'brandes', node,
                src || '|' || CAST(dist AS VARCHAR), CAST(sigma AS BIGINT)
           FROM bc8
+        UNION ALL SELECT 'rules', s, tag || '|' || d, NULL FROM rli
     """)
 
 

@@ -834,3 +834,98 @@ def test_betweenness_sampled_and_shapes(spark):
     assert "CartesianProduct" not in plan
     with pytest.raises(ValueError, match="n_pivots"):
         betweenness_centrality(df, n_pivots=0)
+
+
+def test_materialize_rules_transitivity_is_closure(spark):
+    """The transitivity program {(?x p ?y),(?y p ?z) → (?x p ?z)} saturates
+    to exactly base ∪ transitive_closure pairs; include_base=False returns
+    the inferred delta only."""
+    import random
+
+    from lingvo_spark_kg.operators.graph import (materialize_rules,
+                                                 transitive_closure)
+
+    rng = random.Random(67)
+    rows = sorted({(rng.randrange(18), rng.randrange(18), "p")
+                   for _ in range(30)} | {(1, 2, "q")})
+    df = _edges_df(spark, rows)
+    rule = ([("?x", "p", "?y"), ("?y", "p", "?z")], ("?x", "p", "?z"))
+    got = {tuple(r) for r in materialize_rules(df, [rule]).collect()}
+    clo = {(r["src_id"], "p", r["dst_id"])
+           for r in transitive_closure(df, pred="p").collect()}
+    base = {(s, p, d) for s, d, p in rows}
+    assert got == base | clo
+    inf = {tuple(r) for r in
+           materialize_rules(df, [rule], include_base=False).collect()}
+    assert inf == (base | clo) - base and len(inf) > 0
+
+
+def test_materialize_rules_mutual_recursion_matches_duckdb(spark):
+    """Two mutually feeding rules — p-transitivity PLUS q-extension through
+    (inferred) p edges — saturate to the same set as the linear recursive
+    CTE (extend-by-base-p), which is the textbook equivalence the semi-naive
+    engine must reproduce."""
+    import random
+
+    import duckdb
+
+    from lingvo_spark_kg.operators.graph import materialize_rules
+
+    rng = random.Random(71)
+    rows = sorted({(rng.randrange(16), rng.randrange(16),
+                    rng.choice(["p", "q", "zz"])) for _ in range(60)})
+    df = _edges_df(spark, rows)
+    rules = [
+        ([("?x", "p", "?y"), ("?y", "p", "?z")], ("?x", "p", "?z")),
+        ([("?x", "q", "?y"), ("?y", "p", "?z")], ("?x", "q", "?z")),
+    ]
+    got = sorted(tuple(r) for r in materialize_rules(df, rules)
+                 .where(F.col("pred").isin(["p", "q"])).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES %s) t(s, d, p)"
+                % ",".join(f"({s},{d},'{p}')" for s, d, p in rows))
+    ref = sorted((s, t, d) for s, t, d in con.execute("""
+        WITH RECURSIVE inf(tag, s, d) AS (
+            SELECT p, s, d FROM e WHERE p IN ('p', 'q')
+            UNION
+            SELECT i.tag, i.s, g.d FROM inf i
+            JOIN e g ON g.s = i.d AND g.p = 'p')
+        SELECT s, tag, d FROM inf""").fetchall())
+    assert got == ref and len(got) > 0
+
+
+def test_materialize_rules_rdfs_typing_and_contracts(spark):
+    """RDFS-style program: subClassOf transitivity + type inheritance —
+    every instance carries every superclass type; plus the error contracts
+    and the max_rounds truncation warning."""
+    from lingvo_spark_kg.operators.graph import materialize_rules
+
+    df = _edges_df(spark, [
+        (100, 1, "type"), (101, 2, "type"),
+        (1, 2, "sub"), (2, 3, "sub"), (3, 4, "sub")])
+    rules = [
+        ([("?a", "sub", "?b"), ("?b", "sub", "?c")], ("?a", "sub", "?c")),
+        ([("?x", "type", "?c"), ("?c", "sub", "?d")], ("?x", "type", "?d")),
+    ]
+    got = {tuple(r) for r in materialize_rules(df, rules, include_base=False)
+           .where(F.col("pred") == "type").collect()}
+    assert got == {(100, "type", c) for c in (2, 3, 4)} \
+        | {(101, "type", c) for c in (3, 4)}
+
+    with pytest.raises(ValueError, match="property paths"):
+        materialize_rules(df, [([("?a", "sub+", "?b")], ("?a", "x", "?b"))])
+    with pytest.raises(ValueError, match="not bound"):
+        materialize_rules(df, [([("?a", "sub", "?b")], ("?a", "x", "?zz"))])
+    with pytest.raises(ValueError, match="plain constant"):
+        materialize_rules(df, [([("?a", "sub", "?b")], ("?a", "?p", "?b"))])
+    with pytest.raises(ValueError, match="no variables"):
+        materialize_rules(df, [([(1, "sub", 2)], ("?a", "x", "?b"))])
+    with pytest.raises(ValueError, match="disconnected"):
+        materialize_rules(
+            df, [([("?a", "sub", "?b"), ("?c", "type", "?d")],
+                  ("?a", "x", "?d"))])
+    with pytest.warns(UserWarning, match="max_rounds"):
+        chain = _edges_df(spark, [(i, i + 1, "p") for i in range(6)])
+        materialize_rules(
+            chain, [([("?x", "p", "?y"), ("?y", "p", "?z")],
+                     ("?x", "p", "?z"))], max_rounds=1).count()
