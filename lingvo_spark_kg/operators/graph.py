@@ -1120,7 +1120,11 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
     ... }`` giving every solution the global total); the sub side must be
     small, share a variable otherwise. New columns project after the
     pattern variables and are visible to ``bind`` / ``exists`` / ``filter``
-    / aggregation / the modifiers, not to ``values``.
+    / aggregation / the modifiers, not to ``values``. SQL NULL-key caveat
+    (the same lowering note as ``optional``/``values``): a solution whose
+    shared variable is UNBOUND (NULL from a union branch) never joins and
+    DROPS here, where SPARQL's compatibility rule would keep it — bind the
+    variable in every branch when mixing UNION with a subquery.
 
     ``bind=`` is SPARQL BIND: an ordered ``{var: Column | SQL string}`` dict
     of computed variables extended onto the solutions (later entries may

@@ -929,3 +929,25 @@ def test_materialize_rules_rdfs_typing_and_contracts(spark):
         materialize_rules(
             chain, [([("?x", "p", "?y"), ("?y", "p", "?z")],
                      ("?x", "p", "?z"))], max_rounds=1).count()
+
+
+def test_shortest_path_counts_directed_hand_dag(spark):
+    """Directed σ-BFS on a diamond DAG: path counts multiply through the
+    merge (σ(4)=2 via 2 and 3, σ(5)=2 beyond it); frame-valued sources and
+    list sources agree; the one-column-frame contract is enforced."""
+    from lingvo_spark_kg.operators.graph import shortest_path_counts
+
+    df = _edges_df(spark, [(1, 2, "p"), (1, 3, "p"), (2, 4, "p"),
+                           (3, 4, "p"), (4, 5, "p"), (5, 1, "q")])
+    got = {(r["node_id"], r["distance"], int(r["n_paths"]))
+           for r in shortest_path_counts(df, [1], directed=True).collect()}
+    assert got == {(1, 0, 1), (2, 1, 1), (3, 1, 1), (4, 2, 2), (5, 3, 2)}
+    frame = spark.createDataFrame([(1,)], "n long")
+    got2 = {(r["node_id"], r["distance"], int(r["n_paths"]))
+            for r in shortest_path_counts(df, frame,
+                                          directed=True).collect()}
+    assert got2 == got
+    with pytest.raises(ValueError, match="one column"):
+        shortest_path_counts(df, df.select("src_id", "dst_id"))
+    with pytest.raises(ValueError, match="non-empty"):
+        shortest_path_counts(df, [])
