@@ -766,8 +766,9 @@ class KgPipeline:
 
     def sparql_update(self, update: str, stats=None) -> dict:
         """Apply ONE SPARQL 1.1 Update operation (INSERT DATA / DELETE DATA /
-        DELETE WHERE / DELETE-INSERT-WHERE — :func:`operators.sparql.
-        sparql_update`) to the committed KG and commit the result as a NEW
+        DELETE WHERE / DELETE-INSERT-WHERE / LOAD / CLEAR —
+        :func:`operators.sparql.sparql_update`) to the committed KG and
+        commit the result as a NEW
         graph generation: the assertional-edit path (curation fixes, manual
         assertions, predicate migrations) — no document re-scan, ever.
 
@@ -786,18 +787,56 @@ class KgPipeline:
         new tables. Returns ``{"edges": n, "nodes": n, "graph_gen": g}``."""
         from .operators.sparql import sparql_update as _apply_update
 
-        spark, w = self.spark, self._writer()
+        self._check_graph_edit_ready("sparql_update")
+        new_edges = _apply_update(self.table("edges"), update, stats=stats)
+        return self._commit_graph_edit(new_edges)
+
+    def infer_rules(self, rules: list, max_rounds: int = 30) -> dict:
+        """Close the inference loop: saturate the committed KG under a
+        Datalog-style rule program (:func:`operators.graph.
+        materialize_rules` — semi-naive forward chaining to fixpoint,
+        mutually recursive rules supported) and commit the saturated edges
+        as a NEW graph generation under the SAME contract as
+        :meth:`sparql_update` (atomic pointer commit, time travel,
+        links/canonical_map snapshot-reuse aliases, ``node_type='asserted'``
+        stubs for rule-introduced node ids — inferred edges carry
+        ``n_occurrences=1`` and NULL document provenance, because no
+        document asserted them; ``diff_generations`` shows exactly what the
+        rules added). Returns ``{"edges": n, "nodes": n, "graph_gen": g}``."""
+        from .operators.graph import materialize_rules
+
+        self._check_graph_edit_ready("infer_rules")
+        edges_old = self.table("edges")
+        inferred = materialize_rules(edges_old, rules,
+                                     max_rounds=max_rounds,
+                                     include_base=False)
+        fill = [(F.lit(1) if c == "n_occurrences" else F.lit(None))
+                .cast(t).alias(c)
+                for c, t in edges_old.dtypes
+                if c not in ("src_id", "pred", "dst_id")]
+        new_edges = edges_old.unionByName(
+            inferred.select("src_id", "pred", "dst_id", *fill)
+            .select(*edges_old.columns))
+        return self._commit_graph_edit(new_edges)
+
+    def _check_graph_edit_ready(self, what: str) -> None:
+        w = self._writer()
         for stage in ("edges", "nodes"):
-            if not w.done(spark, stage):
+            if not w.done(self.spark, stage):
                 raise ValueError(
-                    f"sparql_update needs a completed run() in "
+                    f"{what} needs a completed run() in "
                     f"{self.workdir} (stage {stage!r} is not done)")
+
+    def _commit_graph_edit(self, new_edges: DataFrame) -> dict:
+        """Commit an edge-level edit (update / inference) as generation
+        g+1: rebucket, stub new node ids, recompute metrics, alias the
+        mention-provenance stages, one atomic pointer replace."""
+        spark, w = self.spark, self._writer()
         log = self._ingest_log()
         g_new = log["graph_gen"] + 1
         t0 = time.time()
 
-        new_edges = _apply_update(self.table("edges"), update, stats=stats)
-        # re-derive the layout column: inserted rows carry NULL metadata, but
+        # re-derive the layout column: new rows carry NULL metadata, but
         # bucketing is structural (same hash as build_edges_table)
         new_edges = new_edges.withColumn(
             "bucket", F.pmod(F.hash("src_id"), F.lit(self.n_buckets)))

@@ -281,3 +281,46 @@ def test_constant_pred_update_prunes_the_scan(spark, tmp_path):
         edges, "DELETE { ?s ?p ?o } INSERT { ?s <w2> ?o } "
                "WHERE { ?s ?p ?o FILTER (?p = 'w') }")
     assert _got(out) == _got(out2)
+
+
+def test_pipeline_infer_rules_commits_a_generation(spark, tmp_path):
+    """KgPipeline.infer_rules saturates the committed KG under a rule
+    program and commits it like an update: the inferred edges equal the
+    operator-level delta, diff_generations reports exactly them as
+    'added', time travel keeps the pre-inference graph, and the
+    mention-provenance stages alias through (zero copy)."""
+    from lingvo_spark_kg.operators.graph import materialize_rules
+    from lingvo_spark_kg.pipeline import KgPipeline
+
+    wd = str(tmp_path / "kg")
+    p = KgPipeline(spark, wd, n_docs=120)
+    p.run()
+    # the raw fixture graph has no 2-chains under one predicate (subjects
+    # and objects are disjoint NER classes), so seed a chain through the
+    # update path first — generation 1 — then infer on top of it
+    p.sparql_update("INSERT DATA { <zz:a> <part_of> <zz:b> . "
+                    "<zz:b> <part_of> <zz:c> . <zz:c> <part_of> <zz:d> }")
+    edges1 = p.table("edges")
+    n1 = edges1.count()
+    rules = [([("?x", "part_of", "?y"), ("?y", "part_of", "?z")],
+              ("?x", "part_of", "?z"))]
+    exp = sorted(tuple(r) for r in materialize_rules(
+        edges1, rules, include_base=False).collect())
+    assert len(exp) == 3    # (a,c), (a,d), (b,d)
+
+    c = p.infer_rules(rules)
+    assert c["graph_gen"] == 2 and c["edges"] == n1 + 3
+    d = p.diff_generations(1)
+    got = sorted((r["src_id"], r["pred"], r["dst_id"])
+                 for r in d.collect())
+    assert got == exp and all(
+        r["status"] == "added" for r in d.collect())
+    # inferred rows carry the asserted-metadata contract
+    new = p.table("edges").join(
+        p.table("edges", generation=1).select("src_id", "pred", "dst_id"),
+        ["src_id", "pred", "dst_id"], "left_anti")
+    assert new.where((F.col("n_occurrences") != 1)
+                     | F.col("avg_confidence").isNotNull()).count() == 0
+    assert p.table("edges", generation=1).count() == n1
+    assert not os.path.exists(os.path.join(wd, "links__g2"))
+    assert p.table("links", generation=2).count() == p.table("links").count()
