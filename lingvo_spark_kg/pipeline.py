@@ -730,12 +730,16 @@ class KgPipeline:
                 F.lit(name).alias("stage"), "n") for name, df in frames.items()])
         return {r["stage"]: r["n"] for r in counts_df.collect()}
 
-    def query(self, patterns: list, **kw) -> DataFrame:
-        """Run a basic graph pattern against the committed KG (the latest edges
-        generation) — ``graph.match_pattern`` over ``table("edges")``, with
+    def query(self, patterns: list, generation: int | None = None,
+              **kw) -> DataFrame:
+        """Run a basic graph pattern against the committed KG (the latest
+        edges generation, or ``generation=g`` for an AS-OF query over a
+        time-traveled snapshot — "what did we know before that ingest") —
+        ``graph.match_pattern`` over ``table("edges")``, with
         the full algebra passed through: property paths (incl. negated
         property sets), OPTIONAL/UNION/MINUS groups, VALUES, BIND,
-        EXISTS/NOT EXISTS, FILTER, selectivity-aware join ordering
+        EXISTS/NOT EXISTS, FILTER, subquery frames (``sub=``),
+        selectivity-aware join ordering
         (``stats=True`` computes per-predicate counts once per query) and the
         solution modifiers ``select`` / ``order_by`` / ``limit`` /
         ``offset``::
@@ -747,14 +751,17 @@ class KgPipeline:
         """
         from .operators.graph import match_pattern
 
-        return match_pattern(self.table("edges"), patterns, **kw)
+        return match_pattern(self.table("edges", generation=generation),
+                             patterns, **kw)
 
-    def sparql(self, query: str, stats=None) -> DataFrame:
+    def sparql(self, query: str, stats=None,
+               generation: int | None = None) -> DataFrame:
         """Run a SPARQL query STRING against the committed KG —
-        :func:`operators.sparql.sparql_query` over ``table("edges")``:
+        :func:`operators.sparql.sparql_query` over ``table("edges")``
+        (``generation=g`` = the AS-OF form over a time-traveled snapshot):
         SELECT → solution frame, ASK → one-row boolean frame, CONSTRUCT →
-        inferred edges. Same lowering as :meth:`query`; the string form is
-        parsed, never a second engine::
+        inferred edges, DESCRIBE → the induced star. Same lowering as
+        :meth:`query`; the string form is parsed, never a second engine::
 
             p.sparql('''SELECT ?who (COUNT(*) AS ?n) WHERE {
                           ?who возглавлять ?org .
@@ -762,7 +769,8 @@ class KgPipeline:
         """
         from .operators.sparql import sparql_query
 
-        return sparql_query(self.table("edges"), query, stats=stats)
+        return sparql_query(self.table("edges", generation=generation),
+                            query, stats=stats)
 
     def sparql_update(self, update: str, stats=None) -> dict:
         """Apply ONE SPARQL 1.1 Update operation (INSERT DATA / DELETE DATA /

@@ -198,6 +198,12 @@ def test_pipeline_update_generations_alias_and_expire(spark, tmp_path):
         F.col("pred") == pred).count() > 0
     assert p.sparql(
         f"ASK {{ ?s <{pred}_v2> ?o }}").collect()[0]["ask"] is True
+    # AS-OF queries: the pre-migration snapshot still answers on the old
+    # predicate, the live graph does not
+    assert p.sparql(f"ASK {{ ?s <{pred}> ?o }}",
+                    generation=1).collect()[0]["ask"] is True
+    assert p.query([("?s", pred, "?o")], generation=1).count() > 0
+    assert p.query([("?s", pred, "?o")]).count() == 0
 
     # expire g1: g2's alias target (the base links table) must survive
     assert p.expire_generations(keep=1) == [1]
