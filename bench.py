@@ -499,7 +499,7 @@ def run_scaling(sf_dir: str, n_docs: int, levels=(4, 16), repeats: int = 2) -> d
 def run_graph_query_bench(spark) -> dict:
     """Graph-QUERY section: the query layer timed on the Zipf-hub shape the
     pagerank section uses (2M edges / 200k nodes, hub drawing 20% of in-edges,
-    3 predicates). Thirteen reads (round 7 added the four VERDICT-r6 item-7
+    3 predicates). Fourteen reads (round 7 added the four VERDICT-r6 item-7
     arms, the second-pass NPS/aggregation reads and the third-pass
     subquery/UPDATE/betweenness reads so regressions in them are visible
     round-over-round): a 2-hop BGP with
@@ -519,8 +519,9 @@ def run_graph_query_bench(spark) -> dict:
     predicate's solutions (one hash aggregate), a text-parsed SPARQL
     SUBQUERY (inner per-subject aggregate joined onto the outer scan), a
     SPARQL UPDATE predicate migration (anti-join + distinct-union over the
-    whole store) and a 2-pivot 4-hop sampled-Brandes betweenness (σ-BFS +
-    dependency sweep)."""
+    whole store), a 2-pivot 4-hop sampled-Brandes betweenness (σ-BFS +
+    dependency sweep) and a non-recursive 2-round semi-naive rule
+    materialization."""
     from pyspark.sql import functions as F
 
     from lingvo_spark_kg.operators.graph import (bfs_distances,
@@ -591,11 +592,19 @@ def run_graph_query_bench(spark) -> dict:
             edges,
             "DELETE { ?s <p2> ?o } INSERT { ?s <p2_v2> ?o } "
             "WHERE { ?s <p2> ?o }").count())
-        from lingvo_spark_kg.operators.graph import betweenness_centrality
+        from lingvo_spark_kg.operators.graph import (betweenness_centrality,
+                                                     materialize_rules)
 
         bet_sec, _ = _time(lambda: betweenness_centrality(
             edges, n_pivots=2, max_hops=4)
             .agg(F.sum("centrality")).collect() and 0)
+        # the semi-naive machinery on a non-recursive composition rule
+        # (converges in 2 rounds: derive, then empty delta) — times the
+        # per-round delta evaluation + novelty anti-join, not a closure
+        rul_sec, n_rul = _time(lambda: materialize_rules(
+            edges, [([("?x", "p0", "?y"), ("?y", "p1", "?z")],
+                     ("?x", "composed", "?z"))],
+            include_base=False).count())
         # sum(length(line)) FORCES the encode: a bare count() lets Catalyst
         # prune the projection and times nothing but the cached row count
         nt = to_ntriples(edges)
@@ -618,6 +627,7 @@ def run_graph_query_bench(spark) -> dict:
             "subquery_sec": sub_sec, "subquery_solutions": n_sub,
             "update_sec": upd_sec, "update_store_rows": n_upd,
             "betweenness_2pivot_sec": bet_sec,
+            "rules_sec": rul_sec, "rules_inferred": n_rul,
             "ntriples_sec": nt_sec,
             "ntriples_lines_per_sec": round(n_lines / nt_sec, 1)}
 

@@ -752,7 +752,7 @@ def test_random_walks_weight_bias(spark):
 
 
 def test_pipeline_analytics_stages_and_resume(spark, tmp_path):
-    """KgPipeline.analytics() writes the seven analytics stage tables over the
+    """KgPipeline.analytics() writes the fifteen analytics stage tables over the
     committed edges, chains walks → pairs → embeddings off the WRITTEN tables,
     and a resumed call recomputes nothing (timings untouched) while returning
     identical counts; embeddings cover every walked node at the requested dim."""
