@@ -330,3 +330,42 @@ def test_pipeline_infer_rules_commits_a_generation(spark, tmp_path):
     assert p.table("edges", generation=1).count() == n1
     assert not os.path.exists(os.path.join(wd, "links__g2"))
     assert p.table("links", generation=2).count() == p.table("links").count()
+
+
+def test_update_sequence_matches_set_model(spark):
+    """Model-based property test: a random sequence of ground INSERT DATA /
+    DELETE DATA operations applied to the Spark store must equal a plain
+    Python dict model implementing the spec (delete removes the key;
+    insert adds n_occ=1 ONLY when absent — present keys keep their
+    metadata), for every sequence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lingvo_spark_kg.operators.sparql import sparql_update
+
+    nodes = [f"n{i}" for i in range(5)]
+    triple = st.tuples(st.sampled_from(nodes), st.sampled_from(["p", "q"]),
+                       st.sampled_from(nodes))
+    op = st.tuples(st.sampled_from(["INSERT", "DELETE"]),
+                   st.lists(triple, min_size=1, max_size=3))
+    base_rows = [("n0", "p", "n1", 5), ("n1", "q", "n2", 7),
+                 ("n2", "p", "n0", 3), ("n3", "p", "n4", 2)]
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(op, min_size=1, max_size=3))
+    def check(ops):
+        df = spark.createDataFrame(base_rows, EDGE_SCHEMA)
+        model = {(s, p, d): n for s, p, d, n in base_rows}
+        for kind, triples in ops:
+            body = " . ".join(f"<{s}> <{p}> <{d}>" for s, p, d in triples)
+            df = sparql_update(df, f"{kind} DATA {{ {body} }}")
+            for t in triples:
+                if kind == "DELETE":
+                    model.pop(t, None)
+                else:
+                    model.setdefault(t, 1)
+        got = {(r["src_id"], r["pred"], r["dst_id"]): r["n_occurrences"]
+               for r in df.collect()}
+        assert got == model
+
+    check()
