@@ -540,8 +540,12 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("corrupt JPEG: truncated scan")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("corrupt JPEG: truncated scan")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2              # stuffed byte
@@ -574,8 +578,17 @@ class _BitReader:
         """Consume an RSTn marker at a restart boundary."""
         self.acc = 0
         self.n = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        end = len(self.data)
+        while self.pos + 1 < end and (self.data[self.pos] != 0xFF
+                                      or self.data[self.pos + 1] == 0x00):
             self.pos += 1
+        if self.pos + 1 >= end:
+            raise ValueError("corrupt JPEG: truncated scan")
+        marker = self.data[self.pos + 1]
+        if not 0xD0 <= marker <= 0xD7:
+            raise ValueError(
+                f"corrupt JPEG: expected RSTn at restart boundary, got "
+                f"0xFF{marker:02X}")
         self.pos += 2
 
 

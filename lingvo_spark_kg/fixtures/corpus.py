@@ -18,6 +18,7 @@ join tests (FIXTURES.md §1).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -104,9 +105,11 @@ POOL_ENTITIES: list[tuple[str, str, list[str]]] = [
 ]
 
 
+@functools.lru_cache(maxsize=512)
 def long_sentence(n_tokens: int) -> str:
     """Deterministic >220-token sentence exercising the chunking path
-    (SeqLabel.cs:259-311)."""
+    (SeqLabel.cs:259-311). Cached per length (pure function; make_doc draws
+    the same few hundred lengths over and over)."""
     base = "слово номер {} из длинного предложения".split()
     toks = []
     i = 0

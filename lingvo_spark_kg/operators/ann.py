@@ -205,22 +205,30 @@ def _bucket_rows_arrow(embeddings: DataFrame, dim: int, n_planes: int,
                 raise ValueError("embedding column must not contain nulls")
             # raw offsets + .values (NOT .flatten()) so indexes stay aligned even
             # when the batch arrives sliced — same invariant as tokenize/tag
-            offs = np.asarray(emb.offsets.to_pylist())
+            offs = emb.offsets.to_numpy()
             if not np.all(np.diff(offs) == dim):
                 raise ValueError(f"embedding rows must all have dim={dim}")
             flat = emb.values.to_numpy(zero_copy_only=False)
             m = flat[offs[0] : offs[-1]].reshape(len(ids), dim)
             bits = (m @ planes) >= 0  # (B, T*P)
             chars = np.where(bits, np.uint8(ord("1")), np.uint8(ord("0")))
-            buckets = (np.ascontiguousarray(chars.reshape(-1, n_planes))
-                       .view(f"S{n_planes}").ravel())
             n = len(ids)
+            # bucket strings built ZERO-LOOP: the (n·n_tables, n_planes) char
+            # matrix is exactly the concatenated utf8 payload of a fixed-width
+            # string column, so hand Arrow the raw byte buffer + an arithmetic
+            # offsets vector instead of decoding n·n_tables Python strings per
+            # batch (guide §4.2: re-slice buffers, don't copy rows)
+            payload = np.ascontiguousarray(chars).tobytes()
+            str_offs = np.arange(n * n_tables + 1, dtype=np.int32) * n_planes
+            buckets = pa.StringArray.from_buffers(
+                n * n_tables, pa.py_buffer(str_offs.tobytes()),
+                pa.py_buffer(payload))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.repeat(ids.to_numpy(zero_copy_only=False), n_tables)),
                     pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n),
                              pa.int32()),
-                    pa.array([s.decode() for s in buckets], pa.string()),
+                    buckets,
                 ],
                 names=["vec_id", "table", "bucket"],
             )

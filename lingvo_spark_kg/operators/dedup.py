@@ -60,8 +60,11 @@ def neardup_pairs(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
     must not run three times."""
     sh = shingle_df(docs, shingle_n).persist()
     try:
+        # candidates materialized once: the verify step consumes them twice
+        # (candidate-doc semi-join prune + the pair join) and the band
+        # self-join plan would otherwise run per consumer
         cand = minhash_candidates(docs, n_hashes, rows_per_band, shingle_n,
-                                  shingles=sh, hash=hash)
+                                  shingles=sh, hash=hash).localCheckpoint()
         out = ngram_jaccard_pairs(docs, cand, shingle_n, shingles=sh)
         out = out.localCheckpoint()  # materialize before releasing the shingle cache
     finally:
@@ -203,8 +206,22 @@ def minhash_candidates(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 
 
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, shingle_n: int = 3,
                         shingles: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for candidate pairs: two hash joins on shingles + one agg."""
+    """Exact Jaccard for candidate pairs: two hash joins on shingles + one agg.
+
+    The shingle frame is pruned to CANDIDATE docs first (semi-join prefilter,
+    guide §3.2): every downstream join keys on candidate doc ids anyway, so
+    rows of non-candidate docs — the overwhelming majority after LSH — are
+    dropped before the intersection joins and the size aggregate instead of
+    flowing through them. Results are identical by construction.
+
+    Pass a MATERIALIZED ``candidates`` frame (neardup_pairs localCheckpoints
+    it): it feeds both the prune and the pair join, and an unmaterialized
+    band-self-join plan would execute once per consumer."""
     sh = shingles if shingles is not None else shingle_df(docs, shingle_n)
+    cand_ids = (candidates.select(F.col("doc_a").alias("doc_id"))
+                .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    sh = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("shingle_b"))

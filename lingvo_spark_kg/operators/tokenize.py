@@ -82,12 +82,30 @@ def tokenize_docs(docs: DataFrame, replace_nums: bool = True,
         ("extra", pa.int32()), ("ending_pos", pa.string()), ("ending_ner", pa.string()),
     ])
 
+    _TOK_FIELDS = ("tok_idx", "start", "length", "value", "orig", "input_type",
+                   "extra", "ending_pos", "ending_ner")
+    _TOK_PA = {"tok_idx": pa.int32(), "start": pa.int32(), "length": pa.int32(),
+               "value": pa.string(), "orig": pa.string(),
+               "input_type": pa.string(), "extra": pa.int32(),
+               "ending_pos": pa.string(), "ending_ner": pa.string()}
+
     def run(batches) -> "Iterator[pa.RecordBatch]":
+        # per-TASK memo (was per-batch): identical span texts tokenize once
+        # per task — output is unchanged (pure function of the text), the
+        # memo only changes cost; capped so mostly-unique corpora stay bounded.
+        # Memoized sentences carry their token fields as FLAT per-field lists:
+        # the output batch is assembled from flat child arrays + list offsets
+        # (docsgen's construction — no per-token dict tree for pyarrow to
+        # walk, and memo hits extend lists C-side instead of re-walking dicts)
+        memo: dict[str, list] = {}
         for b in batches:
-            memo: dict[str, list] = {}
+            if len(memo) > 16384:
+                memo.clear()
             cols: dict[str, list] = {k: [] for k in
                                      ("doc_id", "span_idx", "sent_idx", "sent_start",
-                                      "sent_len", "tokens")}
+                                      "sent_len")}
+            tok_cols: dict[str, list] = {k: [] for k in _TOK_FIELDS}
+            tok_offsets = [0]
             doc_ids = b.column(0).to_pylist()
             spans_col = b.column(1)
             if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
@@ -105,15 +123,28 @@ def tokenize_docs(docs: DataFrame, replace_nums: bool = True,
                     text = texts[j]
                     sents = memo.get(text)
                     if sents is None:
-                        sents = _tokenize_text(text, replace_nums, sent_mode)
+                        sents = [
+                            (sent_idx, start, length,
+                             {f: [t[f] for t in toks] for f in _TOK_FIELDS},
+                             len(toks))
+                            for sent_idx, start, length, toks
+                            in _tokenize_text(text, replace_nums, sent_mode)
+                        ]
                         memo[text] = sents
-                    for sent_idx, start, length, toks in sents:
+                    for sent_idx, start, length, fields, n_toks in sents:
                         cols["doc_id"].append(doc_id)
                         cols["span_idx"].append(offs[j])
                         cols["sent_idx"].append(sent_idx)
                         cols["sent_start"].append(start)
                         cols["sent_len"].append(length)
-                        cols["tokens"].append(toks)
+                        for f in _TOK_FIELDS:
+                            tok_cols[f].extend(fields[f])
+                        tok_offsets.append(tok_offsets[-1] + n_toks)
+            struct = pa.StructArray.from_arrays(
+                [pa.array(tok_cols[f], _TOK_PA[f]) for f in _TOK_FIELDS],
+                fields=list(token_type))
+            tokens_arr = pa.ListArray.from_arrays(
+                pa.array(tok_offsets, pa.int32()), struct)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(cols["doc_id"], pa.string()),
@@ -121,7 +152,7 @@ def tokenize_docs(docs: DataFrame, replace_nums: bool = True,
                     pa.array(cols["sent_idx"], pa.int32()),
                     pa.array(cols["sent_start"], pa.int32()),
                     pa.array(cols["sent_len"], pa.int32()),
-                    pa.array(cols["tokens"], pa.list_(token_type)),
+                    tokens_arr,
                 ],
                 names=["doc_id", "span_idx", "sent_idx", "sent_start", "sent_len", "tokens"],
             )

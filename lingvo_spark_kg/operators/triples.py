@@ -12,34 +12,64 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..model.lexicon import LexiconNer, tag_sentence
 from ..model.triples import extract_triples
 from ..tokenizer import Word, run_simple_sents_allocate
 from .schemas import TRIPLES_SCHEMA
-from .tag import _cached_from_broadcast, _words_from_tokens
+from .tag import _cached_from_broadcast
 
 _COLS = ("doc_id", "span_idx", "sent_idx", "subj", "pred", "obj",
          "subj_type", "obj_type", "subj_norm", "obj_norm", "confidence")
 
 
 def extract_triples_df(tagged: DataFrame) -> DataFrame:
-    """tagged sentences → triples_raw rows (POS-pattern templates, model/triples.py)."""
+    """tagged sentences → triples_raw rows (POS-pattern templates, model/triples.py).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    Hot-path shape (the per-stage pipeline's heaviest Python pass at 1M docs):
+     * only the columns the kernel reads cross the JVM↔Python boundary —
+       token VALUES are projected out of the struct JVM-side
+       (``transform(tokens, t -> t.value)``), so the heavy ending/offset
+       fields never ship (guide §4.1: pass only what the function needs);
+     * ``mapInArrow`` with flat-array output construction (no pandas object
+       tree on either side);
+     * per-TASK memo keyed on (values, pos_tags, ner_tags) — the ONLY inputs
+       ``extract_triples`` reads (it never touches start/length/input_type;
+       the Word objects are built value-only) — so duplicate sentences
+       extract once per task. Results are unchanged: the kernel is a pure
+       function of the key."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    proj = tagged.select(
+        "doc_id", "span_idx", "sent_idx",
+        F.expr("transform(tokens, t -> t.value)").alias("values"),
+        "pos_tags", "ner_tags")
+
+    def run(batches) -> "Iterator[pa.RecordBatch]":
+        memo: dict[tuple, list] = {}
+        for b in batches:
+            if len(memo) > 65536:
+                memo.clear()
+            doc_ids = b.column(0).to_pylist()
+            span_idxs = b.column(1).to_pylist()
+            sent_idxs = b.column(2).to_pylist()
+            values = b.column(3).to_pylist()
+            pos = b.column(4).to_pylist()
+            ner = b.column(5).to_pylist()
             rows: dict[str, list] = {k: [] for k in _COLS}
-            for doc_id, span_idx, sent_idx, tokens, pos_tags, ner_tags in zip(
-                pdf["doc_id"], pdf["span_idx"], pdf["sent_idx"], pdf["tokens"],
-                pdf["pos_tags"], pdf["ner_tags"],
-            ):
-                words = _words_from_tokens(tokens)
-                for tr in extract_triples(words, list(pos_tags), list(ner_tags)):
-                    rows["doc_id"].append(doc_id)
-                    rows["span_idx"].append(span_idx)
-                    rows["sent_idx"].append(sent_idx)
+            for r in range(b.num_rows):
+                key = (tuple(values[r]), tuple(pos[r]), tuple(ner[r]))
+                triples = memo.get(key)
+                if triples is None:
+                    words = [Word(0, len(v), v, v, "", 0) for v in values[r]]
+                    triples = extract_triples(words, pos[r], ner[r])
+                    memo[key] = triples
+                for tr in triples:
+                    rows["doc_id"].append(doc_ids[r])
+                    rows["span_idx"].append(span_idxs[r])
+                    rows["sent_idx"].append(sent_idxs[r])
                     rows["subj"].append(tr.subj)
                     rows["pred"].append(tr.pred)
                     rows["obj"].append(tr.obj)
@@ -48,9 +78,21 @@ def extract_triples_df(tagged: DataFrame) -> DataFrame:
                     rows["subj_norm"].append(tr.subj_norm)
                     rows["obj_norm"].append(tr.obj_norm)
                     rows["confidence"].append(tr.confidence)
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "span_idx": pa.array(rows["span_idx"], pa.int32()),
+                "sent_idx": pa.array(rows["sent_idx"], pa.int32()),
+                "subj": pa.array(rows["subj"], pa.string()),
+                "pred": pa.array(rows["pred"], pa.string()),
+                "obj": pa.array(rows["obj"], pa.string()),
+                "subj_type": pa.array(rows["subj_type"], pa.string()),
+                "obj_type": pa.array(rows["obj_type"], pa.string()),
+                "subj_norm": pa.array(rows["subj_norm"], pa.string()),
+                "obj_norm": pa.array(rows["obj_norm"], pa.string()),
+                "confidence": pa.array(rows["confidence"], pa.float64()),
+            })
 
-    return tagged.mapInPandas(run, schema=TRIPLES_SCHEMA)
+    return proj.mapInArrow(run, schema=TRIPLES_SCHEMA)
 
 
 def docs_to_triples_fused(docs: DataFrame, gazetteer_bc,
@@ -82,8 +124,16 @@ def docs_to_triples_fused(docs: DataFrame, gazetteer_bc,
 
     def run(batches) -> "Iterator[pa.RecordBatch]":
         ner = _cached_from_broadcast(gazetteer_bc, LexiconNer)
+        # per-TASK memo (was per-batch): identical span texts are tokenized/
+        # tagged once per task instead of once per Arrow batch — results are
+        # unchanged (the kernel is a pure function of the text), only cost is;
+        # duplicate-heavy corpora hit across batch boundaries constantly. The
+        # cap bounds worker memory on mostly-unique corpora (guide §4.5:
+        # amortize heavy per-row work across the whole task).
+        memo: dict[str, list] = {}
         for b in batches:
-            memo: dict[str, list] = {}
+            if len(memo) > 65536:
+                memo.clear()
             rows: dict[str, list] = {k: [] for k in _COLS}
             doc_ids = b.column(0).to_pylist()
             spans_col = b.column(1)

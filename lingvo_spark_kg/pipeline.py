@@ -730,7 +730,7 @@ class KgPipeline:
                 F.lit(name).alias("stage"), "n") for name, df in frames.items()])
         return {r["stage"]: r["n"] for r in counts_df.collect()}
 
-    def query(self, patterns: list, generation: int | None = None,
+    def query(self, patterns: list, *, generation: int | None = None,
               **kw) -> DataFrame:
         """Run a basic graph pattern against the committed KG (the latest
         edges generation, or ``generation=g`` for an AS-OF query over a
@@ -751,6 +751,12 @@ class KgPipeline:
         """
         from .operators.graph import match_pattern
 
+        if generation is not None and (isinstance(generation, bool)
+                                       or not isinstance(generation, int)):
+            raise TypeError(
+                f"generation must be an int committed generation number, got "
+                f"{generation!r} — a stray positional argument? (query's "
+                "options are keyword-only)")
         return match_pattern(self.table("edges", generation=generation),
                              patterns, **kw)
 
