@@ -283,15 +283,21 @@ def simhash(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
     # shingle carrying all 64 ±1 bit contributions as columns, one groupBy(doc_id) with
     # 64 sums (map-side combined), no ×16 nibble explosion.
     h = sh.select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("hex16"))
-    nib_cols = [
-        F.conv(F.substring("hex16", i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
-        for i in range(16)
-    ]
-    nibbles = h.select("doc_id", *nib_cols)
+    # two 32-bit halves instead of 16 per-nibble conv(substring) calls per
+    # shingle row (same bits, 8× fewer string→int conversions in the hottest
+    # projection); nibble i's bit b is then one shiftright+mask on a long
+    nibbles = h.select(
+        "doc_id",
+        F.conv(F.substring("hex16", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("hex16", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def _bit(i: int, b: int):
+        half, pos = ("hi", 7 - i) if i < 8 else ("lo", 15 - i)
+        return F.shiftright(F.col(half), pos * 4 + b).bitwiseAND(F.lit(1))
+
     sum_exprs = [
-        F.sum(
-            F.when(F.shiftright(F.col(f"n{i}"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}_{b}")
+        F.sum(F.when(_bit(i, b) == 1, 1).otherwise(-1)).alias(f"s{i}_{b}")
         for i in range(16)
         for b in range(4)
     ]

@@ -480,6 +480,11 @@ def shortest_path_counts(edges: DataFrame, sources, max_hops: int = 12,
                              F.lit(1.0).alias("sigma"),
                              F.lit(0).alias("dist")).localCheckpoint()
     settled = frontier
+    # settled stays a lazy union over per-level checkpointed frontiers and
+    # the emptiness check rides the checkpoint job via observe — one job per
+    # level instead of three (bfs_distances' discipline; guide §2.4)
+    from pyspark.sql import Observation
+
     for h in range(1, max_hops + 1):
         nxt = (adj.join(frontier.select("node", "src", "sigma"), "node")
                .groupBy("src", F.col("nbr").alias("node"))
@@ -487,12 +492,13 @@ def shortest_path_counts(edges: DataFrame, sources, max_hops: int = 12,
                .join(settled.select("src", "node"), ["src", "node"],
                      "left_anti")
                .withColumn("dist", F.lit(h))
-               .select("src", "node", "sigma", "dist")
-               .localCheckpoint())
-        if nxt.limit(1).count() == 0:
+               .select("src", "node", "sigma", "dist"))
+        obs = Observation(f"spc_frontier_{h}")
+        frontier = nxt.observe(
+            obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        if int(obs.get["n"] or 0) == 0:
             break
-        frontier = nxt
-        settled = settled.unionAll(frontier).localCheckpoint()
+        settled = settled.unionAll(frontier)
     return settled.select("src", F.col("node").alias("node_id"),
                           F.col("dist").alias("distance"),
                           F.col("sigma").alias("n_paths"))
@@ -1321,24 +1327,33 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
         else:
             step = step.select(F.col("src_id").alias("node"),
                                F.col("dst_id").alias("nbr"))
+        from pyspark.sql import Observation
+
         step = step.repartition("node").localCheckpoint(eager=False)
         frontier = spark.createDataFrame([(const,)], f"node {src_type}") \
             .localCheckpoint()
-        settled = frontier.limit(0).localCheckpoint()
+        # settled starts EMPTY (not at the source): the constant itself is a
+        # solution only when actually re-reached (self-loop / cycle — p+
+        # semantics), so the first frontier must not be anti-joined away
+        settled = None
         drained = False
-        for _ in range(128):
-            nxt = (step.join(frontier.select("node"), "node")
-                   .select(F.col("nbr").alias("node")).distinct()
-                   .join(settled, "node", "left_anti")
-                   .localCheckpoint())
-            if nxt.limit(1).count() == 0:
+        for it in range(128):
+            cand = (step.join(frontier.select("node"), "node")
+                    .select(F.col("nbr").alias("node")).distinct())
+            nxt = cand if settled is None \
+                else cand.join(settled, "node", "left_anti")
+            obs = Observation(f"reach_frontier_{id(frontier)}_{it}")
+            nxt = nxt.observe(
+                obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+            if int(obs.get["n"] or 0) == 0:
                 drained = True
                 break
-            settled = settled.unionAll(nxt).localCheckpoint()
+            settled = nxt if settled is None else settled.unionAll(nxt)
             frontier = nxt
         if not drained:
             return None
-        pairs = settled
+        pairs = settled if settled is not None \
+            else spark.createDataFrame([], f"node {src_type}")
         if mod == "*":
             pairs = pairs.unionAll(
                 spark.createDataFrame([(const,)], f"node {src_type}")) \
@@ -1777,7 +1792,15 @@ def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
     if parents:
         frontier = frontier.withColumn("parent",
                                        F.lit(None).cast(src_type))
-    settled = frontier.localCheckpoint()
+    frontier = frontier.localCheckpoint()
+    # settled is a lazy UNION over the per-hop checkpointed frontiers: the
+    # anti-join scans the same rows either way, but the union is never
+    # re-materialized — the old per-hop settled.unionAll().localCheckpoint()
+    # rewrote O(|reached|) rows every hop (guide §2.4). The frontier
+    # emptiness check rides the checkpoint job via observe (one job per hop).
+    from pyspark.sql import Observation
+
+    settled = frontier
     for h in range(1, max_hops + 1):
         reached = adj.join(frontier.select("node"), "node")
         if parents:
@@ -1790,10 +1813,12 @@ def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
                .withColumn("distance", F.lit(h)))
         if parents:
             nxt = nxt.select("node", "distance", "parent")
-        frontier = nxt.localCheckpoint()
-        if frontier.limit(1).count() == 0:
+        obs = Observation(f"bfs_frontier_{h}")
+        frontier = nxt.observe(
+            obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        if int(obs.get["n"] or 0) == 0:
             break
-        settled = settled.unionAll(frontier).localCheckpoint()
+        settled = settled.unionAll(frontier)
     cols = ["distance", "parent"] if parents else ["distance"]
     return settled.select(F.col("node").alias("node_id"), *cols)
 
@@ -2262,13 +2287,24 @@ def materialize_rules(edges: DataFrame, rules: list, max_rounds: int = 30,
 
     base = edges.select(*key3).distinct().localCheckpoint()
     known, delta = base, base
-    old = base.limit(0)          # round 1: pre-delta state is empty
+    # round 1: pre-delta state is empty. An EMPTY LocalRelation (not
+    # base.limit(0) over the checkpointed RDD): PropagateEmptyRelation folds
+    # every join touching it away at plan time, and the i ≥ 1 delta
+    # positions are skipped outright below — otherwise round 1 paid k-1 dead
+    # full-store scans + shuffles per rule whose result is empty by
+    # construction (guide §2.4: remove work the optimizer cannot see through)
+    spark = edges.sparkSession
+    old = spark.createDataFrame([], base.schema)
+    old_is_empty = True
     converged = False
     for _ in range(max_rounds):
         cands = []
         for body, heads in norm:
             k = len(body)
             for i in range(k):
+                if old_is_empty and i > 0:
+                    continue     # a body with an atom on the empty pre-delta
+                    # state derives nothing — identical result, zero cost
                 frames = [old] * i + [delta] + [known] * (k - 1 - i)
                 cands.append(inst_heads(eval_body(frames, body), heads))
         cand = cands[0]
@@ -2281,6 +2317,7 @@ def materialize_rules(edges: DataFrame, rules: list, max_rounds: int = 30,
             converged = True
             break
         old = known
+        old_is_empty = False
         known = known.unionAll(new_delta).localCheckpoint()
         delta = new_delta
     if not converged:

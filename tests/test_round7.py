@@ -193,8 +193,10 @@ def test_match_pattern_filter_matches_duckdb(spark):
 
 
 def test_closure_computed_once_per_predicate_per_call(spark, monkeypatch):
-    """Two p+ / p* terms over the SAME predicate in one query share one
-    transitive_closure doubling loop; distinct predicates get their own."""
+    """Both-variable p+ / p* terms over the SAME predicate in one query share
+    one transitive_closure doubling loop; distinct predicates get their own.
+    Constant-endpoint closures never enter the doubling loop at all — they
+    run the r8 frontier-reachability path (reach_pairs)."""
     from lingvo_spark_kg.operators import graph
 
     df = _edges_df(spark, [(1, 2, "in"), (2, 3, "in"), (1, 9, "of"),
@@ -207,14 +209,53 @@ def test_closure_computed_once_per_predicate_per_call(spark, monkeypatch):
         return real(edges, pred=pred, **kw)
 
     monkeypatch.setattr(graph, "transitive_closure", counting)
-    out = graph.match_pattern(df, [("?x", "in+", 3), ("?y", "in*", 3),
-                                   ("?x", "tag", "?t"), ("?y", "tag", "?t")])
+    out = graph.match_pattern(df, [("?x", "in+", "?y"), ("?y", "in*", "?z")])
     out.collect()
     assert calls == ["in"]                   # one loop for +, reused by *
 
     calls.clear()
-    graph.match_pattern(df, [("?x", "in+", 3), ("?x", "of+", "?z")]).collect()
+    graph.match_pattern(df, [("?x", "in+", "?y"),
+                             ("?x", "of+", "?z")]).collect()
     assert sorted(calls) == ["in", "of"]
+
+    # constant-endpoint closures take the output-bounded reachability path:
+    # zero doubling loops, identical solutions
+    calls.clear()
+    out = graph.match_pattern(df, [("?x", "in+", 3), ("?y", "in*", 3),
+                                   ("?x", "tag", "?t"), ("?y", "tag", "?t")])
+    rows = {(r["x"], r["y"], r["t"]) for r in out.collect()}
+    assert calls == []
+    # in+ to 3: x ∈ {1, 2}; in* to 3: y ∈ {1, 2, 3}; joined through tag
+    assert rows == {(1, 1, 7), (1, 3, 7)}
+
+
+def test_constant_endpoint_closure_equals_generic(spark):
+    """The r8 reach_pairs fast path (constant-endpoint p+ / p* / ^p+) must
+    bind exactly the rows of the generic closure algebra — including cycles
+    (the constant reaches itself), self-loops and the * zero-length arm for
+    a constant that is not even in the graph's node set."""
+    from lingvo_spark_kg.operators.graph import match_pattern
+
+    df = _edges_df(spark, [(1, 2, "in"), (2, 3, "in"), (3, 1, "in"),
+                           (5, 5, "in"), (8, 9, "of")])
+
+    def rows(pats):
+        return sorted(tuple(r) for r in match_pattern(df, pats).collect())
+
+    # cycle: everything on the 1→2→3→1 loop reaches 3, including 3 itself
+    assert rows([("?x", "in+", 3)]) == [(1,), (2,), (3,)]
+    # forward from a constant subject
+    assert rows([(1, "in+", "?y")]) == [(1,), (2,), (3,)]
+    # self-loop: 5 reaches itself in one hop
+    assert rows([("?x", "in+", 5)]) == [(5,)]
+    # * adds the zero-length arm for the constant itself
+    assert rows([("?x", "of*", 9)]) == [(8,), (9,)]
+    # a constant absent from the graph still matches itself under *
+    assert rows([("?x", "in*", 77)]) == [(77,)]
+    # ...but not under + (no incoming path)
+    assert rows([("?x", "in+", 77)]) == []
+    # inverse closure from a constant
+    assert rows([("?x", "^of+", 8)]) == [(9,)]
 
 
 def test_order_patterns_selectivity_and_connectivity():
