@@ -221,7 +221,10 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, shingle_n: int =
     cand_ids = (candidates.select(F.col("doc_a").alias("doc_id"))
                 .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
-    sh = sh.join(cand_ids, "doc_id", "left_semi")
+    # materialized once: three consumers (sizes, both intersection sides)
+    # would otherwise each re-run the corpus-wide semi-join scan; the pruned
+    # frame is candidate-doc-bounded, so the checkpoint is tiny
+    sh = sh.join(cand_ids, "doc_id", "left_semi").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("shingle_b"))

@@ -1349,6 +1349,11 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                 drained = True
                 break
             settled = nxt if settled is None else settled.unionAll(nxt)
+            if it % 16 == 15:
+                # compact the union every 16 hops: deep reachability (up to
+                # 128 hops here) would otherwise anti-join against an
+                # ever-wider union and pay O(hops²) planning
+                settled = settled.localCheckpoint()
             frontier = nxt
         if not drained:
             return None
