@@ -17,6 +17,42 @@ from pyspark.sql import functions as F
 N_BUCKETS_DEFAULT = 32
 
 
+def _key_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """``repartition(N, *cols)`` with N = the session's shuffle-partition conf
+    (scale-adaptive — the conf, never a hard-coded constant). The EXPLICIT
+    count matters: a bare ``repartition(cols)`` is AQE-coalescible, and a
+    checkpointed iteration frame that compresses well gets coalesced to a
+    handful of partitions — every later join must then match that layout, so
+    the whole iterative computation runs near-serial (measured 4.5 s → 44 s
+    on the pagerank bench when AQE collapsed the share frame)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def _undirected_adj(edges: DataFrame, directed: bool) -> DataFrame:
+    """(node, nbr) adjacency view shared by the traversal operators — directed
+    arcs or the symmetric undirected closure of the distinct simple edge set.
+
+    KEY-PARTITIONED (``_key_repartition`` on ``node``) and localCheckpoint-ed:
+    every per-level/iteration join keys on ``node``, so the edge-volume side
+    is exchanged ONCE here instead of once per round — the checkpointed
+    partitioning is visible to the planner (LogicalRDD carries it), and only
+    the node-bounded frontier side moves per level (guide §2.4: operations
+    keyed the same way share one exchange)."""
+    if directed:
+        adj = (edges.select(F.col("src_id").alias("node"),
+                            F.col("dst_id").alias("nbr"))
+               .where(F.col("node") != F.col("nbr")).distinct())
+    else:
+        und = (edges.select(F.least("src_id", "dst_id").alias("u"),
+                            F.greatest("src_id", "dst_id").alias("v"))
+               .where(F.col("u") != F.col("v")).distinct())
+        adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+               .unionAll(und.select(F.col("v").alias("node"),
+                                    F.col("u").alias("nbr"))))
+    return _key_repartition(adj, "node").localCheckpoint(eager=False)
+
+
 def build_nodes(canon: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
     """canonical_map → nodes(canonical_id, label, node_type, n_mentions, n_surfaces,
     entity_id, bucket)."""
@@ -289,8 +325,10 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
         F.explode(F.sequence(
             F.lit(1), F.greatest(F.lit(1), F.least(F.col("w"),
                                                    F.lit(weight_cap)))))
-        .alias("rep"))
-        .localCheckpoint(eager=False))
+        .alias("rep")))
+    # keyed on the per-step join key — one exchange, not one per walk step
+    # (guide §2.4)
+    nbrs = _key_repartition(nbrs, "node").localCheckpoint(eager=False)
     frontier = (nbrs.select("node").distinct()
                 .select(F.col("node").alias("start_id"),
                         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
@@ -365,8 +403,9 @@ def biased_random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 4,
     agg_w = F.sum("w") if weighted else F.max("w")
     per_pair = (sym.groupBy("node", "nbr").agg(
         F.greatest(F.lit(1), F.least(agg_w, F.lit(weight_cap)))
-        .alias("w"))
-        .localCheckpoint(eager=False))
+        .alias("w")))
+    # keyed on the per-step frontier join key (guide §2.4)
+    per_pair = _key_repartition(per_pair, "node").localCheckpoint(eager=False)
     frontier = (per_pair.select("node").distinct()
                 .select(F.col("node").alias("start_id"),
                         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
@@ -434,7 +473,8 @@ def components(edges: DataFrame, max_iter: int = 25,
 
 
 def shortest_path_counts(edges: DataFrame, sources, max_hops: int = 12,
-                         directed: bool = False) -> DataFrame:
+                         directed: bool = False,
+                         _adj: DataFrame | None = None) -> DataFrame:
     """Tagged σ-BFS (the forward half of Brandes): for every source s in
     ``sources`` and every node v within ``max_hops``, the hop distance AND
     the number of distinct shortest s→v paths → (src, node_id, distance,
@@ -450,20 +490,13 @@ def shortest_path_counts(edges: DataFrame, sources, max_hops: int = 12,
     per-source driver loop. Counts are exact integers carried as doubles
     (exact to 2^53 — astronomically beyond any real KG's shortest-path
     multiplicity within a bounded radius); cast to long for integer-exact
-    engine comparison."""
+    engine comparison.
+
+    ``_adj`` (internal): a prebuilt ``_undirected_adj``-shaped frame, so
+    betweenness_centrality shares ONE adjacency materialization between its
+    forward and backward sweeps instead of deduplicating the edge set twice."""
     spark = edges.sparkSession
-    if directed:
-        adj = (edges.select(F.col("src_id").alias("node"),
-                            F.col("dst_id").alias("nbr"))
-               .where(F.col("node") != F.col("nbr")).distinct())
-    else:
-        und = (edges.select(F.least("src_id", "dst_id").alias("u"),
-                            F.greatest("src_id", "dst_id").alias("v"))
-               .where(F.col("u") != F.col("v")).distinct())
-        adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-               .unionAll(und.select(F.col("v").alias("node"),
-                                    F.col("u").alias("nbr"))))
-    adj = adj.localCheckpoint(eager=False)
+    adj = _adj if _adj is not None else _undirected_adj(edges, directed)
     if isinstance(sources, DataFrame):
         if len(sources.columns) != 1:
             raise ValueError("a sources frame must have exactly one column")
@@ -546,18 +579,7 @@ def betweenness_centrality(edges: DataFrame, n_pivots: int = 16,
     if n_pivots < 1:
         raise ValueError("n_pivots must be ≥ 1")
     spark = edges.sparkSession
-    if directed:
-        adj = (edges.select(F.col("src_id").alias("node"),
-                            F.col("dst_id").alias("nbr"))
-               .where(F.col("node") != F.col("nbr")).distinct())
-    else:
-        und = (edges.select(F.least("src_id", "dst_id").alias("u"),
-                            F.greatest("src_id", "dst_id").alias("v"))
-               .where(F.col("u") != F.col("v")).distinct())
-        adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-               .unionAll(und.select(F.col("v").alias("node"),
-                                    F.col("u").alias("nbr"))))
-    adj = adj.localCheckpoint(eager=False)
+    adj = _undirected_adj(edges, directed)
     nodes = adj.select("node").distinct().localCheckpoint(eager=False)
     pivots = (nodes.orderBy(F.xxhash64("node", F.lit(seed)), "node")
               .limit(int(n_pivots)).select(F.col("node").alias("src"))
@@ -570,7 +592,7 @@ def betweenness_centrality(edges: DataFrame, n_pivots: int = 16,
             [], f"node_id {dict(edges.dtypes)['src_id']}, centrality double")
 
     settled = (shortest_path_counts(edges, pivots, max_hops=max_hops,
-                                    directed=directed)
+                                    directed=directed, _adj=adj)
                .select("src", F.col("node_id").alias("node"),
                        F.col("n_paths").alias("sigma"),
                        F.col("distance").alias("dist")))
@@ -636,8 +658,9 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 8,
            .where(F.col("u") != F.col("v")).distinct())
     sym = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionAll(und.select(F.col("v").alias("node"),
-                                F.col("u").alias("nbr")))
-           .localCheckpoint(eager=False))
+                                F.col("u").alias("nbr"))))
+    # keyed on the per-hop sketch join key (guide §2.4)
+    sym = _key_repartition(sym, "nbr").localCheckpoint(eager=False)
     spark = edges.sparkSession
     balls = (sym.select("node").distinct()
              .groupBy("node")
@@ -747,8 +770,10 @@ def coreness(edges: DataFrame, max_iter: int = 100) -> DataFrame:
                         F.greatest("src_id", "dst_id").alias("v"))
            .where(F.col("u") != F.col("v")).distinct())
     nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-            .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-            .localCheckpoint(eager=False))
+            .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))))
+    # keyed on the per-iteration join key — one exchange, not one per
+    # h-index round (guide §2.4)
+    nbrs = _key_repartition(nbrs, "nbr").localCheckpoint(eager=False)
     from pyspark.sql import Observation
 
     cur = (nbrs.groupBy("node")
@@ -845,8 +870,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
         return nodes.withColumn("rank", F.lit(0.0))
     out_w = e.groupBy("src_id").agg(F.sum("w").alias("out_w"))
     share = (e.join(out_w, "src_id")
-             .select("src_id", "dst_id", (F.col("w") / F.col("out_w")).alias("share"))
-             .localCheckpoint(eager=True))
+             .select("src_id", "dst_id", (F.col("w") / F.col("out_w")).alias("share")))
+    # keyed on the per-iteration join key (ranks arrive partitioned by
+    # node_id from the previous iteration's aggregate, so the rank
+    # recurrence join is then exchange-free on BOTH sides): the
+    # edge-volume share frame is exchanged once here, not once per
+    # power iteration (guide §2.4)
+    share = _key_repartition(share, "src_id").localCheckpoint(eager=True)
     # materialized once: the per-iteration dangling-mass read anti-joins
     # against this set, and an unmaterialized frame would re-run the 2M-row
     # out-weight aggregate inside EVERY iteration's plan (guide §2.4)
@@ -1329,7 +1359,7 @@ def match_pattern(edges: DataFrame, patterns: list, distinct: bool = False,
                                F.col("dst_id").alias("nbr"))
         from pyspark.sql import Observation
 
-        step = step.repartition("node").localCheckpoint(eager=False)
+        step = _key_repartition(step, "node").localCheckpoint(eager=False)
         frontier = spark.createDataFrame([(const,)], f"node {src_type}") \
             .localCheckpoint()
         # settled starts EMPTY (not at the source): the constant itself is a
@@ -1714,8 +1744,11 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
                .distinct().withColumn("w", F.lit(1).cast("long")))
     nbrs = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
             .unionAll(und.select(F.col("v").alias("node"),
-                                 F.col("u").alias("nbr"), "w"))
-            .localCheckpoint(eager=False))
+                                 F.col("u").alias("nbr"), "w")))
+    # keyed on the per-iteration join key BEFORE the checkpoint: the
+    # edge-volume voting side is exchanged once here, not once per
+    # iteration (guide §2.4; _undirected_adj's discipline)
+    nbrs = _key_repartition(nbrs, "nbr").localCheckpoint(eager=False)
     labels = (nbrs.select("node").distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint())
@@ -1778,18 +1811,7 @@ def bfs_distances(edges: DataFrame, sources: list, max_hops: int = 20,
     if not sources:
         raise ValueError("bfs_distances needs a non-empty source set")
     spark = edges.sparkSession
-    if directed:
-        adj = (edges.select(F.col("src_id").alias("node"),
-                            F.col("dst_id").alias("nbr"))
-               .where(F.col("node") != F.col("nbr")).distinct())
-    else:
-        und = (edges.select(F.least("src_id", "dst_id").alias("u"),
-                            F.greatest("src_id", "dst_id").alias("v"))
-               .where(F.col("u") != F.col("v")).distinct())
-        adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-               .unionAll(und.select(F.col("v").alias("node"),
-                                    F.col("u").alias("nbr"))))
-    adj = adj.localCheckpoint(eager=False)
+    adj = _undirected_adj(edges, directed)
     src_type = dict(edges.dtypes)["src_id"]   # ids are opaque — match the type
     frontier = (spark.createDataFrame([(s,) for s in set(sources)],
                                       f"node {src_type}")
@@ -2006,8 +2028,10 @@ def shortest_paths(edges: DataFrame, sources: list,
             F.col("dst_id").alias("node"), F.col("src_id").alias("nbr"),
             w.alias("w")))
     arcs = (arcs.where(F.col("node") != F.col("nbr"))
-            .groupBy("node", "nbr").agg(F.min("w").alias("w"))
-            .localCheckpoint(eager=False))
+            .groupBy("node", "nbr").agg(F.min("w").alias("w")))
+    # keyed on the relaxation join key — one exchange, not one per
+    # Bellman-Ford round (guide §2.4)
+    arcs = _key_repartition(arcs, "node").localCheckpoint(eager=False)
     src_type = dict(edges.dtypes)["src_id"]
     dist = (spark.createDataFrame([(s,) for s in set(sources)],
                                   f"node {src_type}")
@@ -2315,15 +2339,23 @@ def materialize_rules(edges: DataFrame, rules: list, max_rounds: int = 30,
         cand = cands[0]
         for fr in cands[1:]:
             cand = cand.unionByName(fr)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_delta = (cand.distinct()
                      .join(known, list(key3), "left_anti")
+                     .observe(obs, F.count(F.lit(1)).alias("n"))
                      .localCheckpoint())
-        if new_delta.limit(1).count() == 0:
+        # emptiness rides the checkpoint job (observe — the CC discipline);
+        # known stays a LAZY union over the per-round checkpointed deltas:
+        # the old unionAll().localCheckpoint() re-wrote the whole store every
+        # round, O(store) per round of pure copy (guide §2.4)
+        if int(obs.get["n"] or 0) == 0:
             converged = True
             break
         old = known
         old_is_empty = False
-        known = known.unionAll(new_delta).localCheckpoint()
+        known = known.unionAll(new_delta)
         delta = new_delta
     if not converged:
         import warnings
@@ -2357,8 +2389,9 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
            .where(F.col("u") != F.col("v")).distinct())
     sym = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionAll(und.select(F.col("v").alias("node"),
-                                F.col("u").alias("nbr")))
-           .localCheckpoint(eager=False))
+                                F.col("u").alias("nbr"))))
+    # keyed on the per-hop sketch join key (guide §2.4)
+    sym = _key_repartition(sym, "nbr").localCheckpoint(eager=False)
     state = (sym.select("node").distinct()
              .groupBy("node")
              .agg(F.hll_sketch_agg(F.col("node").cast("string"),
