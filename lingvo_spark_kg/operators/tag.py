@@ -313,18 +313,32 @@ def tag_sentences_bilstm_dedup(sentences: DataFrame, pos_model_bc, ner_model_bc,
     decoding each distinct token sequence ONCE and joining the tags back is
     result-identical to decoding every instance (pinned in tests/test_round5.py).
 
-    Shape: distinct() on the full ``tokens`` array (exact key — no hash-collision
-    exposure) → the expensive DNN operator runs on the distinct dim only → equi-join
-    back on ``tokens``. Both the distinct and the join shuffle hash the token
-    structs; AQE picks broadcast when the tagged dim is small enough and falls back
-    to a shuffle join when the distinct count grows with the corpus — both sides
-    scale. The per-batch memo inside tag_sentences_bilstm is the batch-LOCAL version
-    of the same idea; this amortizes across the whole corpus at the price of one
-    dedup shuffle, the right trade whenever decode ≫ shuffle (any DNN regimen).
-    Output-type correction (M14) keys only on token fields, so identical token
-    sequences get identical corrected tags — the join-back is exact."""
-    dim = tag_sentences_bilstm(sentences.select("tokens").distinct(),
+    Shape: distinct() on the projection of the token fields the decode READS —
+    (ending_pos, ending_ner, input_type, extra) per token; tags are a pure
+    function of exactly these four (predict_tags consumes the two ending
+    features, output-type correction M14 consumes input_type/extra), so the
+    projected array is an EXACT key with no hash-collision exposure, while the
+    payload fields (value, orig, offsets — the wide strings) never enter the
+    dedup shuffle (guide §2.3: project before the exchange). The expensive DNN
+    operator runs on the distinct dim only → equi-join back on the same
+    projection computed JVM-side on the instance frame. AQE picks broadcast
+    when the tagged dim is small enough and falls back to a shuffle join when
+    the distinct count grows with the corpus — both sides scale. The per-batch
+    memo inside tag_sentences_bilstm is the batch-LOCAL version of the same
+    idea; this amortizes across the whole corpus at the price of one dedup
+    shuffle, the right trade whenever decode ≫ shuffle (any DNN regimen).
+    Identical projections ⇒ identical tags, so the join-back is exact — the
+    same argument as the previous full-struct key, minus the bytes that never
+    influenced the result."""
+    key = F.expr(
+        "transform(tokens, t -> struct(t.ending_pos AS ending_pos,"
+        " t.ending_ner AS ending_ner, t.input_type AS input_type,"
+        " t.extra AS extra))")
+    dim = tag_sentences_bilstm(sentences.select(key.alias("tokens")).distinct(),
                                pos_model_bc, ner_model_bc, encoder=encoder,
                                backend_loader=backend_loader)
-    out = sentences.join(dim, on="tokens", how="left")
+    out = (sentences.withColumn("__tagkey", key)
+           .join(dim.select(F.col("tokens").alias("__tagkey"),
+                            "pos_tags", "ner_tags"),
+                 on="__tagkey", how="left"))
     return out.select(*sentences.columns, "pos_tags", "ner_tags")
