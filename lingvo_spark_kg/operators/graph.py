@@ -882,6 +882,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
     # out-weight aggregate inside EVERY iteration's plan (guide §2.4)
     src_nodes = (out_w.select(F.col("src_id").alias("node_id"))
                  .localCheckpoint(eager=True))
+    # dangling-free shortcut: when every node has out-edges the dangling mass
+    # is IDENTICALLY zero every iteration — drop the per-iteration anti-join +
+    # 1-row aggregate + broadcast outright. Bit-exact: x + 0.0 == x for every
+    # finite rank sum, so the returned ranks match the general path to the
+    # last ulp (one extra bounded count against the already-materialized
+    # src_nodes; n_nodes is already counted above).
+    no_dangling = src_nodes.count() == n_nodes
     if sources is not None:
         if not sources:
             raise ValueError("sources must be a non-empty list (or None)")
@@ -900,15 +907,17 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
             contrib = (share.join(ranks, share["src_id"] == ranks["node_id"])
                        .groupBy(F.col("dst_id").alias("node_id"))
                        .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
-            dangling = (ranks.join(src_nodes, "node_id", "left_anti")
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")))
-            ranks = (tele.join(contrib, "node_id", "left")
-                     .crossJoin(F.broadcast(dangling))
-                     .select("node_id",
-                             (F.lit(1.0 - damping) * F.col("t")
-                              + F.lit(damping)
-                              * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                 + F.col("dmass") * F.col("t"))).alias("rank")))
+            acc = F.coalesce(F.col("contrib"), F.lit(0.0))
+            nxt = tele.join(contrib, "node_id", "left")
+            if not no_dangling:
+                dangling = (ranks.join(src_nodes, "node_id", "left_anti")
+                            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                                 .alias("dmass")))
+                nxt = nxt.crossJoin(F.broadcast(dangling))
+                acc = acc + F.col("dmass") * F.col("t")
+            ranks = nxt.select("node_id",
+                               (F.lit(1.0 - damping) * F.col("t")
+                                + F.lit(damping) * acc).alias("rank"))
             if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
                 ranks = ranks.localCheckpoint(eager=True)
         return ranks
@@ -918,14 +927,16 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 20,
         contrib = (share.join(ranks, share["src_id"] == ranks["node_id"])
                    .groupBy(F.col("dst_id").alias("node_id"))
                    .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
-        dangling = (ranks.join(src_nodes, "node_id", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")))
-        ranks = (nodes.join(contrib, "node_id", "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select("node_id",
-                         (F.lit(base) + F.lit(damping)
-                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                             + F.col("dmass") / F.lit(float(n_nodes)))).alias("rank")))
+        acc = F.coalesce(F.col("contrib"), F.lit(0.0))
+        nxt = nodes.join(contrib, "node_id", "left")
+        if not no_dangling:
+            dangling = (ranks.join(src_nodes, "node_id", "left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                             .alias("dmass")))
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+            acc = acc + F.col("dmass") / F.lit(float(n_nodes))
+        ranks = nxt.select("node_id",
+                           (F.lit(base) + F.lit(damping) * acc).alias("rank"))
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
