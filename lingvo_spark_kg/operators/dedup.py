@@ -191,9 +191,15 @@ def minhash_bands(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
 def minhash_candidates(docs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
                        shingle_n: int = 3, shingles: DataFrame | None = None,
                        hash: str = "md5") -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b, n_shared_bands) via self-join on band_sig."""
+    """LSH candidate pairs (doc_a < doc_b, n_shared_bands) via self-join on band_sig.
+
+    The band frame is MATERIALIZED once (localCheckpoint) before the self-join:
+    Spark plans the two join sides as two independent subtrees (the broadcast
+    side defeats exchange reuse), so an unmaterialized frame would run the
+    whole shingle-scan + n_hashes-way hash + min aggregate TWICE — verified in
+    the physical plan (two full SortAggregate chains down to the parquet scan)."""
     bands = minhash_bands(docs, n_hashes, rows_per_band, shingle_n, shingles=shingles,
-                          hash=hash)
+                          hash=hash).localCheckpoint()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_sig")
     return (
