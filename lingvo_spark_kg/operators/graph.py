@@ -242,11 +242,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Σ deg² a naive wedge build produces on hub-skewed KGs; every step is an
     equi-join or a map-side-combinable aggregate, never a cartesian. Each
     triangle materializes exactly once (ranks strictly ordered a < b < c)."""
+    # und feeds three subtrees (the ranked join's probe side + both rank dims
+    # via deg) and deg two — materialized once each, or the distinct edge set
+    # is re-computed per consumer (the minhash_candidates duplication pattern)
     und = (edges.select(F.least("src_id", "dst_id").alias("u"),
                         F.greatest("src_id", "dst_id").alias("v"))
-           .where(F.col("u") != F.col("v")).distinct())
+           .where(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=False))
     deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+           .localCheckpoint(eager=False))
     # total rank order = (degree, node id): strict, total, degree-aligned
     a_rk = deg.select(F.col("node").alias("u"), F.struct(
         F.col("degree"), F.col("node")).alias("rk_u"))
