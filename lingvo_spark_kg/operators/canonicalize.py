@@ -104,13 +104,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates(["src", "dst"])
     # keyed on the PER-ITERATION join key (sym.dst == labels.v): the edge side
-    # is exchanged once here instead of once per iteration — repartition("src")
-    # was a mismatch that left every iteration re-shuffling sym by dst. The
-    # EXPLICIT partition count (session conf — scale-adaptive, not a constant)
-    # keeps AQE from coalescing the checkpointed frame to a few partitions,
-    # which would serialize every later iteration (graph._key_repartition).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = sym.repartition(n_part, "dst").localCheckpoint()
+    # is laid out once here for the loop — repartition("src") was a mismatch
+    # that left every iteration re-shuffling sym by dst. Bare repartition on
+    # purpose: AQE sizes it (≥ default parallelism on big graphs, collapsed
+    # for the vocabulary-bounded ones) — graph._key_repartition's rationale.
+    sym = sym.repartition("dst").localCheckpoint()
 
     start_it = 0
     labels = None

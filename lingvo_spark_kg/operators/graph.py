@@ -18,15 +18,17 @@ N_BUCKETS_DEFAULT = 32
 
 
 def _key_repartition(df: DataFrame, *cols: str) -> DataFrame:
-    """``repartition(N, *cols)`` with N = the session's shuffle-partition conf
-    (scale-adaptive — the conf, never a hard-coded constant). The EXPLICIT
-    count matters: a bare ``repartition(cols)`` is AQE-coalescible, and a
-    checkpointed iteration frame that compresses well gets coalesced to a
-    handful of partitions — every later join must then match that layout, so
-    the whole iterative computation runs near-serial (measured 4.5 s → 44 s
-    on the pagerank bench when AQE collapsed the share frame)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, *[F.col(c) for c in cols])
+    """Key-partition an iteration-static frame before its checkpoint.
+
+    A BARE ``repartition(cols)`` (no count) on purpose: AQE plans it from the
+    session's shuffle-partition conf and then coalesces with
+    ``parallelismFirst`` (the default), which keeps ≥ default-parallelism
+    partitions on edge-volume frames and collapses vocabulary-sized ones to a
+    handful — measured 32 partitions for the 2M-edge adjacency and 1 for a
+    50-row pair graph on local[32]. A hard-coded count would either burn
+    empty tasks on every iteration of a tiny graph or cap a huge one; the
+    bare form is scale-adaptive through conf alone (guide §2)."""
+    return df.repartition(*[F.col(c) for c in cols])
 
 
 def _undirected_adj(edges: DataFrame, directed: bool) -> DataFrame:
