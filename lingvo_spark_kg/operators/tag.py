@@ -330,10 +330,14 @@ def tag_sentences_bilstm_dedup(sentences: DataFrame, pos_model_bc, ner_model_bc,
     Identical projections ⇒ identical tags, so the join-back is exact — the
     same argument as the previous full-struct key, minus the bytes that never
     influenced the result."""
-    key = F.expr(
-        "transform(tokens, t -> struct(t.ending_pos AS ending_pos,"
-        " t.ending_ner AS ending_ner, t.input_type AS input_type,"
-        " t.extra AS extra))")
+    # arrays_zip of direct field extractions, NOT transform(tokens, t ->
+    # struct(...)): identical array<struct> (field names carry over from the
+    # extractions), but nested-schema pruning sees through GetArrayStructFields
+    # and not through a lambda — the distinct side's parquet scan then reads
+    # ONLY these four token fields instead of all nine (guide §6)
+    key = F.arrays_zip(
+        F.col("tokens.ending_pos"), F.col("tokens.ending_ner"),
+        F.col("tokens.input_type"), F.col("tokens.extra"))
     dim = tag_sentences_bilstm(sentences.select(key.alias("tokens")).distinct(),
                                pos_model_bc, ner_model_bc, encoder=encoder,
                                backend_loader=backend_loader)

@@ -42,9 +42,16 @@ def extract_triples_df(tagged: DataFrame) -> DataFrame:
     import pyarrow as pa
     from pyspark.sql import functions as F
 
+    # tokens.value (GetArrayStructFields), NOT transform(tokens, t -> t.value):
+    # identical result (array<string> of the value fields, null-for-null), but
+    # nested-schema pruning sees through the direct field extraction and NOT
+    # through a lambda — with transform the parquet scan decoded ALL NINE
+    # token fields (verified in ReadSchema) although only value is used;
+    # now the scan reads tokens.value alone (guide §6: verify pruning reaches
+    # the scan)
     proj = tagged.select(
         "doc_id", "span_idx", "sent_idx",
-        F.expr("transform(tokens, t -> t.value)").alias("values"),
+        F.col("tokens.value").alias("values"),
         "pos_tags", "ner_tags")
 
     def run(batches) -> "Iterator[pa.RecordBatch]":
